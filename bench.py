@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries (BASELINE.md keys) at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries":
+{...}, "sf": ...}.
+
+Protocol mirrors BASELINE.md: one long-lived session, per query 1 warm-up
+run then best of 3 timed runs, timing = plan build + full collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from kwery_spark.session import get_spark
+
+# Headline set = BASELINE.md's benchmark table keys.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "win_row_number",
+    "agg_grouping_sets",
+    "stream_tumbling",
+    "fn_json",
+    "join_semi",
+    "sim_knn_bruteforce",
+    "text_tokenize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("kwery-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    results: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = queries.get(key)
+        if fn is None:
+            continue
+        times = []
+        for i in range(4):  # 1 warm-up + 3 timed
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                times.append(dt)
+        results[key] = round(min(times), 4)
+    total = round(sum(results.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_best_of_3",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,8 @@
+"""Import every operator module so the registry is fully populated.
+
+``kwery_spark.registry.load_all()`` imports this module; adding a new
+operator module means adding one import line here.
+"""
+
+# ruff: noqa: F401
+from kwery_spark.operators import tpch

@@ -1,0 +1,50 @@
+"""SparkSession construction.
+
+One long-lived session per process. The conf below is tuned for the local
+test harness (tiny scale factors) but every knob is annotated with the
+100 TB-cluster setting it stands in for — the *plans* we build are the same
+either way; only sizing differs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Local test sizing. At cluster scale you would let
+# spark.sql.shuffle.partitions default (or set ~2-3x total cores) and keep
+# AQE coalescing on; at sf<=0.1 a small fixed count avoids thousands of
+# empty 1-row tasks.
+_LOCAL_SHUFFLE_PARTITIONS = "8"
+
+
+def builder(app_name: str = "kwery-spark", cpus: int | None = None) -> SparkSession.Builder:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime re-planning — coalesces shuffle partitions, converts
+        # sort-merge to broadcast when runtime stats allow, splits skewed
+        # partitions. Essential at 100 TB, harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", _LOCAL_SHUFFLE_PARTITIONS)
+        # Arrow for any toPandas()/collect of results and for pandas UDFs.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dims (region/nation/customer at small SF) should broadcast; the
+        # 10 MB default is kept — we add explicit broadcast() hints where a
+        # side is provably small regardless of SF (region/nation: fixed 5/25
+        # rows) and rely on AQE elsewhere.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+    )
+
+
+def get_spark(app_name: str = "kwery-spark", cpus: int | None = None) -> SparkSession:
+    """Get or create the process-wide SparkSession."""
+    return builder(app_name, cpus).getOrCreate()

@@ -1,0 +1,127 @@
+"""Local stand-in for the driver's correctness gate.
+
+For every key in ``queries()``: run the Spark query at sf0.01, run the
+paired ``oracle_sql()`` in DuckDB over the same parquet (views
+pre-registered as in ``__spark_entry__``), and compare row count, column
+names, and values (order-insensitive, float-tolerant). Keys without an
+oracle get a rows-only check (runs + rows >= 0).
+
+Usage:  python tools/check.py [key ...]   (no args = all keys)
+        python tools/check.py --sf /root/testdata/sf0.001 key
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from kwery_spark.session import get_spark
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    conn = duckdb.connect()
+    for t in TABLES:
+        conn.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return conn
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round to 6 significant-ish digits so summation-order ulp noise
+        # doesn't fail the compare (driver hashes similarly rounded values)
+        return float(f"{v:.6g}")
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
+    return v
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+def check_key(spark, conn, key, qfn, oracle, sf_dir) -> tuple[bool, str]:
+    t0 = time.perf_counter()
+    df = qfn(spark, sf_dir)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+    t_spark = time.perf_counter() - t0
+    if oracle is None:
+        return True, f"rows-only: {len(spark_rows)} rows in {t_spark:.2f}s"
+    t0 = time.perf_counter()
+    res = conn.execute(oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    t_duck = time.perf_counter() - t0
+    problems = []
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    if not problems:
+        ns, nd = norm_rows(spark_cols, spark_rows), norm_rows(duck_cols, duck_rows)
+        if ns != nd:
+            diff = [(a, b) for a, b in zip(ns, nd) if a != b]
+            problems.append(
+                f"values differ in {len(diff)}/{len(ns)} rows; first: "
+                f"spark={diff[0][0]!r} duck={diff[0][1]!r}"
+            )
+    if problems:
+        return False, "; ".join(problems)
+    return True, f"{len(spark_rows)} rows  spark={t_spark:.2f}s duck={t_duck*1000:.0f}ms"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="*")
+    ap.add_argument("--sf", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    keys = args.keys or list(queries)
+    missing = [k for k in keys if k not in queries]
+    if missing:
+        print(f"unknown keys: {missing}")
+        return 2
+
+    spark = get_spark("kwery-check")
+    conn = duck_conn(args.sf)
+    n_fail = 0
+    for key in keys:
+        try:
+            ok, msg = check_key(spark, conn, key, queries[key], oracles.get(key), args.sf)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+        status = "PASS" if ok else "FAIL"
+        n_fail += not ok
+        print(f"[{status}] {key}: {msg}")
+    print(f"\n{len(keys) - n_fail}/{len(keys)} passed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
