@@ -5,4 +5,5 @@ operator module means adding one import line here.
 """
 
 # ruff: noqa: F401
-from kwery_spark.operators import tpch
+from kwery_spark.operators import joins, projection, setops, sorts, tpch
+from kwery_spark.sources import scans

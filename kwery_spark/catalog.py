@@ -34,7 +34,26 @@ ALWAYS_SMALL = frozenset({"region", "nation"})
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw int64
+    nanos (legacy conf) and convert to a proper µs TimestampType column —
+    lossless here because the generated values carry only µs precision
+    (FIXTURES.md events.ts). Conf is set per-session at read time so the
+    query functions also work on a driver-provided vanilla session."""
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # integer div (not /) so ns→µs truncates exactly like DuckDB's
+    # CAST(ts_ns AS TIMESTAMP); double division would round half-up.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,391 @@
+"""Join operators (SURVEY.md §2.3): hash/broadcast/outer/semi/anti/cross/
+theta, plus the three custom ops Spark lacks natively — range join (bucketed),
+as-of join (union + window), and self-join.
+
+Scale notes (100 TB discipline):
+- equi-joins shuffle both sides on the key → SortMergeJoin/ShuffledHashJoin;
+  AQE converts to broadcast when runtime stats allow.
+- fixed-size dims (region 5, nation 25) get explicit broadcast() hints.
+- non-equi joins degrade to BroadcastNestedLoopJoin: only ever run them with
+  a provably-small broadcast side (join_theta) or convert to
+  equi-prefix + residual via bucketing (join_range) so the plan stays a
+  hash join at any scale.
+- the as-of join avoids a per-key sort-merge against the full history by a
+  union + event-time window (single shuffle on the join key).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import register
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_orderstatus, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 250000.0
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join on the fact chain; filter pushed below the join."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side (broadcast) join against fixed-size dims — no shuffle of the
+    fact side at all; the plan is BroadcastHashJoin at any SF."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_multiway",
+    oracle="""
+    SELECT r.r_name, count(*) AS n_items, avg(l.l_quantity) AS avg_qty
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join: the fact chain shuffles on its natural keys; the two
+    fixed dims broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.avg("l_quantity").alias("avg_qty"))
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, big.max_big_qty
+    FROM orders o
+    LEFT JOIN (
+        SELECT l_orderkey, max(l_quantity) AS max_big_qty
+        FROM lineitem WHERE l_quantity > 48.0 GROUP BY l_orderkey
+    ) big ON o.o_orderkey = big.l_orderkey
+    WHERE o.o_orderkey <= 5000
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: unmatched left rows survive with NULL padding.
+    Aggregate-below-join keeps the nullable side small (scale: pre-agg
+    before an outer join beats outer-join-then-agg on shuffle volume)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    big = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 48.0)
+        .groupBy("l_orderkey")
+        .agg(F.max("l_quantity").alias("max_big_qty"))
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left").select(
+        "o_orderkey", "o_totalprice", "max_big_qty"
+    )
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, c.c_custkey, c.c_name
+    FROM (SELECT * FROM orders WHERE o_totalprice > 350000.0) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 500
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every customer survives, order columns NULL-padded."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000.0)
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_orderstatus", "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT
+        coalesce(a.o_custkey, b.o_custkey) AS custkey,
+        a.n_1996, b.n_1997
+    FROM (
+        SELECT o_custkey, count(*) AS n_1996 FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_custkey
+    ) a
+    FULL JOIN (
+        SELECT o_custkey, count(*) AS n_1997 FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_custkey
+    ) b ON a.o_custkey = b.o_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join between two yearly activity aggregates — rows from
+    either side survive (customers active only in one of the years)."""
+    o = table(spark, sf_dir, "orders")
+
+    def year_counts(y: int, alias: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    a = year_counts(1996, "n_1996").withColumnRenamed("o_custkey", "custkey_a")
+    b = year_counts(1997, "n_1997").withColumnRenamed("o_custkey", "custkey_b")
+    return a.join(b, a.custkey_a == b.custkey_b, "full").select(
+        F.coalesce("custkey_a", "custkey_b").alias("custkey"), "n_1996", "n_1997"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): emits each matching left row once — the
+    shuffle carries only the distinct keys of the right side."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name, concat(r.r_name, '/', n.n_name) AS pair
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two fixed-size dims (5 x 25) →
+    BroadcastNestedLoopJoin. Only ever sane when one side is tiny."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return r.crossJoin(broadcast(n)).select(
+        "r_name", "n_name", F.concat_ws("/", "r_name", "n_name").alias("pair")
+    )
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT p.p_partkey, count(*) AS n_orders_above
+    FROM (
+        SELECT p_partkey, p_retailprice FROM part
+        ORDER BY p_retailprice DESC, p_partkey LIMIT 50
+    ) p
+    JOIN orders o ON o.o_totalprice > p.p_retailprice * 150.0
+    GROUP BY p.p_partkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi (theta) join. The 50-row side is broadcast explicitly
+    so the physical plan is BroadcastNestedLoopJoin with the SMALL side
+    replicated — the only shape at which a theta join survives scale."""
+    p = (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(50)
+    )
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(broadcast(p), o.o_totalprice > p.p_retailprice * 150.0)
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders_above"))
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT e.event_id, count(c.event_id) AS n_clicks_10min
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+    GROUP BY e.event_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: for each error event, count clicks in the next
+    10 minutes.
+
+    Scale: a naive time-range join is a nested loop. We add an equi-prefix
+    by bucketing both sides to 10-minute epochs and joining bucket-to-
+    {bucket, bucket+1} (every 10-min lookahead window spans at most two
+    buckets), then apply the exact range residual. The plan becomes a hash
+    join on (bucket) — shuffle-partitionable at any scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / 600).cast("long")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"), F.col("ts").alias("e_ts"), bucket.alias("e_b")
+    )
+    # replicate errors into their two candidate buckets
+    err2 = err.withColumn("probe_b", F.explode(F.array(F.col("e_b"), F.col("e_b") + 1)))
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts"), bucket.alias("c_b")
+    )
+    joined = err2.join(
+        clk,
+        (err2.probe_b == clk.c_b)
+        & (clk.c_ts >= err2.e_ts)
+        & (clk.c_ts < err2.e_ts + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    # count clicks per error; left-join keeps zero-click errors (count(c_id)=0)
+    return joined.groupBy(F.col("e_id").alias("event_id")).agg(
+        F.count("c_id").alias("n_clicks_10min")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(v.ts AS TIMESTAMP) AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest view of the same user
+    at-or-before its timestamp.
+
+    Spark has no native ASOF JOIN; this is the union+window formulation:
+    tag both sides, union, then ``last(view_ts, ignorenulls)`` over a
+    per-user event-time window gives every purchase row the most recent
+    view timestamp. One shuffle on user_id, no join at all — at 100 TB this
+    beats a per-key sort-merge because state is a single running value.
+    Ties (view.ts == purchase.ts) sort views first so they are visible,
+    matching ASOF's <= semantics.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_p"), F.lit(None).cast("timestamp").alias("view_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_p"), F.col("ts").alias("view_ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = purchases.unionByName(views)
+    return (
+        unioned.withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select(
+            "event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_view_ts"
+        )
+    )
+
+
+@register(
+    "join_self",
+    oracle="""
+    SELECT o1.o_custkey AS custkey, count(*) AS n_pairs_30d
+    FROM orders o1
+    JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey
+     AND o2.o_orderdate > o1.o_orderdate
+     AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o1.o_custkey
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: pairs of orders by the same customer within 30 days.
+    Equi-join on custkey with a range residual — hash-joinable; the
+    per-customer order count is small so the quadratic residual is bounded."""
+    o1 = table(spark, sf_dir, "orders").alias("o1")
+    o2 = table(spark, sf_dir, "orders").alias("o2")
+    return (
+        o1.join(
+            o2,
+            (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+            & (F.col("o2.o_orderdate") > F.col("o1.o_orderdate"))
+            & (
+                F.col("o2.o_orderdate")
+                <= F.col("o1.o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+        )
+        .groupBy(F.col("o1.o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs_30d"))
+    )

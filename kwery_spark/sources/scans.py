@@ -1,0 +1,150 @@
+"""Scans, file-format sources, and sinks (SURVEY.md §2.1).
+
+Scale notes: all reads go through Spark's vectorized parquet reader;
+projection/filter reach the scan via Catalyst (verified by plan tests in
+tests/test_plans.py). Sinks write distributed (one file per partition) —
+no driver materialization. Round-trip keys re-read what they wrote so the
+oracle can check values end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import register
+
+# Local scratch for sink round-trips; at cluster scale this would be an
+# object-store path. Kept inside the repo (gitignored) per sandbox rules.
+SCRATCH = "/root/repo/.scratch"
+
+
+def _scratch(*parts: str) -> str:
+    path = os.path.join(SCRATCH, *parts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+@register("scan_parquet", oracle="SELECT * FROM supplier")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table parquet scan, all columns."""
+    return table(spark, sf_dir, "supplier")
+
+
+@register(
+    "scan_projected",
+    oracle="SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
+)
+def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: Catalyst pushes the 3-column projection into the
+    reader (ReadSchema shows only these columns — see tests/test_plans.py)."""
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+@register(
+    "scan_csv_json",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON ingest with explicit schemas: write nation as CSV and
+    region as JSON lines, read both back, join. Values round-trip exactly
+    (int/string only), so the oracle checks the original tables."""
+    csv_path = _scratch("csv", "nation")
+    json_path = _scratch("json", "region")
+    table(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(csv_path)
+    table(spark, sf_dir, "region").write.mode("overwrite").json(json_path)
+
+    nation_schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    region_schema = StructType(
+        [
+            StructField("r_regionkey", IntegerType()),
+            StructField("r_name", StringType()),
+        ]
+    )
+    nation = spark.read.schema(nation_schema).option("header", True).csv(csv_path)
+    region = spark.read.schema(region_schema).json(json_path)
+    return nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@register(
+    "source_values",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'alpha', 10.5),
+        (2, 'beta', 20.25),
+        (3, 'gamma', NULL)
+    ) AS t(id, name, score)
+    """,
+)
+def source_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline literal table (VALUES source)."""
+    return spark.createDataFrame(
+        [(1, "alpha", 10.5), (2, "beta", 20.25), (3, "gamma", None)],
+        schema="id int, name string, score double",
+    )
+
+
+@register(
+    "sink_parquet",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders, sum(o_totalprice) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet write sink: aggregate, write distributed, read back.
+    Parquet round-trips doubles bit-exactly, so the oracle checks the
+    pre-write aggregate."""
+    out = _scratch("parquet", "order_summary")
+    (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total"))
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)
+
+
+@register(
+    "sink_partitioned",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write (partitionBy) + partition-pruned read-back.
+
+    Scale: partitionBy(c_mktsegment) gives directory-level pruning for any
+    later segment-filtered read — the physical layout tool for 100 TB facts.
+    """
+    out = _scratch("parquet", "customer_by_segment")
+    table(spark, sf_dir, "customer").write.mode("overwrite").partitionBy(
+        "c_mktsegment"
+    ).parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
