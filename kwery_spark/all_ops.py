@@ -5,5 +5,14 @@ operator module means adding one import line here.
 """
 
 # ruff: noqa: F401
-from kwery_spark.operators import joins, projection, setops, sorts, tpch
+from kwery_spark.operators import (
+    aggregates,
+    joins,
+    projection,
+    setops,
+    sorts,
+    tpch,
+    windows,
+)
+from kwery_spark.functions import families
 from kwery_spark.sources import scans

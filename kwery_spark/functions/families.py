@@ -1,0 +1,299 @@
+"""Scalar function families (SURVEY.md §2.8) — one composite query per
+family, every function a built-in ``pyspark.sql.functions`` call (JVM-side,
+whole-stage-codegen; no Python in the row path).
+
+Oracle-parity notes are inline where the Spark and DuckDB dialects diverge
+(dayofweek origin, pmod sign, regexp_replace global flag, len() width...).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT
+        c_custkey,
+        lower(c_name) AS name_lower,
+        upper(c_mktsegment) AS seg_upper,
+        trim(concat('  ', c_name, ' ')) AS name_trimmed,
+        substring(c_name, 1, 8) AS name_prefix,
+        concat_ws('|', c_name, c_mktsegment) AS name_seg,
+        CAST(length(c_name) AS INTEGER) AS name_len,
+        lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        rpad(c_mktsegment, 12, '.') AS seg_padded,
+        replace(c_name, '#', '-') AS name_dashed,
+        regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+        regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_devoweled,
+        CAST(instr(c_name, '#') AS INTEGER) AS hash_pos,
+        CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS seg_dist
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family. Dialect notes: DuckDB regexp_replace needs the 'g'
+    flag to match Spark's replace-all; length/instr return BIGINT there →
+    cast to INTEGER on the oracle side (Spark emits int)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("name_trimmed"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("name_seg"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_padded"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.regexp_replace("c_mktsegment", "[AEIOU]", "_").alias("seg_devoweled"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_dist"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        CAST(day(o_orderdate) AS INTEGER) AS order_day,
+        CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS order_dow,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        CAST(o_orderdate AS DATE) + 30 AS due_date,
+        CAST(o_orderdate AS DATE) - 7 AS week_before,
+        CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+            AS days_since_epoch_start,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+        make_date(2024, CAST(month(o_orderdate) AS INTEGER), 1) AS anniversary
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. Dialect notes: DuckDB dayofweek is 0=Sunday,
+    Spark's is 1=Sunday → +1 on the oracle; DuckDB year()/datediff return
+    BIGINT → cast; date±int arithmetic needs an explicit DATE cast there."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.dayofweek(d).alias("order_dow"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.date_sub(d.cast("date"), 7).alias("week_before"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.unix_timestamp(d).alias("order_epoch"),
+        F.make_date(F.lit(2024), F.month(d), F.lit(1)).alias("anniversary"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        abs(l_extendedprice - 30000.0) AS price_dev,
+        floor(l_quantity) AS qty_floor,
+        ceil(l_discount * 100.0) AS disc_pct_ceil,
+        sqrt(l_extendedprice) AS price_sqrt,
+        pow(l_quantity, 2.0) AS qty_sq,
+        ln(l_extendedprice) AS price_ln,
+        log10(l_extendedprice) AS price_log10,
+        CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS price_sign,
+        greatest(l_quantity, l_discount * 100.0, 10.0) AS g3,
+        least(l_quantity, l_discount * 100.0, 10.0) AS l3,
+        CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS key_pmod
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. Dialect notes: Spark pmod() is always-positive — DuckDB
+    % keeps the dividend sign, hence ((a%b)+b)%b on the oracle. floor/ceil
+    return DOUBLE in both engines for double input."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000.0).alias("price_dev"),
+        F.floor("l_quantity").cast("double").alias("qty_floor"),
+        F.ceil(F.col("l_discount") * 100.0).cast("double").alias("disc_pct_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.pow("l_quantity", F.lit(2.0)).alias("qty_sq"),
+        F.log(F.col("l_extendedprice")).alias("price_ln"),
+        F.log10("l_extendedprice").alias("price_log10"),
+        F.signum(F.col("l_extendedprice") - 30000.0).alias("price_sign"),
+        F.greatest("l_quantity", F.col("l_discount") * 100.0, F.lit(10.0)).alias("g3"),
+        F.least("l_quantity", F.col("l_discount") * 100.0, F.lit(10.0)).alias("l3"),
+        F.pmod("l_orderkey", F.lit(7)).cast("long").alias("key_pmod"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT
+        doc_id,
+        CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens,
+        list_contains(str_split(text, ' '), 'data') AS has_data,
+        list_sort(list_distinct(str_split(text, ' '))) AS vocab,
+        str_split(text, ' ')[1] AS first_token,
+        list_slice(str_split(text, ' '), 1, 3) AS first_three,
+        list_transform(list_slice(str_split(text, ' '), 1, 3), t -> upper(t))
+            AS first_three_upper,
+        list_filter(str_split(text, ' '), t -> len(t) > 5) AS long_tokens,
+        CAST(list_sum(list_transform(str_split(text, ' '), t -> len(t))) AS BIGINT)
+            AS total_token_chars,
+        len(list_filter(str_split(text, ' '), t -> t = 'model')) > 0 AS has_model
+    FROM documents
+    WHERE doc_id <= 200
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family + higher-order functions (transform/filter/aggregate/
+    exists) over tokenized document text. All JVM-side expressions — the
+    100 TB-safe way to do per-row list work (no Python, no explode+rejoin).
+    """
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.array_sort(F.array_distinct(toks)).alias("vocab"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.slice(toks, 1, 3).alias("first_three"),
+        F.transform(F.slice(toks, 1, 3), lambda t: F.upper(t)).alias("first_three_upper"),
+        F.filter(toks, lambda t: F.length(t) > 5).alias("long_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_token_chars"),
+        F.exists(toks, lambda t: t == "model").alias("has_model"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT
+        c_custkey,
+        ['balance', 'nation', 'segment'] AS meta_keys,
+        [CAST(c_acctbal AS VARCHAR), CAST(c_nationkey AS VARCHAR), c_mktsegment]
+            AS meta_values,
+        c_mktsegment AS seg_from_map,
+        CAST(3 AS INTEGER) AS map_size
+    FROM customer
+    WHERE c_custkey <= 300
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: build a map from columns, then project keys/values back
+    to sorted arrays + scalars for hash stability (SURVEY §2.8: map output
+    itself is not directly hash-comparable across engines).
+
+    Note: map insertion order is preserved by both map_keys and map_values
+    in Spark, so key/value arrays line up positionally."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    meta = F.create_map(
+        F.lit("balance"), F.col("c_acctbal").cast("string"),
+        F.lit("nation"), F.col("c_nationkey").cast("string"),
+        F.lit("segment"), F.col("c_mktsegment"),
+    )
+    return c.select(
+        "c_custkey",
+        F.map_keys(meta).alias("meta_keys"),
+        F.map_values(meta).alias("meta_values"),
+        F.element_at(meta, F.lit("segment")).alias("seg_from_map"),
+        F.size(meta).alias("map_size"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT
+        event_type,
+        count(*) AS n_events,
+        avg(CAST(props ->> 'k' AS INTEGER)) AS avg_k,
+        max(CAST(props ->> 'k' AS INTEGER)) AS max_k,
+        CAST(sum(CASE WHEN CAST(props ->> 'k' AS INTEGER) > 50 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_high_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: from_json with an explicit schema (the scale path —
+    parse once, then treat as a struct column), aggregated per event type.
+    get_json_object/json_tuple forms are exercised in tests."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("k").alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high_k"),
+        )
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT
+        o_orderkey,
+        coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_defaulted,
+        nullif(o_orderstatus, 'O') AS status_or_null,
+        coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'unknown') AS priority_clean,
+        isnan(CAST('NaN' AS DOUBLE)) AS nan_detected,
+        CASE WHEN isnan(CAST('NaN' AS DOUBLE)) THEN o_totalprice
+             ELSE CAST('NaN' AS DOUBLE) END AS nanvl_price,
+        greatest(o_totalprice, 100000.0) AS price_floor_100k,
+        least(o_totalprice, 400000.0) AS price_cap_400k
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/conditional family: coalesce, nullif, nvl (≡coalesce), nanvl,
+    isnan, greatest/least."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    nan = F.lit(float("nan"))
+    return o.select(
+        "o_orderkey",
+        F.nvl(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_defaulted"
+        ),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")), F.lit("unknown")
+        ).alias("priority_clean"),
+        F.isnan(nan).alias("nan_detected"),
+        F.nanvl(nan, F.col("o_totalprice")).alias("nanvl_price"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("price_floor_100k"),
+        F.least("o_totalprice", F.lit(400000.0)).alias("price_cap_400k"),
+    )

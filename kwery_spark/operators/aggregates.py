@@ -1,0 +1,387 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Scale notes: every groupBy here compiles to partial (map-side) HashAggregate
+→ exchange on the group key → final HashAggregate, so the shuffle carries
+pre-aggregated rows only. countDistinct expands to a two-phase distinct
+aggregate; approx_count_distinct (HyperLogLog++) is the constant-memory
+100 TB form. Collect-style aggregates are sorted in-query for determinism.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import register
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT
+        count(*) AS n_rows,
+        sum(l_quantity) AS total_qty,
+        avg(l_extendedprice) AS avg_price,
+        min(l_extendedprice) AS min_price,
+        max(l_extendedprice) AS max_price,
+        CAST(min(l_shipdate) AS TIMESTAMP) AS first_ship,
+        CAST(max(l_shipdate) AS TIMESTAMP) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped (global) aggregate — single-row result."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.avg("l_extendedprice").alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "agg_groupby",
+    oracle="""
+    SELECT
+        event_type,
+        count(*) AS n_events,
+        sum(value) AS total_value,
+        avg(value) AS avg_value,
+        CAST(min(ts) AS TIMESTAMP) AS first_ts,
+        CAST(max(ts) AS TIMESTAMP) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate by key (partial + final)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.avg("value").alias("avg_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING sum(o_totalprice) > 1500000.0
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spent"),
+        )
+        .filter(F.col("total_spent") > 1500000.0)
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        count(*) AS n_orders,
+        count(DISTINCT o_custkey) AS n_customers,
+        count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (Expand + two-phase aggregate in Spark)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++, rsd=1%).
+
+    The oracle can only check the exact count, so the approx estimate is
+    asserted in-query: approx_within_5pct must come out TRUE for every
+    group (at rsd=0.01 the estimate is well inside ±5%).
+
+    Scale: HLL sketches merge associatively — constant memory per group vs
+    the Expand blow-up of exact distinct; this is the 100 TB form."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        o_orderpriority,
+        CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+        count(*) AS n_orders,
+        sum(o_totalprice) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: per-status subtotals, per-priority subtotals, and the
+    grand total in one pass (Spark Expand node — one scan, not three)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+            "n_orders", "total",
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT
+        r.r_name,
+        n.n_name,
+        CAST(grouping(r.r_name) AS INTEGER) AS g_region,
+        CAST(grouping(n.n_name) AS INTEGER) AS g_nation,
+        count(*) AS n_customers,
+        sum(c.c_acctbal) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: region → nation → grand total."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("total_balance"),
+        )
+        .select("r_name", "n_name", "g_region", "g_nation", "n_customers", "total_balance")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        o_orderpriority,
+        CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+        count(*) AS n_orders,
+        avg(o_totalprice) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping combinations of status × priority."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.avg("o_totalprice").alias("avg_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+            "n_orders", "avg_price",
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT
+        l_returnflag,
+        stddev_samp(l_quantity) AS qty_stddev,
+        var_samp(l_quantity) AS qty_var,
+        corr(l_quantity, l_extendedprice) AS qty_price_corr,
+        covar_samp(l_quantity, l_extendedprice) AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev / variance / correlation / covariance."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_quantity").alias("qty_stddev"),
+            F.var_samp("l_quantity").alias("qty_var"),
+            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+        )
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.9) AS p90,
+        quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``). At 100 TB swap for approx_percentile (t-digest
+    sketch) — demonstrated by ``agg_approx_percentile`` (rows-only)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.9).alias("p90"),
+            F.percentile("o_totalprice", 0.99).alias("p99"),
+        )
+    )
+
+
+@register("agg_approx_percentile", oracle=None)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (no exact oracle — rows-only check; the
+    exact twin above carries the value gate). Constant memory per group."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000).alias(
+                "approx_quantiles"
+            )
+        )
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT
+        c_custkey,
+        list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+        list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey <= 200
+    GROUP BY c_custkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/set aggregation — results array_sort'ed for determinism
+    (collect_list order is partition-dependent otherwise)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        )
+    )
+
+
+@register(
+    "agg_first_last",
+    oracle="""
+    SELECT
+        o_custkey,
+        CAST(arg_min(o_orderdate, o_orderkey) AS TIMESTAMP) AS first_key_date,
+        CAST(arg_max(o_orderdate, o_orderkey) AS TIMESTAMP) AS last_key_date,
+        arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+        arg_max(o_orderkey, o_totalprice) AS priciest_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic first/last per group via min_by/max_by (argmin/argmax)
+    — never bare first(): its result is partition-order-dependent.
+    Ordering keys chosen unique (o_orderkey; o_totalprice measured unique
+    per customer) so argmin ties cannot bite."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min_by("o_orderdate", "o_orderkey").alias("first_key_date"),
+            F.max_by("o_orderdate", "o_orderkey").alias("last_key_date"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        )
+    )

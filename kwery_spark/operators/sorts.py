@@ -105,7 +105,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )

@@ -1,0 +1,236 @@
+"""Window functions (SURVEY.md §2.5).
+
+Scale notes: every window here partitions by a real key (custkey/segment),
+so the physical plan is one shuffle on the partition key + per-partition
+sort — no global sort, no driver involvement. Order keys always include a
+unique tiebreaker (orderkey/custkey) so ranks, offsets, and ntile are
+deterministic under ties.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import register
+
+
+@register(
+    "win_row_number",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number ranking: top-3 orders by price per customer."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+    SELECT
+        c_mktsegment,
+        c_custkey,
+        CAST(rank()       OVER w AS BIGINT) AS bal_rank,
+        CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+        percent_rank() OVER w AS bal_pct_rank,
+        cume_dist()    OVER w AS bal_cume_dist,
+        CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS bal_quartile
+    FROM customer
+    WHERE c_custkey <= 1000
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist / ntile in one window
+    (unique c_custkey tiebreak makes ntile deterministic)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 1000)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.rank().over(w).cast("long").alias("bal_rank"),
+            F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+            F.percent_rank().over(w).alias("bal_pct_rank"),
+            F.cume_dist().over(w).alias("bal_cume_dist"),
+            F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        )
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        o_totalprice,
+        lag(o_totalprice)  OVER w AS prev_price,
+        lead(o_totalprice) OVER w AS next_price,
+        o_totalprice - lag(o_totalprice) OVER w AS delta_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic offsets along each customer's order history."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lagp = F.lag("o_totalprice").over(w)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        lagp.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - lagp).alias("delta_prev"),
+    )
+
+
+@register(
+    "win_running",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        sum(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+        count(*) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_orders_so_far
+    FROM orders
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (running) aggregates over each customer's history."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("o_totalprice").over(w).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("n_orders_so_far"),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        avg(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_avg_7
+    FROM orders
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row sliding average along each customer's order history."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.avg("o_totalprice").over(w).alias("moving_avg_7"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        o_orderkey,
+        o_totalprice,
+        count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+            RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS n_in_band
+    FROM orders
+    WHERE o_orderkey <= 3000
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric order key: for each order, how many orders
+    of the same priority fall within $10k below its price. RANGE (unlike
+    ROWS) is tie-safe: peers by value share a frame, so no tiebreak key is
+    needed for determinism. (PySpark's Window.rangeBetween only accepts
+    integer offsets, so the fractional frame is expressed in SQL.)"""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.expr(
+                "count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice "
+                "RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)"
+            ).alias("n_in_band"),
+        )
+    )
+
+
+@register(
+    "win_first_last_value",
+    oracle="""
+    SELECT
+        c_mktsegment,
+        c_custkey,
+        first_value(c_name) OVER w AS poorest_name,
+        last_value(c_name)  OVER w AS richest_name
+    FROM customer
+    WHERE c_custkey <= 500
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full-partition frame (the
+    default frame would make last_value just the current row)."""
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 500)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.first("c_name").over(w).alias("poorest_name"),
+            F.last("c_name").over(w).alias("richest_name"),
+        )
+    )

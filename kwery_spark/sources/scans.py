@@ -86,7 +86,7 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_values",
     oracle="""
-    SELECT * FROM (VALUES
+    SELECT id, name, CAST(score AS DOUBLE) AS score FROM (VALUES
         (1, 'alpha', 10.5),
         (2, 'beta', 20.25),
         (3, 'gamma', NULL)

@@ -1,0 +1,79 @@
+"""Plan-shape tests: lock in the Catalyst behaviors the engine relies on
+(SURVEY.md §4). A change that silently turns a broadcast join into a
+shuffle join, or drops parquet filter pushdown, fails here."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+from kwery_spark.catalog import table
+from kwery_spark.plans import inspect
+
+
+def _q(name):
+    return entrymod.queries()[name]
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = _q("filter_compare")(spark, sf_dir)
+    assert inspect.has_pushed_filters(df), inspect.formatted_plan(df)
+
+
+def test_column_pruning_reaches_reader(spark, sf_dir):
+    df = _q("scan_projected")(spark, sf_dir)
+    cols = inspect.read_schema_columns(df)
+    assert set(cols) == {"o_orderkey", "o_totalprice", "o_orderstatus"}, cols
+
+
+def test_q1_prunes_unused_columns(spark, sf_dir):
+    df = _q("q1_pricing_summary")(spark, sf_dir)
+    cols = inspect.read_schema_columns(df)
+    # 11-column table, 7 needed
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    df = _q("join_broadcast")(spark, sf_dir)
+    assert inspect.has_broadcast_join(df), inspect.formatted_plan(df)
+
+
+def test_topk_fuses_to_take_ordered(spark, sf_dir):
+    df = _q("topk")(spark, sf_dir)
+    assert inspect.has_take_ordered(df), inspect.formatted_plan(df)
+
+
+def test_q1_is_wholestage_codegen(spark, sf_dir):
+    df = _q("q1_pricing_summary")(spark, sf_dir)
+    assert inspect.has_wholestage_codegen(df)
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    # scan → partial agg → ONE exchange → final agg (+ sort exchange is
+    # fused into TakeOrdered-like sort; allow <=2)
+    df = _q("q1_pricing_summary")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 2, inspect.formatted_plan(df)
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    # the union+window as-of formulation should shuffle once (on user_id),
+    # not per-side
+    df = _q("join_asof")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 1, inspect.formatted_plan(df)
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    df = _q("join_range")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "NestedLoop" not in plan, plan
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_theta_join_broadcasts_small_side(spark, sf_dir):
+    df = _q("join_theta")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan

@@ -40,6 +40,39 @@ def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return conn
 
 
+_DUCK_TYPES = {
+    "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "BIGINT": "i64",
+    "HUGEINT": "i128", "UTINYINT": "u8", "USMALLINT": "u16", "UINTEGER": "u32",
+    "UBIGINT": "u64", "FLOAT": "f32", "DOUBLE": "f64", "VARCHAR": "str",
+    "BOOLEAN": "bool", "DATE": "date", "TIMESTAMP": "ts",
+    "TIMESTAMP_NS": "ts!ns", "TIMESTAMP_MS": "ts!ms", "TIMESTAMP WITH TIME ZONE": "ts",
+    "NUMBER": "f64",
+}
+
+_SPARK_TYPES = {
+    "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
+    "float": "f32", "double": "f64", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+}
+
+
+def _norm_duck_type(t: str) -> str:
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return "dec"
+    if t.endswith("[]") or t.startswith("LIST") or t.startswith("ARRAY"):
+        return "arr"
+    return _DUCK_TYPES.get(t, t.lower())
+
+
+def _norm_spark_type(t: str) -> str:
+    if t.startswith("decimal"):
+        return "dec"
+    if t.startswith("array"):
+        return "arr"
+    return _SPARK_TYPES.get(t, t)
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -72,15 +105,25 @@ def check_key(spark, conn, key, qfn, oracle, sf_dir) -> tuple[bool, str]:
     if oracle is None:
         return True, f"rows-only: {len(spark_rows)} rows in {t_spark:.2f}s"
     t0 = time.perf_counter()
-    res = conn.execute(oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    rel = conn.sql(oracle)
+    duck_cols = list(rel.columns)
+    duck_types = {c: _norm_duck_type(str(t)) for c, t in zip(rel.columns, rel.types)}
+    duck_rows = rel.fetchall()
     t_duck = time.perf_counter() - t0
+    spark_types = {c: _norm_spark_type(t) for c, t in df.dtypes}
     problems = []
     if len(spark_rows) != len(duck_rows):
         problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
     if sorted(spark_cols) != sorted(duck_cols):
         problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    else:
+        type_diff = {
+            c: (spark_types[c], duck_types[c])
+            for c in spark_cols
+            if spark_types[c] != duck_types[c]
+        }
+        if type_diff:
+            problems.append(f"types differ {type_diff}")
     if not problems:
         ns, nd = norm_rows(spark_cols, spark_rows), norm_rows(duck_cols, duck_rows)
         if ns != nd:
