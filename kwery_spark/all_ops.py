@@ -7,12 +7,16 @@ operator module means adding one import line here.
 # ruff: noqa: F401
 from kwery_spark.operators import (
     aggregates,
+    dedup,
     joins,
     projection,
     setops,
+    similarity,
     sorts,
+    text,
     tpch,
     windows,
 )
 from kwery_spark.functions import families
 from kwery_spark.sources import scans
+from kwery_spark.streaming import live, windows as stream_windows

@@ -1,0 +1,263 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.10).
+
+Exact, MinHash-LSH, SimHash, and n-gram-Jaccard dedup over ``documents``,
+plus embedding-cosine near-dup over ``embeddings``. Everything except
+SimHash is pure relational/HOF Spark — no Python in the row path.
+
+Scale notes (the whole point of these ops):
+- exact dedup: one shuffle on the content hash.
+- MinHash-LSH: the O(n²) pair space never materializes — candidates come
+  from an equi-join on (band_id, band_hash), and only candidates are
+  verified with exact Jaccard. Parameters (k=128, b=32, r=4) put detection
+  probability at τ=0.9 near 1-4e-15, so verified LSH output ≡ the exact
+  pair set w.h.p. — which is what makes the DuckDB oracle applicable.
+- n-gram Jaccard: blocked by ``lang`` to bound the quadratic term.
+- embedding near-dup: blocked by ``label``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import register
+
+@register(
+    "dedup_exact",
+    oracle=r"""
+    SELECT
+        sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+        min(doc_id) AS keeper_doc_id,
+        count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonicalize (lower/trim/squeeze whitespace) → sha256
+    → keep the lowest doc_id per hash. One shuffle on the hash."""
+    docs = table(spark, sf_dir, "documents")
+    canon = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        docs.select(F.sha2(canon, 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, list_distinct(str_split(text, ' ')) AS t
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.t, b.t))
+             / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.t, b.t))
+             / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.9
+"""
+
+
+@register("dedup_minhash", oracle=_JACCARD_ORACLE)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via MinHash + LSH banding, verified with exact
+    Jaccard on candidates only.
+
+    Pipeline (all built-in expressions):
+      token set → 128 seeded xxhash64 min-hashes (HOF, no UDF)
+      → 32 bands × 4 rows, band hash = xxhash64(slice)
+      → candidate pairs from self-equi-join on (band_id, band_hash)
+      → exact token-set Jaccard ≥ 0.9 verification (re-join tokens by key).
+
+    The oracle is the full exact-Jaccard pair set: with these parameters
+    P(miss | j≥0.9) ≤ 32·(1-0.9⁴)³² ≈ 4e-15, so LSH+verify = exact set.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    # 128 min-hashes per doc: min over tokens of xxhash64(seed, token)
+    minhashes = F.transform(
+        F.sequence(F.lit(0), F.lit(127)),
+        lambda i: F.array_min(F.transform(F.col("toks"), lambda t: F.xxhash64(i, t))),
+    )
+    hashed = docs.select("doc_id", "toks", minhashes.alias("mh"))
+    # band j = rows [4j+1 .. 4j+4]; one row per (doc, band)
+    bands = hashed.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda j: F.xxhash64(F.slice("mh", j * 4 + 1, 4)),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (token arrays re-joined by key —
+    # at scale this keeps the band shuffle narrow)
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature = sign of per-bit sums of token
+    hashes; near-dups = pairs with small Hamming distance.
+
+    Pure expression pipeline (no UDF); rows-only driver check because
+    DuckDB's hash() is a different 64-bit function than Spark's xxhash64,
+    so signatures can't be replicated there. tests/test_llm_ops.py asserts
+    high-Jaccard pairs land at low Hamming distance.
+
+    Scale: signature build is embarrassingly parallel; the pair search
+    blocks on the top-16 signature bits (prefix bucketing) so the
+    quadratic term stays per-bucket."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    # Signature fold, bit 63 → 0: each bit is the sign of the ±1 vote sum
+    # over token hashes. Expressed in SQL because the Python shiftright API
+    # only accepts a constant shift, and here the shift is the HOF lambda
+    # variable b.
+    simhash_expr = """
+        aggregate(
+            transform(sequence(63, 0, -1), b ->
+                CASE WHEN aggregate(toks, 0L,
+                        (acc, t) -> acc + IF(((xxhash64(t) >> b) & 1L) = 1L, 1L, -1L)
+                     ) > 0 THEN 1L ELSE 0L END),
+            0L, (acc, x) -> shiftleft(acc, 1) | x)
+    """
+    sig = docs.select("doc_id", F.expr(simhash_expr).alias("simhash"))
+    # prefix-bucketed pair search: same top-16 bits → candidate pair
+    bucketed = sig.withColumn("bucket", F.shiftrightunsigned("simhash", 48))
+    pairs = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+    )
+    return pairs
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                   range(1, len(str_split(text, ' '))),
+                   i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+               )) AS g
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.g, b.g))
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS bigram_jaccard
+    FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.g, b.g))
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.75
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup, blocked by ``lang`` (order-sensitive
+    n-grams catch reorderings that token-set Jaccard misses). The lang
+    block bounds the pair space; at scale the block key would be an LSH
+    bucket instead."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )
+    g = docs.select("doc_id", "lang", grams.alias("g"))
+    inter = F.size(F.array_intersect("a.g", "b.g"))
+    union = F.size("a.g") + F.size("b.g") - inter
+    return (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / union).alias("bigram_jaccard"),
+        )
+        .filter(F.col("bigram_jaccard") >= 0.75)
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (unit vectors ⇒ cosine = dot),
+    blocked by ``label``. Floats are widened to double BEFORE multiply so
+    Spark and the oracle accumulate identically; scores rounded to 6dp."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dot = F.aggregate(
+        F.zip_with("a.v", "b.v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.alias("a")
+        .join(
+            emb.alias("b"),
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )

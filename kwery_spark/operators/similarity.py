@@ -1,0 +1,242 @@
+"""Similarity search over embedding vectors (SURVEY.md §2.10).
+
+Corpus: ``embeddings`` — 64-d unit-normalized float vectors, so cosine
+similarity ≡ dot product. All dot products widen float→double BEFORE
+multiplying and fold left-to-right, matching the oracle's CAST(... AS
+DOUBLE[]) accumulation; scores round to 6dp so last-ulp noise can't flip
+a hash compare.
+
+Scale notes:
+- brute-force k-NN broadcasts the (tiny) query side and fans the scan out
+  over vector partitions; TakeOrderedAndProject keeps top-k per partition.
+- the IVF variant is the 100 TB path: vectors are pre-assigned to coarse
+  cells (nearest of 8 fixed seed vectors); a query probes only nprobe
+  cells — scan cost drops by ~cells/nprobe at a recall cost measured in
+  tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import register
+
+
+def _vecs(spark: SparkSession, sf_dir: str, alias_v: str = "v") -> DataFrame:
+    """Embeddings with the vector widened to double."""
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias(alias_v),
+    )
+
+
+def dot(a, b):
+    """Left-fold double dot product of two array<double> columns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@register(
+    "sim_knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+    FROM embeddings e CROSS JOIN q
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbours of query vector vec_id=0, brute force.
+    Query side broadcast; ORDER BY+LIMIT fuses to per-partition heaps."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        vecs.crossJoin(broadcast(q))
+        .select("vec_id", F.round(dot("v", "qv"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim_knn_grouped",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT label, min(vec_id) AS query_id FROM v GROUP BY label),
+    scored AS (
+        SELECT v.label, q.query_id, v.vec_id AS neighbor_id,
+               round(list_dot_product(v.v, qv.v), 6) AS score
+        FROM v
+        JOIN q ON v.label = q.label AND v.vec_id <> q.query_id
+        JOIN v qv ON qv.vec_id = q.query_id
+    )
+    SELECT label, query_id, neighbor_id, score, rnk
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY label
+                    ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def sim_knn_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped k-NN: within each label, the 3 nearest neighbours of that
+    label's lowest-id vector. Join pruned by the label block + window
+    rank — the cross-join never leaves the block."""
+    vecs = _vecs(spark, sf_dir)
+    q = (
+        vecs.groupBy("label")
+        .agg(F.min("vec_id").alias("query_id"))
+        .join(
+            vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")),
+            "query_id",
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        vecs.join(broadcast(q), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "label",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot("v", "qv"), 6).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "sim_threshold_pairs",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    """,
+)
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-threshold similarity self-join (cos ≥ 0.3) blocked by label —
+    the blocked join is what keeps this off a full cross product at scale
+    (swap label for an LSH bucket when no natural block exists)."""
+    vecs = _vecs(spark, sf_dir)
+    return (
+        vecs.alias("a")
+        .join(
+            vecs.alias("b"),
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot("a.v", "b.v"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+@register(
+    "sim_centroid",
+    oracle="""
+    WITH pos AS (
+        SELECT label, generate_subscripts(embedding, 1) AS idx,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    cent AS (SELECT label, idx, avg(val) AS c FROM pos GROUP BY label, idx),
+    vecpos AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS idx,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
+    SELECT v.vec_id, v.label,
+           round(sqrt(sum((v.val - c.c) * (v.val - c.c))), 6) AS dist_to_centroid
+    FROM vecpos v JOIN cent c ON v.label = c.label AND v.idx = c.idx
+    GROUP BY v.vec_id, v.label
+    """,
+)
+def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + each vector's L2 distance to its centroid.
+    Centroid via posexplode → (label, pos) mean → re-assembled array;
+    one shuffle keyed (label, pos), one broadcast join back."""
+    vecs = _vecs(spark, sf_dir)
+    cent = (
+        vecs.select("label", F.posexplode("v").alias("idx", "val"))
+        .groupBy("label", "idx")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "c"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p.getField("c")).alias("centroid"))
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "centroid", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        vecs.join(broadcast(cent), "label")
+        .select("vec_id", "label", F.round(dist, 6).alias("dist_to_centroid"))
+    )
+
+
+@register("ann_ivf", oracle=None)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbour: coarse-quantize every
+    vector to the nearest of 8 fixed seed vectors (vec_id 0..7), then for
+    each query (vec_id 0..4) probe only the nprobe=4 nearest cells.
+
+    Rows-only driver check (approximation has no SQL-exact oracle);
+    tests/test_llm_ops.py measures recall vs sim_knn_bruteforce.
+
+    Scale: the cell assignment is a narrow broadcast pass; each query
+    scans nprobe/num_cells of the corpus instead of all of it. At real
+    scale seeds come from k-means sampling and num_cells ~ √N."""
+    nprobe = 4
+    vecs = _vecs(spark, sf_dir)
+    seeds = (
+        vecs.filter(F.col("vec_id") <= 7)
+        .select(F.col("vec_id").alias("cell_id"), F.col("v").alias("sv"))
+    )
+    # assign: nearest seed per vector (argmax dot)
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cell_id"))
+    assigned = (
+        vecs.crossJoin(broadcast(seeds))
+        .select("vec_id", "label", "v", "cell_id", dot("v", "sv").alias("d"))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell_id")
+    )
+    # queries probe their nprobe nearest cells
+    queries = vecs.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("d").desc(), F.col("cell_id"))
+    probes = (
+        queries.crossJoin(broadcast(seeds))
+        .select("query_id", "qv", "cell_id", dot("qv", "sv").alias("d"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell_id")
+    )
+    # search only the probed cells
+    rank_w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        assigned.join(broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot("v", "qv"), 6).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )

@@ -1,0 +1,342 @@
+"""Text analysis operators over ``documents`` (SURVEY.md §2.10 + the
+training-data-pipeline extensions: language ID, quality scoring, token
+counting, fingerprinting).
+
+All pure built-in expressions (split/explode/HOF/regexp) — the tokenizer
+hot path never leaves the JVM. Every aggregate output is deterministic
+(count-desc + token-asc tiebreaks, sorted arrays).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import register
+
+
+def _tokens(df: DataFrame):
+    return F.split(F.lower(F.col("text")), " ")
+
+
+@register(
+    "text_tokenize",
+    oracle="""
+    SELECT token, count(*) AS freq
+    FROM (SELECT unnest(str_split(lower(text), ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 10
+    """,
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization + top-10 token frequencies.
+    Scale: explode → partial-agg'd count; the shuffle carries one row per
+    (partition, distinct token), not per token occurrence."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tokens(docs)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(10)
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token AS top_term, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, token) AS rn FROM scored)
+    WHERE rn = 1
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-scoring term per document. Pure relational pipeline —
+    term counts ⋈ document frequencies; idf = ln(N/df)."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension (one job; cheap and cacheable)
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(docs)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        tf.join(df, "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+    SELECT bigram, count(*) AS freq
+    FROM (
+        SELECT unnest(list_transform(
+            range(1, len(str_split(lower(text), ' '))),
+            i -> str_split(lower(text), ' ')[i] || ' ' || str_split(lower(text), ' ')[i+1]
+        )) AS bigram
+        FROM documents
+    )
+    GROUP BY bigram
+    ORDER BY freq DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigram extraction + top-20 counts (n-grams built with a
+    sequence/transform HOF — no self-join, no UDF)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT
+        lang,
+        source,
+        count(*) AS n_docs,
+        avg(n_chars) AS avg_chars,
+        avg(len(str_split(text, ' '))) AS avg_tokens,
+        CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column profiling: per (lang, source) doc count, average
+    length in chars and tokens, distinct-text count."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("n_chars").alias("avg_chars"),
+            F.avg(F.size(F.split("text", " ")).cast("double")).alias("avg_tokens"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+        )
+    )
+
+
+@register(
+    "text_search",
+    oracle="""
+    WITH q AS (SELECT ['data', 'model', 'training'] AS terms)
+    SELECT doc_id,
+           CAST(len(list_intersect(list_distinct(str_split(lower(text), ' ')), q.terms))
+                AS INTEGER) AS n_matched
+    FROM documents CROSS JOIN q
+    WHERE len(list_intersect(list_distinct(str_split(lower(text), ' ')), q.terms)) >= 2
+    """,
+)
+def text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search: documents matching ≥2 of the query terms, scored by
+    match count. Filter + array_intersect — fully pushdown-friendly."""
+    docs = table(spark, sf_dir, "documents")
+    terms = F.array(F.lit("data"), F.lit("model"), F.lit("training"))
+    matched = F.size(F.array_intersect(F.array_distinct(_tokens(docs)), terms))
+    return (
+        docs.select("doc_id", matched.alias("n_matched"))
+        .filter(F.col("n_matched") >= 2)
+    )
+
+
+# Per-language marker tokens for the heuristic classifier. Deterministic
+# and SQL-replicable — a stand-in for char-n-gram models whose scoring
+# pipeline (score per language → argmax) has exactly this shape.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "de": ("der", "und", "die"),
+    "zh": ("的", "是", "了"),
+}
+
+
+def _lang_case_sql() -> str:
+    """DuckDB scoring: count marker hits per language, argmax with a fixed
+    tiebreak order (en<fr<es<de<zh by score-then-name)."""
+    scores = ", ".join(
+        f"len(list_intersect(t, {list(m)!r})) AS s_{lang}"
+        for lang, m in _LANG_MARKERS.items()
+    )
+    return scores
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, list_distinct(str_split(lower(text), ' ')) AS t
+        FROM documents
+    ),
+    scored AS (SELECT doc_id, lang, {_lang_case_sql()} FROM toks)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE greatest(s_en, s_fr, s_es, s_de, s_zh)
+                WHEN 0 THEN 'unknown'
+                WHEN s_en THEN 'en'
+                WHEN s_fr THEN 'fr'
+                WHEN s_es THEN 'es'
+                WHEN s_de THEN 'de'
+                ELSE 'zh' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-token hit counts per language →
+    argmax (ties broken by the fixed language order en,fr,es,de,zh;
+    zero hits → 'unknown'). Shape matches an n-gram classifier: N scoring
+    expressions + argmax, all JVM-side."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.array_distinct(_tokens(docs))
+    scores = {
+        lang: F.size(F.array_intersect(t, F.array(*[F.lit(x) for x in markers])))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, "unknown")
+    for lang in _LANG_MARKERS:  # fixed order = deterministic tiebreak
+        pred = pred.when(scores[lang] == best, lang)
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT
+        doc_id,
+        CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens,
+        round(CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+              / len(str_split(text, ' ')), 6) AS ttr,
+        round(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+              / length(text), 6) AS nonalpha_ratio,
+        round(CAST(len(list_intersect(list_distinct(str_split(text, ' ')),
+              ['the', 'and', 'of', 'a', 'to'])) AS DOUBLE) / 5.0, 6) AS stopword_cov,
+        (len(str_split(text, ' ')) BETWEEN 5 AND 1000
+         AND CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+              / len(str_split(text, ' ')) > 0.2) AS passes_quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for pretraining filters: token count, type-token
+    ratio, non-alpha character ratio, stopword coverage, and a composite
+    pass/fail gate — the Gopher/C4-style rule shape, all as expressions."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    uniq = F.array_distinct(toks)
+    ttr = F.size(uniq).cast("double") / F.size(toks)
+    stop = F.array(*[F.lit(x) for x in ("the", "and", "of", "a", "to")])
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(
+            F.length(F.regexp_replace("text", "[a-z ]", "")).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("nonalpha_ratio"),
+        F.round(F.size(F.array_intersect(uniq, stop)).cast("double") / 5.0, 6).alias(
+            "stopword_cov"
+        ),
+        (F.size(toks).between(5, 1000) & (ttr > 0.2)).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT
+        doc_id,
+        CAST(len(str_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER)
+            AS bpe_ish_tokens,
+        CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_len_estimate
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    (letter runs / digit runs / single punctuation), and the chars/4
+    heuristic — the standard budget estimators for LLM data work."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).alias("byte_len_estimate"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, unnest(list_transform(
+                   range(1, len(str_split(text, ' '))),
+                   i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+               )) AS gram
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(gram) AS h FROM grams)
+    SELECT doc_id, list_sort(list_distinct(list(h)))[1:4] AS fingerprint
+    FROM hashed
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (winnowing-lite): hash every word bigram
+    (md5 — identical across engines), keep the 4 lexicographically
+    smallest distinct hashes as the doc's fingerprint. Shared fingerprints
+    ⇒ near-dup candidates; constant output size per doc."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    hashes = F.transform(grams, lambda g: F.md5(g.cast("binary")))
+    return docs.select(
+        "doc_id",
+        F.slice(F.array_sort(F.array_distinct(hashes)), 1, 4).alias("fingerprint"),
+    )

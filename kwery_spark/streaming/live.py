@@ -1,0 +1,152 @@
+"""True Structured Streaming execution (SURVEY.md §2.9, rows-only keys).
+
+These run real ``readStream`` → ``writeStream`` micro-batch queries over
+the events parquet (file source, ``availableNow`` trigger → processes all
+existing files then stops), with checkpoints in the repo-local scratch
+dir. The driver's oracle can't see streaming semantics, so these keys get
+rows-only checks; tests/test_streaming.py asserts equivalence with the
+batch forms and exercises watermark late-data dropping on a crafted
+micro-batch sequence.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kwery_spark.registry import register
+
+SCRATCH = "/root/repo/.scratch/streaming"
+
+# raw schema: ts as int64 nanos (see catalog._events for why)
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with ts normalized to a
+    proper timestamp column (same ns→µs truncation as the batch catalog).
+
+    Spark's file stream source requires a DIRECTORY; the corpus ships a
+    single file, so it is staged (symlinked) into scratch once per SF."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(SCRATCH, "events_src", sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    stream = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(stage)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, output_mode: str = "complete"):
+    """Start the streaming query into a memory sink, process everything
+    (availableNow), await termination; returns (spark_table_df, query)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(SCRATCH, name)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    result = df.sparkSession.table(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result, q
+
+
+@register("stream_watermark", oracle=None)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregate, executed as a REAL streaming query:
+    events >10 min late (vs the max event time seen) are dropped before
+    the windowed state. With a single availableNow batch nothing is late;
+    the late-drop behavior itself is asserted in tests/test_streaming.py
+    with a two-batch file sequence. Rows-only driver check."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    result, _ = _run_to_memory(agg, "complete")
+    return result
+
+
+@register("stream_stateful", oracle=None)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming op: per-user running event counter +
+    total value via applyInPandasWithState (state survives across
+    micro-batches; GroupStateTimeout disabled for the demo). Rows-only."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "value")
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    result, _ = _run_to_memory(counted, "update")
+    # update-mode memory sink may hold one row per state update; keep last
+    return result.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+    )
+
+
+@register("stream_late_metrics", oracle=None)
+def stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability: run a watermarked windowed count in append
+    mode and surface the query's progress metrics (rows/sec, state rows,
+    watermark) as a DataFrame. Rows-only."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    result, q = _run_to_memory(agg, "append")
+    progress = q.lastProgress or {}
+    state = (progress.get("stateOperators") or [{}])[0]
+    rows = [
+        ("batchId", float(progress.get("batchId", -1))),
+        ("numInputRows", float(progress.get("numInputRows", 0))),
+        ("stateRowsTotal", float(state.get("numRowsTotal", 0))),
+        ("stateRowsUpdated", float(state.get("numRowsUpdated", 0))),
+        ("sinkRows", float(result.count())),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")

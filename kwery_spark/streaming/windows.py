@@ -1,0 +1,194 @@
+"""Event-time windowing over the ``events`` stream (SURVEY.md §2.9).
+
+Each operator is registered in its BATCH-semantics form (same
+window()/session_window() expressions Structured Streaming uses — the
+code is literally what you'd put after ``spark.readStream``), which makes
+it oracle-checkable. True streaming execution of the same plans (file
+source, availableNow trigger, watermarks, state store) lives in
+``streaming/live.py`` and is equivalence-tested in tests/test_streaming.py.
+
+Scale notes: windowed aggregation shuffles on (window, key) — at 100 TB
+the tumbling form carries one state row per (window,key); sliding ×
+(length/slide); session windows merge in the state store keyed by user.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import register
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT
+        CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        event_type,
+        count(*) AS n_events,
+        sum(value) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate per event type."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT
+        CAST(time_bucket(INTERVAL 15 MINUTES, ts) - k.k * INTERVAL 15 MINUTES
+             AS TIMESTAMP) AS window_start,
+        count(*) AS n_events,
+        sum(value) AS total_value
+    FROM events
+    CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour length, 15-minute slide — every event lands
+    in exactly 4 windows (oracle replicates via a 4-way offset expansion,
+    which is also precisely what Spark's Expand operator generates)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 30 MINUTES
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTES AS TIMESTAMP) AS session_end,
+           count(*) AS n_events,
+           sum(value) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: per-user sessions closed by a 30-minute gap.
+    session_window end = last event + gap (matched by the oracle's
+    gaps-and-islands formulation)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup by event_id: the input is doubled (union all with
+    itself — simulating at-least-once delivery), then dropDuplicates
+    restores exactly-once counts. Streaming twin:
+    dropDuplicatesWithinWatermark (see streaming/live.py)."""
+    ev = table(spark, sf_dir, "events")
+    redelivered = ev.unionAll(ev)
+    return (
+        redelivered.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
+           sum(e.value) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events joined to the customer dimension.
+    In streaming this is a per-micro-batch broadcast lookup — the static
+    side never holds state."""
+    ev = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    return (
+        ev.join(c, ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id, count(*) AS n_view_purchase_pairs
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: views matched to purchases by the same
+    user within the following hour. In streaming both sides are watermarked
+    and the time-range bound lets Spark expire join state; in batch it is
+    an equi-join on user_id with a range residual (hash-joinable)."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_view_purchase_pairs"))
+    )

@@ -1,0 +1,117 @@
+"""Streaming semantics tests (SURVEY.md §5.5):
+
+1. availableNow streaming result ≡ batch-form result on the same data
+2. watermark actually drops late rows across micro-batches
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entrymod
+from kwery_spark.streaming.live import EVENT_SCHEMA, SCRATCH, _events_stream
+
+NS = 1_000_000_000
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    qs = entrymod.queries()
+    streamed = qs["stream_watermark"](spark, sf_dir)  # streaming tumbling count
+    batch = (
+        qs["stream_tumbling"](spark, sf_dir)
+        .select("window_start", "event_type", "n_events")
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stateful_counts_equal_batch(spark, sf_dir):
+    from kwery_spark.catalog import table
+
+    streamed = entrymod.queries()["stream_stateful"](spark, sf_dir)
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in streamed.collect()}
+    want = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
+    assert got == want
+
+
+def _write_batch(path: str, name: str, rows: list[tuple[int, str]]):
+    """rows: (epoch_seconds, event_type); ts stored as int64 nanos."""
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [s * NS for s, _ in rows],
+            "user_id": [1] * len(rows),
+            "event_type": [t for _, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ['{"k": 1}'] * len(rows),
+        }
+    )
+    df["event_id"] = df["event_id"].astype("int64")
+    df["ts"] = df["ts"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    df.to_parquet(os.path.join(path, name), index=False)
+
+
+def test_watermark_drops_late_rows(spark):
+    """Micro-batches via maxFilesPerTrigger=1: batch 0 advances event time
+    2h past the hour-0 window; batch 1 lets the watermark take effect and
+    finalize (emit+evict) hour-0; the very late event in batch 2 must then
+    be DROPPED. (Measured Spark semantics: late rows are discarded from
+    the first batch after the window's state was finalized at a batch
+    boundary — one batch later than the naive reading of the docs.)"""
+    import time
+
+    base = os.path.join(SCRATCH, f"late_{uuid.uuid4().hex[:8]}")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    os.makedirs(src)
+    h = 3600
+    t0 = 1_700_000_000 - (1_700_000_000 % h)  # aligned hour
+    _write_batch(src, "a_batch1.parquet", [(t0, "click"), (t0 + 60, "click"), (t0 + 2 * h, "click")])
+    time.sleep(1.1)  # distinct mtimes → deterministic file->batch order
+    _write_batch(src, "b_batch2.parquet", [(t0 + 2 * h + 60, "click")])
+    time.sleep(1.1)
+    _write_batch(src, "c_batch3.parquet", [(t0 + 120, "click")])
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    counted = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("wstart"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    # hour-0 was emitted with 2 events — the late 3rd was dropped
+    assert [(r["wstart"], r["n"]) for r in rows if r["wstart"] == t0] == [(t0, 2)], rows
+    assert dropped == 1, (dropped, rows)
