@@ -9,12 +9,14 @@ from kwery_spark.operators import (
     aggregates,
     dedup,
     joins,
+    multimodal,
     projection,
     setops,
     similarity,
     sorts,
     text,
     tpch,
+    udfs,
     windows,
 )
 from kwery_spark.functions import families
