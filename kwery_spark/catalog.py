@@ -31,13 +31,25 @@ TABLES = (
 ALWAYS_SMALL = frozenset({"region", "nation"})
 
 
+# Scan-plan cache: file listing + parquet footer/schema read cost
+# ~100 ms of driver time per spark.read.parquet call; a multiway join
+# rebuilds six of them per query. DataFrames are immutable logical plans,
+# so reusing one per (session, dir, table) is safe and stands in for a
+# real engine's catalog metadata cache. Keyed by id(spark) so a fresh
+# session (new JVM) never sees another session's plans.
+_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _events(spark, path)
-    return spark.read.parquet(path)
+    key = (id(spark), sf_dir, name)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = _events(spark, path) if name == "events" else spark.read.parquet(path)
+        _SCAN_CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, path: str) -> DataFrame:

@@ -32,6 +32,17 @@ def builder(app_name: str = "kwery-spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", _LOCAL_SHUFFLE_PARTITIONS)
+        # Split the single-file-per-table corpus into multi-task scans so
+        # all cores participate (files here are 10 MB-ish; the 128 MB
+        # default makes every scan one task). At cluster scale the default
+        # is right — this knob only re-sizes tasks, never changes plans.
+        .config("spark.sql.files.maxPartitionBytes", "2097152")
+        # Keep planner-time broadcasts for true dims only: the pruned-size
+        # estimate of a 600k-row fact table can slip under the 10 MB
+        # default and get broadcast wrong-way (observed on q5's lineitem).
+        # Dims we *know* are small carry explicit broadcast() hints, and
+        # AQE still upgrades any join whose runtime size allows it.
+        .config("spark.sql.autoBroadcastJoinThreshold", "1048576")
         # Arrow for any toPandas()/collect of results and for pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Dims (region/nation/customer at small SF) should broadcast; the

@@ -1,0 +1,52 @@
+"""Config experiment harness: run a subset of headline keys under conf
+overrides given as KEY=VALUE args, fresh JVM per invocation.
+
+Usage: python tools/bench_conf.py spark.sql.files.maxPartitionBytes=2097152 ...
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from kwery_spark.session import builder
+
+KEYS = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "win_row_number",
+    "text_tokenize",
+]
+
+
+def main() -> None:
+    b = builder("bench-conf")
+    for arg in sys.argv[1:]:
+        k, v = arg.split("=", 1)
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import kwery_spark.all_ops  # noqa: F401
+    from kwery_spark.registry import QUERIES
+
+    sf_dir = "/root/testdata/sf0.1"
+    out = {}
+    for key in KEYS:
+        times = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            QUERIES[key](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                times.append(dt)
+        out[key] = round(min(times), 3)
+    out["TOTAL"] = round(sum(out.values()), 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
