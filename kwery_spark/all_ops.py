@@ -10,6 +10,7 @@ from kwery_spark.operators import (
     dedup,
     joins,
     multimodal,
+    pipeline,
     projection,
     setops,
     similarity,

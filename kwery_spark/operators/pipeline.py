@@ -1,0 +1,174 @@
+"""Training-data curation composites — the end-to-end shapes an LLM data
+pipeline runs at 100 TB, built entirely from the operators in this package
+(quality gates, dedup, token accounting, deterministic sampling, sequence
+packing). Each is one declarative plan: Catalyst fuses the stages, and
+every shuffle is keyed on a bounded-cardinality column (lang / hash).
+
+Determinism discipline: sampling and packing decisions derive from md5 of
+key strings (identical in Spark and DuckDB) — never from rand() — so runs
+are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import register
+
+# Email-ish, phone-ish, and long-digit-run patterns; the corpus is synthetic
+# so hits are sparse — the op's contract is the redaction transform itself.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_LONGNUM = r"\b[0-9]{6,}\b"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=rf"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_LONGNUM}', '<NUM>', 'g') AS clean_text,
+           CAST(length(text)
+                - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER)
+               AS n_digits
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: redact email-shaped strings and long digit runs,
+    count digit characters as a risk signal. Pure regexp_replace — stays in
+    whole-stage codegen, embarrassingly parallel."""
+    docs = table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_LONGNUM, "<NUM>"
+    )
+    n_digits = F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    return docs.select(
+        "doc_id", clean.alias("clean_text"), n_digits.cast("int").alias("n_digits")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT lang, count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+    GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% sample (md5(doc_id) first byte < 0x40), profiled
+    per language stratum. Hash-based sampling is reproducible across
+    engines and re-runs — the property rand()-sampling can't give a
+    100 TB pipeline — and the predicate evaluates scan-side, so the
+    shuffle only carries survivors."""
+    docs = table(spark, sf_dir, "documents")
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "40"
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM toks
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum_tokens - 1) // 4096 AS BIGINT) AS batch_id
+    FROM packed
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: within each language, docs
+    (in stable doc_id order) are packed greedily into ~4096-token batches
+    via a running token sum — the window-function form of the classic
+    packing loop, so it distributes instead of iterating on a driver.
+    Partition key = lang; at scale you'd sub-shard the stratum key."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor((F.col("cum_tokens") - 1) / 4096).alias("batch_id"),
+        )
+    )
+
+
+@register(
+    "pipeline_curate",
+    oracle=r"""
+    WITH canon AS (
+        SELECT doc_id, lang,
+               lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS ctext,
+               len(str_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                 / len(str_split(text, ' ')) AS ttr
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM canon WHERE n_tokens BETWEEN 5 AND 1000 AND ttr > 0.2
+    ),
+    deduped AS (
+        SELECT *, row_number() OVER (PARTITION BY md5(ctext) ORDER BY doc_id)
+                      AS copy_rank
+        FROM quality
+    )
+    SELECT lang,
+           count(*) AS docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+           round(avg(ttr), 6) AS avg_ttr
+    FROM deduped
+    WHERE copy_rank = 1
+    GROUP BY lang
+    """,
+)
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality gate (token count + type-token ratio)
+    → exact-dedup keeper (min doc_id per canonical-text md5) → per-lang
+    corpus accounting. One declarative plan: the gate pushes to the scan,
+    dedup is one hash shuffle, accounting is a partial agg — the composed
+    pipeline inherits every operator's scale story."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    canon = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    w = Window.partitionBy("chash").orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.md5(canon).alias("chash"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            ttr.alias("ttr"),
+        )
+        .filter(F.col("n_tokens").between(5, 1000) & (F.col("ttr") > 0.2))
+        .withColumn("copy_rank", F.row_number().over(w))
+        .filter(F.col("copy_rank") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+        )
+    )
