@@ -59,7 +59,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # The aggregate is <= |returnflag| x |linestatus| rows at ANY scale
+        # factor, so sort it in one task via a narrow coalesce instead of a
+        # range-partitioning exchange (saves a whole stage + sampling pass).
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -153,5 +157,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .orderBy(F.col("revenue").desc())
+        # <= 25 nations at any SF: single-task sort, no range exchange.
+        .coalesce(1)
+        .sortWithinPartitions(F.col("revenue").desc())
     )
