@@ -148,3 +148,59 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
         )
     )
+
+
+@register(
+    "sink_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_items,
+           sum(l.l_quantity) AS sum_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed managed tables + co-located join.
+
+    orders and lineitem are written bucketed AND sorted by their join key
+    into the same bucket count; the subsequent join then reads bucket i
+    against bucket i directly — no Exchange, no Sort, on either side
+    (asserted in tests/test_plans.py). This is THE layout strategy for a
+    100 TB fact-to-fact join that recurs across a workload: pay the
+    shuffle once at write time, never again at read time.
+    """
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    (
+        table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("path", _scratch("bucketed", "orders"))
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .format("parquet")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .option("path", _scratch("bucketed", "lineitem"))
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .format("parquet")
+        .saveAsTable("bkt_lineitem")
+    )
+    # hint("merge") pins the sort-merge strategy so the bucketed layout is
+    # exercised at every SF (at toy scale the planner would rather
+    # broadcast the pruned orders side; at 100 TB SMJ wins on its own) —
+    # with both sides bucketed+sorted it runs with zero Exchange/Sort.
+    o = spark.table("bkt_orders").hint("merge")
+    li = spark.table("bkt_lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )

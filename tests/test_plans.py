@@ -77,3 +77,12 @@ def test_theta_join_broadcasts_small_side(spark, sf_dir):
     df = _q("join_theta")(spark, sf_dir)
     plan = inspect.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_bucketed_join_has_no_shuffle_before_agg(spark, sf_dir):
+    # both sides bucketed+sorted by the join key with equal bucket counts:
+    # the join itself must need no Exchange; the only shuffle allowed in
+    # the whole plan is the post-aggregation one.
+    df = _q("sink_bucketed")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 1, inspect.formatted_plan(df)
+    assert "SortMergeJoin" in inspect.formatted_plan(df)
