@@ -389,3 +389,67 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o1.o_custkey").alias("custkey"))
         .agg(F.count(F.lit(1)).alias("n_pairs_30d"))
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS skew_key,
+               value
+        FROM events
+    ),
+    dim AS (
+        SELECT DISTINCT user_id AS skew_key,
+               CASE WHEN user_id % 5 = 0 THEN 'gold' ELSE 'std' END AS tier
+        FROM events
+        UNION
+        SELECT 0, 'gold'
+    )
+    SELECT d.tier, count(*) AS n_events, round(sum(f.value), 2) AS total_value
+    FROM fact f JOIN dim d ON f.skew_key = d.skew_key
+    GROUP BY d.tier
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under heavy key skew.
+
+    A third of the fact rows are collapsed onto key 0 (synthesized skew —
+    the corpus itself is uniform), which would make one shuffle partition
+    ~500x its siblings. The salting pattern: fact rows get
+    salt = pmod(xxhash64(event_id), 8); the dim side is replicated once
+    per salt value; the join key becomes (skew_key, salt), spreading the
+    hot key over 8 partitions. The oracle is the UNSALTED join — results
+    are salting-invariant by construction, which is exactly the property
+    that makes the rewrite safe at 100 TB. (Spark's AQE skew handling
+    covers sort-merge cases automatically; explicit salting is the tool
+    when AQE can't see the skew, e.g. pre-aggregation grouping.)
+    """
+    n_salts = 8
+    ev = table(spark, sf_dir, "events")
+    fact = ev.select(
+        F.when(F.col("user_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key"),
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).alias("salt"),
+    )
+    tier = F.when(F.col("skew_key") % 5 == 0, F.lit("gold")).otherwise(F.lit("std"))
+    dim = (
+        ev.select(F.col("user_id").alias("skew_key"))
+        .distinct()
+        .unionByName(ev.sparkSession.range(1).select(F.lit(0).cast("long").alias("skew_key")))
+        .distinct()
+        .select("skew_key", tier.alias("tier"))
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)]))
+    )
+    return (
+        fact.join(dim_salted, ["skew_key", "salt"])
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
