@@ -12,6 +12,7 @@ from kwery_spark.operators import (
     multimodal,
     pipeline,
     projection,
+    reshape,
     setops,
     similarity,
     sorts,
