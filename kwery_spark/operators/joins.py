@@ -313,6 +313,64 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """General as-of LEFT join: every left row, annotated with
+    ``right_cols`` from the latest right row (per ``by`` group) whose
+    ``right_on`` is <= the left row's ``left_on``; nulls when no such row.
+
+    Spark has no native ASOF JOIN; this is the union+window formulation:
+    tag both sides, union, and take ``last(<right struct>, ignorenulls)``
+    over a per-group event-time window. One shuffle on the group key, no
+    join at all — at 100 TB this beats a per-key sort-merge against full
+    history because carried state is a single running struct. Ties
+    (right_on == left_on) sort the right side first so they are visible,
+    matching ASOF's <= semantics. Right rows whose (by, right_on) pair is
+    duplicated are tie-broken arbitrarily — same as native ASOF engines.
+
+    ``right_cols`` names must not collide with left's columns; the output
+    schema is left's columns followed by ``right_cols``.
+    """
+    ldtypes = dict(left.dtypes)
+    non_by = [c for c in left.columns if c not in by]
+    rstruct = F.struct(*right_cols)
+    rtype = right.select(rstruct.alias("__rv")).schema["__rv"].dataType
+    l_tagged = left.select(
+        *by,
+        *non_by,
+        F.col(left_on).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rtype).alias("__rv"),
+    )
+    r_tagged = right.select(
+        *by,
+        *[F.lit(None).cast(ldtypes[c]).alias(c) for c in non_by],
+        F.col(right_on).alias("__t"),
+        F.lit(0).alias("__side"),
+        rstruct.alias("__rv"),
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__last", F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select(
+            *left.columns,
+            *[F.col("__last").getField(c).alias(c) for c in right_cols],
+        )
+    )
+
+
 @register(
     "join_asof",
     oracle="""
@@ -326,35 +384,23 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the latest view of the same user
-    at-or-before its timestamp.
-
-    Spark has no native ASOF JOIN; this is the union+window formulation:
-    tag both sides, union, then ``last(view_ts, ignorenulls)`` over a
-    per-user event-time window gives every purchase row the most recent
-    view timestamp. One shuffle on user_id, no join at all — at 100 TB this
-    beats a per-key sort-merge because state is a single running value.
-    Ties (view.ts == purchase.ts) sort views first so they are visible,
-    matching ASOF's <= semantics.
-    """
+    at-or-before its timestamp. Built on the reusable ``asof_join``
+    (union + window, single shuffle); property-tested against DuckDB's
+    native ASOF JOIN in tests/test_property.py."""
     ev = table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(1).alias("is_p"), F.lit(None).cast("timestamp").alias("view_ts")
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
     )
     views = ev.filter(F.col("event_type") == "view").select(
-        "event_id", "user_id", "ts", F.lit(0).alias("is_p"), F.col("ts").alias("view_ts")
+        "user_id", "ts", F.col("ts").alias("last_view_ts")
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("is_p").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    unioned = purchases.unionByName(views)
-    return (
-        unioned.withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
-        .filter(F.col("is_p") == 1)
-        .select(
-            "event_id", "user_id", F.col("ts").alias("purchase_ts"), "last_view_ts"
-        )
+    return asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_on="purchase_ts",
+        right_on="ts",
+        right_cols=["last_view_ts"],
     )
 
 

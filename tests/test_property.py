@@ -79,3 +79,47 @@ def test_algebraic_core_matches_duckdb(spark, duck, t1, t2):
         rel = duck.sql(sql)
         drows = rel.fetchall()
         assert norm_rows(sdf.columns, srows) == norm_rows(list(rel.columns), drows), sql
+
+
+ASOF_LEFT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=10
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(-5, 5)),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda r: (r[0], r[1]),  # unique (key, time): ASOF ties are
+    # engine-arbitrary, so the generator excludes them
+)
+
+
+@given(lrows=ASOF_LEFT, rrows=ASOF_RIGHT)
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_duckdb_native(spark, duck, lrows, rrows):
+    """The union+window asof_join must agree with DuckDB's native ASOF
+    LEFT JOIN on arbitrary key/time data, including no-match rows,
+    equal-time matches (<=), and duplicate left rows."""
+    from kwery_spark.operators.joins import asof_join
+
+    pl = pd.DataFrame(lrows, columns=["k", "t"]).astype("int64")
+    pl["lid"] = range(len(pl))
+    pr = pd.DataFrame(rrows, columns=["k", "rt", "v"]).astype("int64")
+    sl = spark.createDataFrame(pl, "k long, t long, lid long")
+    sr = spark.createDataFrame(pr, "k long, rt long, v long")
+    got = asof_join(
+        sl, sr, by=["k"], left_on="t", right_on="rt", right_cols=["rt", "v"]
+    )
+    duck.register("al", pl)
+    duck.register("ar", pr)
+    rel = duck.sql(
+        """SELECT al.k AS k, al.t AS t, al.lid AS lid, ar.rt AS rt, ar.v AS v
+           FROM al ASOF LEFT JOIN ar ON al.k = ar.k AND ar.rt <= al.t"""
+    )
+    assert norm_rows(got.columns, [tuple(r) for r in got.collect()]) == norm_rows(
+        list(rel.columns), rel.fetchall()
+    )
