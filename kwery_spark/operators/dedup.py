@@ -261,3 +261,77 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.35)
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+    """
+    + _JACCARD_ORACLE
+    + """
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach AS (
+        SELECT node, node AS root FROM nodes
+        UNION
+        SELECT e.dst AS node, r.root
+        FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(root) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: connected components over the
+    verified near-dup pair graph (Jaccard >= 0.9), labeling every doc
+    with the minimum doc_id reachable from it — the canonical keeper.
+
+    Iterative min-label propagation, run to FIXPOINT (not a fixed
+    iteration count, so arbitrarily long dup chains still converge to the
+    exact components the recursive-CTE oracle computes). Each round is
+    one join + one aggregate, all executor-side; the only driver values
+    are the per-round change counters. localCheckpoint truncates the
+    iterative lineage — on a cluster this is checkpoint() to durable
+    storage. Convergence is O(diameter) rounds; near-dup clusters are
+    near-cliques, so 2-3 rounds in practice.
+    """
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(50):  # hard bound; fixpoint reached in O(diameter)
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("component").alias("ncomp"))
+        )
+        updated = (
+            labels.join(neigh, labels.node == neigh.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("ncomp"), F.col("component")) < F.col("component"))
+                .cast("long")
+                .alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = updated.select("node", "component")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")

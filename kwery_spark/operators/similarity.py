@@ -240,3 +240,66 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(rank_w).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register("ml_kmeans", oracle=None)
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over the embedding vectors (k=8, fixed seeds =
+    vec_id 0..7, fixed 5 iterations — fully deterministic modulo floating
+    ulp): assignment by cosine (unit data vectors, centroids re-normalized
+    each update, so dot = cosine and the objective is monotone).
+    Iterative algorithm → rows-only driver check; tests/test_llm_ops.py
+    asserts cluster quality and determinism-stable invariants.
+
+    Each iteration is two shuffles, both executor-side: assignment =
+    crossJoin(broadcast(centroids)) + per-vector argmin (centroids are
+    k x dim — tiny at any corpus size), update = posexplode -> (cluster,
+    pos) mean -> re-assembled centroid arrays. localCheckpoint truncates
+    the per-iteration lineage (checkpoint() on a real cluster). No vector
+    data ever reaches the driver.
+    """
+    k = 8
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)
+    cents = (
+        vecs.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cid"))
+    for _ in range(5):
+        assigned = (
+            vecs.crossJoin(broadcast(cents))
+            .select("vec_id", "v", "cid", dot("v", "cv").alias("d"))
+            .withColumn("rn", F.row_number().over(assign_w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("idx", "val"))
+            .groupBy("cid", "idx")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("pairs"))
+            .select(
+                "cid", F.transform("pairs", lambda p: p.getField("m")).alias("cm")
+            )
+            # re-normalize so assignment-by-dot stays cosine assignment
+            .withColumn(
+                "norm",
+                F.sqrt(
+                    F.aggregate("cm", F.lit(0.0), lambda acc, x: acc + x * x)
+                ),
+            )
+            .select(
+                "cid", F.transform("cm", lambda x: x / F.col("norm")).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = (
+        vecs.crossJoin(broadcast(cents))
+        .select("vec_id", "cid", dot("v", "cv").alias("d"))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), F.round("d", 6).alias("sim"))
+    )
+    return final

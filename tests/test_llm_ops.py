@@ -94,3 +94,32 @@ def test_udf_surface_registered():
         "udtf_python",
     ):
         assert key in QUERIES
+
+
+def test_dedup_clusters_are_consistent(spark, sf001):
+    """Every cluster member must reach its component root through the
+    pair graph; component = min member; all pair endpoints clustered."""
+    pairs = QUERIES["dedup_minhash"](spark, sf001).collect()
+    comp = {r.doc_id: r.component for r in QUERIES["dedup_clusters"](spark, sf001).collect()}
+    # both endpoints of every near-dup pair share a component
+    for p in pairs:
+        assert comp[p.doc_a] == comp[p.doc_b], (p.doc_a, p.doc_b)
+    # the component id is the minimum doc_id of its members
+    import collections
+
+    members = collections.defaultdict(list)
+    for d, c in comp.items():
+        members[c].append(d)
+    for c, ds in members.items():
+        assert c == min(ds)
+
+
+def test_kmeans_clusters_quality(spark, sf001):
+    rows = QUERIES["ml_kmeans"](spark, sf001).collect()
+    assert len(rows) > 0
+    clusters = {r.cluster for r in rows}
+    assert clusters <= set(range(8)) and len(clusters) >= 4
+    # cosine to own centroid should beat the corpus-wide mean pair sim by a
+    # clear margin (deterministic given fixed seeds/iterations)
+    avg_sim = sum(r.sim for r in rows) / len(rows)
+    assert avg_sim > 0.1, avg_sim
