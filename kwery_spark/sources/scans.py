@@ -204,3 +204,47 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+@register(
+    "sink_compacted",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: the #1 operational chore on a 100 TB lake.
+
+    Stage 1 deliberately fragments events into per-(type, hour-bucket)
+    hive partitions (hundreds of tiny files — what a streaming sink
+    leaves behind); stage 2 compacts by reading the fragmented layout and
+    rewriting with repartition(4) into few right-sized files. The oracle
+    checks the compacted copy still aggregates identically to the
+    original — compaction must be a pure layout change. (On a real lake
+    the repartition count comes from total_bytes / target_file_size.)
+    """
+    frag = _scratch("compact", "fragmented")
+    compacted = _scratch("compact", "compacted")
+    ev = table(spark, sf_dir, "events")
+    (
+        ev.withColumn("hr", F.hour("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_type", "hr")
+        .parquet(frag)
+    )
+    (
+        spark.read.parquet(frag)
+        .repartition(4)
+        .drop("hr")
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
