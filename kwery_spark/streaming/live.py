@@ -101,7 +101,13 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming op: per-user running event counter +
     total value via applyInPandasWithState (state survives across
-    micro-batches; GroupStateTimeout disabled for the demo). Rows-only."""
+    micro-batches; GroupStateTimeout disabled for the demo). Rows-only.
+
+    Note: Spark 4's transformWithStateInPandas successor API was probed
+    and is unavailable in this environment — its Python state server
+    requires google.protobuf, which is not installed (and installs are
+    disallowed). applyInPandasWithState covers the same capability; swap
+    in a StatefulProcessor where protobuf exists."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     stream = _events_stream(spark, sf_dir).select("user_id", "value")
