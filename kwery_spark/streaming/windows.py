@@ -192,3 +192,57 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("v_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_view_purchase_pairs"))
     )
+
+
+@register(
+    "stream_rollup_hypertable",
+    oracle="""
+    SELECT
+        CASE WHEN grouping(m) = 0 THEN 'minute'
+             WHEN grouping(h) = 0 THEN 'hour'
+             ELSE 'day' END AS level,
+        CAST(coalesce(m, h, d) AS TIMESTAMP) AS bucket_ts,
+        event_type,
+        count(*) AS n_events,
+        round(sum(value), 2) AS total_value
+    FROM (
+        SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS m,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+               event_type, value
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((m, event_type), (h, event_type), (d, event_type))
+    """,
+)
+def stream_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: minute, hour, and day
+    pre-aggregations of the event stream in ONE grouping-sets pass (one
+    scan, one shuffle — Spark's Expand feeds all three granularities from
+    the same partial aggregates). This is the batch form of the standard
+    timeseries downsampling hierarchy; incremental maintenance is the
+    stream_tumbling pipeline per level. The level tag derives from
+    grouping() markers, identical in both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    ev.select(
+        F.date_trunc("minute", "ts").alias("m"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        "event_type",
+        "value",
+    ).createOrReplaceTempView("__hyper_src")
+    return spark.sql(
+        """
+        SELECT
+            CASE WHEN grouping(m) = 0 THEN 'minute'
+                 WHEN grouping(h) = 0 THEN 'hour'
+                 ELSE 'day' END AS level,
+            coalesce(m, h, d) AS bucket_ts,
+            event_type,
+            count(*) AS n_events,
+            round(sum(value), 2) AS total_value
+        FROM __hyper_src
+        GROUP BY GROUPING SETS ((m, event_type), (h, event_type), (d, event_type))
+        """
+    )
