@@ -156,3 +156,47 @@ def stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("sinkRows", float(result.count())),
     ]
     return spark.createDataFrame(rows, "metric string, value double")
+
+
+@register(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: the standard escape hatch for writing a stream
+    into systems without a native streaming sink (JDBC upserts, MERGEs).
+    Each micro-batch appends its per-type partial counts (tagged with
+    batch_id — replayed batches would overwrite, giving effective
+    exactly-once); the read-back sums partials to totals, which the
+    oracle checks against the batch ground truth.
+    """
+    out = os.path.join(SCRATCH, "feb_out")
+    shutil.rmtree(out, ignore_errors=True)
+    ckpt = os.path.join(SCRATCH, f"feb_{uuid.uuid4().hex[:12]}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_partial"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.sum("n_partial").alias("n_events"))
+    )
