@@ -303,3 +303,75 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cid").alias("cluster"), F.round("d", 6).alias("sim"))
     )
     return final
+
+
+@register("ann_lsh", oracle=None)
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the other scale path besides IVF): every vector
+    gets a 6-bit random-hyperplane signature (hyperplanes = corpus
+    vectors 8..13, fixed, so the whole pipeline is deterministic); a
+    query probes its own bucket plus all Hamming-1 neighbors (7 probes of
+    64 buckets — ~11% of the corpus scanned per query at uniform fill).
+    Rows-only check; structure + recall measured in tests/test_llm_ops.py.
+
+    Scale: signature build is one broadcast pass; the probe join is an
+    equi-join on bucket id — no distance computation ever leaves the
+    probed buckets. More planes → smaller buckets; more probes → higher
+    recall; at 100 TB both knobs come from the recall SLO.
+
+    Honest finding on THIS corpus: embeddings are near-orthogonal (best
+    neighbors at cos≈0.33), so hyperplane agreement between a query and
+    its true neighbors barely beats random and Hamming-1 probing caps
+    recall well below IVF's (ann_ivf hits 1.0 at the same scan budget).
+    Hyperplane LSH earns its keep on high-similarity retrieval (near-dup
+    at cos≥0.8); for low-similarity kNN prefer the IVF path.
+    """
+    n_planes = 6
+    vecs = _vecs(spark, sf_dir)
+    planes = (
+        vecs.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 8 + n_planes))
+        .select((F.col("vec_id") - 8).alias("pid"), F.col("v").alias("pv"))
+    )
+    sig = (
+        vecs.crossJoin(broadcast(planes))
+        .select(
+            "vec_id",
+            "v",
+            # 2^pid as the bit value (Python-API shiftleft needs a literal
+            # shift; pow is exact for exponents this small)
+            F.when(dot("v", "pv") > 0, F.pow(F.lit(2.0), F.col("pid")).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+        .groupBy("vec_id")
+        .agg(F.first("v").alias("v"), F.sum("bit").cast("long").alias("bucket"))
+    )
+    queries = sig.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    # multi-probe: own bucket + all Hamming-1 flips
+    probes = queries.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[
+                    F.col("qb").bitwiseXOR(F.lit(1 << j)).cast("long")
+                    for j in range(n_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        sig.join(broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot("v", "qv"), 6).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )

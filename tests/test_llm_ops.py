@@ -123,3 +123,25 @@ def test_kmeans_clusters_quality(spark, sf001):
     # clear margin (deterministic given fixed seeds/iterations)
     avg_sim = sum(r.sim for r in rows) / len(rows)
     assert avg_sim > 0.1, avg_sim
+
+
+def test_ann_lsh_structure_and_recall(spark, sf001):
+    """LSH-ANN structural invariants + deterministic recall floor. The
+    op's docstring records why recall trails IVF on this near-orthogonal
+    corpus; the floor here pins the measured deterministic value."""
+    rows = QUERIES["ann_lsh"](spark, sf001).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) <= {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        assert len(rs) <= 5
+        assert sorted(r.rnk for r in rs) == list(range(1, len(rs) + 1))
+        assert all(r.neighbor_id != q for r in rs)
+    bf = [
+        r.vec_id
+        for r in QUERIES["sim_knn_bruteforce"](spark, sf001).collect()
+        if r.vec_id != 0
+    ][:5]
+    got = {r.neighbor_id for r in by_q.get(0, [])}
+    assert len(set(bf) & got) >= 2  # measured 3/5, deterministic
