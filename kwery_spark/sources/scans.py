@@ -248,3 +248,47 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, CAST(NULL AS DOUBLE) AS s_acctbal,
+           'v1' AS file_version
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 'v2' AS file_version
+    FROM supplier WHERE s_suppkey % 2 = 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across files in one dataset: a v1 file written
+    before the s_acctbal column existed sits next to a v2 file that has
+    it. mergeSchema=true unions the footer schemas at read time and
+    null-pads the missing column — the lake-format reality where a
+    100 TB table accretes columns over years and rewriting history is
+    not an option.
+    """
+    out = _scratch("parquet", "supplier_evolving")
+    supp = table(spark, sf_dir, "supplier")
+    (
+        supp.filter(F.col("s_suppkey") % 2 == 0)
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .withColumn("file_version", F.lit("v1"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "v1"))
+    )
+    (
+        supp.filter(F.col("s_suppkey") % 2 == 1)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .withColumn("file_version", F.lit("v2"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "v2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "v1"),
+        os.path.join(out, "v2"),
+    )
+    return merged.select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal", "file_version"
+    )
