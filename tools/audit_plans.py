@@ -33,6 +33,7 @@ DECLARED = {
     "udtf_python": {"PY_ROW"},       # Python UDTF evaluates per-row by definition
     "sim_knn_bruteforce": {"BNLJ"},  # crossJoin(broadcast(1-row query vector))
     "ann_ivf": {"BNLJ"},             # crossJoin(broadcast(8 seed cells / probes))
+    "ann_lsh": {"BNLJ"},             # crossJoin(broadcast(6 hyperplanes))
     "ml_kmeans": {"BNLJ"},           # crossJoin(broadcast(k centroids))
 }
 
