@@ -7,6 +7,7 @@ operator module means adding one import line here.
 # ruff: noqa: F401
 from kwery_spark.operators import (
     aggregates,
+    analytics,
     dedup,
     joins,
     multimodal,
