@@ -123,3 +123,64 @@ def test_asof_join_matches_duckdb_native(spark, duck, lrows, rrows):
     assert norm_rows(got.columns, [tuple(r) for r in got.collect()]) == norm_rows(
         list(rel.columns), rel.fetchall()
     )
+
+
+RANGE_EVENTS = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 3000)),  # (is_error, seconds)
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(rows=RANGE_EVENTS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bucketed_range_join_equals_naive(spark, duck, rows, tmp_path_factory):
+    """The equi-prefix bucket rewrite used by join_range (bucket-to-
+    {bucket,bucket+1} + exact residual) must return exactly the naive
+    range join's answer for any event layout — including events on bucket
+    boundaries and windows spanning two buckets."""
+    import pyspark.sql.functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "is_err": [r[0] for r in rows],
+            "sec": [r[1] for r in rows],
+        }
+    ).astype("int64")
+    df = spark.createDataFrame(pdf, "event_id long, is_err long, sec long")
+    bucket = (F.col("sec") / 600).cast("long")
+    err = df.filter(F.col("is_err") == 1).select(
+        F.col("event_id").alias("e_id"), F.col("sec").alias("e_sec"), bucket.alias("e_b")
+    )
+    err2 = err.withColumn("probe_b", F.explode(F.array(F.col("e_b"), F.col("e_b") + 1)))
+    clk = df.filter(F.col("is_err") == 0).select(
+        F.col("event_id").alias("c_id"), F.col("sec").alias("c_sec"), bucket.alias("c_b")
+    )
+    got = (
+        err2.join(
+            clk,
+            (err2.probe_b == clk.c_b)
+            & (clk.c_sec >= err2.e_sec)
+            & (clk.c_sec < err2.e_sec + 600),
+            "left",
+        )
+        .groupBy(F.col("e_id").alias("event_id"))
+        .agg(F.count("c_id").alias("n_in_window"))
+    )
+    duck.register("ev", pdf)
+    rel = duck.sql(
+        """SELECT e.event_id AS event_id, count(c.event_id) AS n_in_window
+           FROM (SELECT * FROM ev WHERE is_err = 1) e
+           LEFT JOIN (SELECT * FROM ev WHERE is_err = 0) c
+             ON c.sec >= e.sec AND c.sec < e.sec + 600
+           GROUP BY e.event_id"""
+    )
+    assert norm_rows(got.columns, [tuple(r) for r in got.collect()]) == norm_rows(
+        list(rel.columns), rel.fetchall()
+    )
