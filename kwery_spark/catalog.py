@@ -43,6 +43,11 @@ _SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Timestamp semantics must match the (UTC-naive) DuckDB oracle on ANY
+    # session, including a driver-provided one that never saw our builder
+    # conf — session timeZone is runtime-settable, so pin it at the point
+    # every query obtains its tables.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), sf_dir, name)
     df = _SCAN_CACHE.get(key)
     if df is None:
