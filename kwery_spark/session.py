@@ -43,6 +43,11 @@ def builder(app_name: str = "kwery-spark", cpus: int | None = None) -> SparkSess
         # Dims we *know* are small carry explicit broadcast() hints, and
         # AQE still upgrades any join whose runtime size allows it.
         .config("spark.sql.autoBroadcastJoinThreshold", "1048576")
+        # Local mode has no data locality to wait for — scheduling delay is
+        # pure loss (~10% of headline bench, mostly multi-stage joins). On
+        # a cluster reading HDFS keep the 3s default; on object storage
+        # (no locality either) 0 is also the right cluster setting.
+        .config("spark.locality.wait", "0")
         # Arrow for any toPandas()/collect of results and for pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Dims (region/nation/customer at small SF) should broadcast; the
