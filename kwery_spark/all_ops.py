@@ -17,6 +17,7 @@ from kwery_spark.operators import (
     setops,
     similarity,
     sorts,
+    sql_entry,
     text,
     tpch,
     udfs,
