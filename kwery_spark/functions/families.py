@@ -297,3 +297,32 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("o_totalprice", F.lit(100000.0)).alias("price_floor_100k"),
         F.least("o_totalprice", F.lit(400000.0)).alias("price_cap_400k"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey) AS key_or,
+           bit_xor(o_orderkey) AS key_xor,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_totalprice > 400000.0) AS any_over_400k,
+           CAST(sum(o_orderkey & 15) AS BIGINT) AS low_nibble_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise + boolean aggregate family: bit_and/bit_or/bit_xor over
+    keys, bool_and/bool_or predicates, and a per-row mask (& 15) under a
+    sum. All integer-exact, so the oracle compare is bitwise."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
+        F.sum(F.col("o_orderkey").bitwiseAND(F.lit(15))).alias("low_nibble_sum"),
+    )
