@@ -385,3 +385,30 @@ def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
         )
     )
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+    SELECT event_type AS item, count(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent-items sketch (approx_top_k, Spark >= 4.0).
+    maxItemsTracked (10k default) far exceeds the 5-value domain, so the
+    sketch is exact here and the value-hash oracle applies; at real
+    cardinalities the same call gives bounded-memory heavy-hitters where
+    an exact groupBy would need the full domain in state. k = domain size
+    so no boundary-tie ambiguity exists at any SF."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__topk_events")
+    return spark.sql(
+        """
+        SELECT t.item AS item, CAST(t.count AS BIGINT) AS cnt
+        FROM (
+            SELECT explode(approx_top_k(event_type, 5)) AS t
+            FROM __topk_events
+        )
+        """
+    )
