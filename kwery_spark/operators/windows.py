@@ -234,3 +234,34 @@ def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("c_name").over(w).alias("richest_name"),
         )
     )
+
+
+@register(
+    "win_time_range",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           round(sum(value) OVER w, 4) AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per-user rolling one-hour count and sum,
+    bounded by an INTERVAL, not a row count — the frame every rate-limit
+    / rolling-metric query needs. Expressed in SQL (the DataFrame
+    rangeBetween API takes only numeric bounds; interval bounds are
+    SQL-only). Peers at identical timestamps are in-frame together in
+    both engines."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("__wtr_events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+               round(sum(value) OVER w, 4) AS value_last_hour
+        FROM __wtr_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
