@@ -155,12 +155,15 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_id,
         CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens,
         list_contains(str_split(text, ' '), 'data') AS has_data,
-        list_sort(list_distinct(str_split(text, ' '))) AS vocab,
+        array_to_string(list_sort(list_distinct(str_split(text, ' '))), '|') AS vocab,
         str_split(text, ' ')[1] AS first_token,
-        list_slice(str_split(text, ' '), 1, 3) AS first_three,
-        list_transform(list_slice(str_split(text, ' '), 1, 3), t -> upper(t))
+        array_to_string(list_slice(str_split(text, ' '), 1, 3), '|') AS first_three,
+        array_to_string(list_transform(list_slice(str_split(text, ' '), 1, 3),
+                                       t -> upper(t)), '|')
             AS first_three_upper,
-        list_filter(str_split(text, ' '), t -> len(t) > 5) AS long_tokens,
+        coalesce(array_to_string(list_filter(str_split(text, ' '), t -> len(t) > 5),
+                                 '|'), '')
+            AS long_tokens,
         CAST(list_sum(list_transform(str_split(text, ' '), t -> len(t))) AS BIGINT)
             AS total_token_chars,
         len(list_filter(str_split(text, ' '), t -> t = 'model')) > 0 AS has_model
@@ -172,6 +175,8 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family + higher-order functions (transform/filter/aggregate/
     exists) over tokenized document text. All JVM-side expressions — the
     100 TB-safe way to do per-row list work (no Python, no explode+rejoin).
+    Array-valued results are array_join'ed to '|'-separated strings so the
+    grading hasher (pandas factorize — lists are unhashable) gates values.
     """
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
     toks = F.split(F.col("text"), " ")
@@ -179,11 +184,13 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "data").alias("has_data"),
-        F.array_sort(F.array_distinct(toks)).alias("vocab"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), "|").alias("vocab"),
         F.element_at(toks, 1).alias("first_token"),
-        F.slice(toks, 1, 3).alias("first_three"),
-        F.transform(F.slice(toks, 1, 3), lambda t: F.upper(t)).alias("first_three_upper"),
-        F.filter(toks, lambda t: F.length(t) > 5).alias("long_tokens"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first_three"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda t: F.upper(t)), "|"
+        ).alias("first_three_upper"),
+        F.array_join(F.filter(toks, lambda t: F.length(t) > 5), "|").alias("long_tokens"),
         F.aggregate(
             F.transform(toks, lambda t: F.length(t).cast("long")),
             F.lit(0).cast("long"),
@@ -198,8 +205,9 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
         c_custkey,
-        ['balance', 'nation', 'segment'] AS meta_keys,
-        [CAST(c_acctbal AS VARCHAR), CAST(c_nationkey AS VARCHAR), c_mktsegment]
+        'balance,nation,segment' AS meta_keys,
+        concat_ws(',', CAST(c_acctbal AS VARCHAR), CAST(c_nationkey AS VARCHAR),
+                  c_mktsegment)
             AS meta_values,
         c_mktsegment AS seg_from_map,
         CAST(3 AS INTEGER) AS map_size
@@ -209,11 +217,12 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: build a map from columns, then project keys/values back
-    to sorted arrays + scalars for hash stability (SURVEY §2.8: map output
-    itself is not directly hash-comparable across engines).
+    to CSV strings + scalars for hash stability (SURVEY §2.8: map output
+    itself is not directly hash-comparable across engines, and the grading
+    hasher can't factorize list cells).
 
     Note: map insertion order is preserved by both map_keys and map_values
-    in Spark, so key/value arrays line up positionally."""
+    in Spark, so key/value strings line up positionally."""
     c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
     meta = F.create_map(
         F.lit("balance"), F.col("c_acctbal").cast("string"),
@@ -222,8 +231,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.select(
         "c_custkey",
-        F.map_keys(meta).alias("meta_keys"),
-        F.map_values(meta).alias("meta_values"),
+        F.array_join(F.map_keys(meta), ",").alias("meta_keys"),
+        F.array_join(F.map_values(meta), ",").alias("meta_values"),
         F.element_at(meta, F.lit("segment")).alias("seg_from_map"),
         F.size(meta).alias("map_size"),
     )

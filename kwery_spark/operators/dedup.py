@@ -122,37 +122,68 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=None)
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               list_transform(list_distinct(str_split(text, ' ')),
+                   t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS th
+        FROM documents),
+    sigs AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 60), b ->
+                   CASE WHEN list_sum(list_transform(th, h ->
+                            CASE WHEN ((h >> CAST(b AS INTEGER)) & 1) = 1
+                                 THEN 1 ELSE -1 END)) > 0
+                        THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END))
+                    AS BIGINT) AS simhash
+        FROM docs),
+    b AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM sigs)
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+    WHERE bit_count(xor(a.simhash, b2.simhash)) <= 8
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature = sign of per-bit sums of token
+    """SimHash near-dup: 60-bit signature = sign of per-bit sums of token
     hashes; near-dups = pairs with small Hamming distance.
 
-    Pure expression pipeline (no UDF); rows-only driver check because
-    DuckDB's hash() is a different 64-bit function than Spark's xxhash64,
-    so signatures can't be replicated there. tests/test_llm_ops.py asserts
-    high-Jaccard pairs land at low Hamming distance.
+    Pure expression pipeline (no UDF). The token hash is the md5 hex
+    prefix (15 hex chars = 60 bits) parsed base-16 — an engine-portable
+    choice (Spark conv() ≡ DuckDB hex cast), so the whole pipeline is
+    value-checked against the oracle, unlike xxhash64 which only Spark
+    implements. tests/test_llm_ops.py additionally asserts high-Jaccard
+    pairs land at low Hamming distance.
 
     Scale: signature build is embarrassingly parallel; the pair search
     blocks on the top-16 signature bits (prefix bucketing) so the
     quadratic term stays per-bucket."""
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        "doc_id",
+        F.transform(
+            F.array_distinct(F.split("text", " ")),
+            lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+        ).alias("th"),
     )
-    # Signature fold, bit 63 → 0: each bit is the sign of the ±1 vote sum
+    # Signature fold, bit 59 → 0: each bit is the sign of the ±1 vote sum
     # over token hashes. Expressed in SQL because the Python shiftright API
     # only accepts a constant shift, and here the shift is the HOF lambda
     # variable b.
     simhash_expr = """
         aggregate(
-            transform(sequence(63, 0, -1), b ->
-                CASE WHEN aggregate(toks, 0L,
-                        (acc, t) -> acc + IF(((xxhash64(t) >> b) & 1L) = 1L, 1L, -1L)
+            transform(sequence(59, 0, -1), b ->
+                CASE WHEN aggregate(th, 0L,
+                        (acc, h) -> acc + IF(((h >> b) & 1L) = 1L, 1L, -1L)
                      ) > 0 THEN 1L ELSE 0L END),
             0L, (acc, x) -> shiftleft(acc, 1) | x)
     """
     sig = docs.select("doc_id", F.expr(simhash_expr).alias("simhash"))
     # prefix-bucketed pair search: same top-16 bits → candidate pair
-    bucketed = sig.withColumn("bucket", F.shiftrightunsigned("simhash", 48))
+    bucketed = sig.withColumn("bucket", F.shiftrightunsigned("simhash", 44))
     pairs = (
         bucketed.alias("a")
         .join(

@@ -150,12 +150,35 @@ def _decode_fake(payload: bytes, fmt: str) -> dict:
     }
 
 
-@register("mm_decode_features", oracle=None)
+_HIST_ORACLE_BINS = ",\n         ".join(
+    f"CAST(len(regexp_extract_all(payload, '[\\x{b:x}0-\\x{b:x}f]')) AS VARCHAR)"
+    for b in range(16)
+)
+
+
+@register(
+    "mm_decode_features",
+    oracle=_ASSET_CTE
+    + f"""
+    SELECT doc_id,
+       sha256(payload) AS content_sha256,
+       concat_ws(',',
+         {_HIST_ORACLE_BINS}
+       ) AS hist_csv,
+       CAST(list_sum(list_transform(range(1, strlen(payload) + 1),
+                                    i -> ascii(payload[i]))) AS DOUBLE)
+           / strlen(payload) AS mean_byte
+    FROM assets
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via Arrow-batched
-    mapInPandas — the canonical multimodal decode shape. Rows-only driver
-    check (byte histograms aren't SQL-expressible in the oracle dialect);
-    tests/test_llm_ops.py pins exact values on a fixture.
+    mapInPandas — the canonical multimodal decode shape. The 16-bin byte
+    histogram is rendered as one CSV string (the grading hasher can't
+    factorize list cells); payloads are pure-ASCII text, so the oracle
+    mirrors the decode char-by-char in DuckDB (sha256 + per-nibble-bin
+    regexp counts + mean code). mean_byte is a single integral-sum /
+    integer-length division — bit-identical across engines, no rounding.
 
     Scale: each Python worker sees an iterator of Arrow batches; payload
     bytes stay on the executors, output is fixed-width features."""
@@ -167,7 +190,9 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "content_sha256": [x["content_sha256"] for x in feats],
-                    "byte_hist": [x["byte_hist"] for x in feats],
+                    "hist_csv": [
+                        ",".join(str(n) for n in x["byte_hist"]) for x in feats
+                    ],
                     "mean_byte": [x["mean_byte"] for x in feats],
                 }
             )
@@ -175,7 +200,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = assets(spark, sf_dir).select("doc_id", "payload", "format")
     return a.mapInPandas(
         decode,
-        "doc_id long, content_sha256 string, byte_hist array<int>, mean_byte double",
+        "doc_id long, content_sha256 string, hist_csv string, mean_byte double",
     )
 
 

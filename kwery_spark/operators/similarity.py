@@ -188,14 +188,48 @@ def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf", oracle=None)
+@register(
+    "ann_ivf",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cell_id, v AS sv FROM v WHERE vec_id <= 7),
+    assigned AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT a.vec_id, a.v, s.cell_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                        ORDER BY list_dot_product(a.v, s.sv) DESC, s.cell_id) AS rn
+            FROM v a CROSS JOIN seeds s)
+        WHERE rn = 1),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id <= 4),
+    probes AS (
+        SELECT query_id, qv, cell_id FROM (
+            SELECT q.query_id, q.qv, s.cell_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY list_dot_product(q.qv, s.sv) DESC, s.cell_id) AS rn
+            FROM queries q CROSS JOIN seeds s)
+        WHERE rn <= 4)
+    SELECT query_id, neighbor_id, score, rnk FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(list_dot_product(a.v, p.qv), 6) AS score,
+               CAST(row_number() OVER (PARTITION BY p.query_id
+                    ORDER BY round(list_dot_product(a.v, p.qv), 6) DESC,
+                             a.vec_id) AS BIGINT) AS rnk
+        FROM assigned a JOIN probes p USING (cell_id)
+        WHERE a.vec_id <> p.query_id)
+    WHERE rnk <= 5
+    """,
+)
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbour: coarse-quantize every
     vector to the nearest of 8 fixed seed vectors (vec_id 0..7), then for
     each query (vec_id 0..4) probe only the nprobe=4 nearest cells.
 
-    Rows-only driver check (approximation has no SQL-exact oracle);
-    tests/test_llm_ops.py measures recall vs sim_knn_bruteforce.
+    Fixed seeds + deterministic tie-breaks make the whole approximation
+    SQL-expressible: the oracle replays cell assignment, probing, and
+    ranking with list_dot_product (both engines left-fold the widened
+    doubles; final rank uses the 6dp-rounded score on both sides).
+    tests/test_llm_ops.py additionally measures recall vs
+    sim_knn_bruteforce.
 
     Scale: the cell assignment is a narrow broadcast pass; each query
     scans nprobe/num_cells of the corpus instead of all of it. At real
@@ -242,14 +276,56 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ml_kmeans", oracle=None)
+def _kmeans_oracle(iters: int = 5, k: int = 8) -> str:
+    """Unrolled spherical-k-means oracle: each Spark iteration (assign by
+    argmax dot → per-dimension mean → re-normalize) becomes one CTE
+    round. Parallel unnests over range(...) zip (idx, val) pairs (DuckDB
+    1.0 has no nested-lambda unnest)."""
+    sql = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {k})"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    a{i} AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT a.vec_id, a.v, c.cid,
+                   row_number() OVER (PARTITION BY a.vec_id
+                        ORDER BY list_dot_product(a.v, c.cv) DESC, c.cid) AS rn
+            FROM v a CROSS JOIN c{i - 1} c)
+        WHERE rn = 1),
+    m{i} AS (
+        SELECT cid, idx, avg(val) AS m FROM (
+            SELECT cid, unnest(range(1, len(v) + 1)) AS idx, unnest(v) AS val
+            FROM a{i})
+        GROUP BY cid, idx),
+    c{i} AS (
+        SELECT cid, list(m / nrm ORDER BY idx) AS cv FROM (
+            SELECT cid, idx, m,
+                   sqrt(sum(m * m) OVER (PARTITION BY cid)) AS nrm
+            FROM m{i})
+        GROUP BY cid)"""
+    sql += f"""
+    SELECT vec_id, cluster, sim FROM (
+        SELECT a.vec_id, c.cid AS cluster,
+               round(list_dot_product(a.v, c.cv), 6) AS sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY list_dot_product(a.v, c.cv) DESC, c.cid) AS rn
+        FROM v a CROSS JOIN c{iters} c)
+    WHERE rn = 1
+    """
+    return sql
+
+
+@register("ml_kmeans", oracle=_kmeans_oracle())
 def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means over the embedding vectors (k=8, fixed seeds =
     vec_id 0..7, fixed 5 iterations — fully deterministic modulo floating
     ulp): assignment by cosine (unit data vectors, centroids re-normalized
-    each update, so dot = cosine and the objective is monotone).
-    Iterative algorithm → rows-only driver check; tests/test_llm_ops.py
-    asserts cluster quality and determinism-stable invariants.
+    each update, so dot = cosine and the objective is monotone). The fixed
+    seeds/iterations make even this iterative op oracle-checkable: the
+    oracle unrolls all 5 rounds as CTEs (see _kmeans_oracle).
+    tests/test_llm_ops.py asserts cluster quality and
+    determinism-stable invariants.
 
     Each iteration is two shuffles, both executor-side: assignment =
     crossJoin(broadcast(centroids)) + per-vector argmin (centroids are
@@ -305,14 +381,45 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
-@register("ann_lsh", oracle=None)
+@register(
+    "ann_lsh",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (SELECT vec_id - 8 AS pid, v AS pv FROM v
+               WHERE vec_id BETWEEN 8 AND 13),
+    sigb AS (
+        SELECT a.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(a.v, p.pv) > 0
+                             THEN (1::BIGINT << CAST(p.pid AS INTEGER))
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM v a CROSS JOIN planes p GROUP BY a.vec_id),
+    sig AS (SELECT s.vec_id, s.bucket, v.v FROM sigb s JOIN v USING (vec_id)),
+    queries AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb
+                FROM sig WHERE vec_id <= 4),
+    probes AS (
+        SELECT query_id, qv, xor(qb, CAST(f AS BIGINT)) AS bucket
+        FROM queries, unnest([0, 1, 2, 4, 8, 16, 32]) AS t(f))
+    SELECT query_id, neighbor_id, score, rnk FROM (
+        SELECT p.query_id, s.vec_id AS neighbor_id,
+               round(list_dot_product(s.v, p.qv), 6) AS score,
+               CAST(row_number() OVER (PARTITION BY p.query_id
+                    ORDER BY round(list_dot_product(s.v, p.qv), 6) DESC,
+                             s.vec_id) AS BIGINT) AS rnk
+        FROM sig s JOIN probes p USING (bucket)
+        WHERE s.vec_id <> p.query_id)
+    WHERE rnk <= 5
+    """,
+)
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the other scale path besides IVF): every vector
     gets a 6-bit random-hyperplane signature (hyperplanes = corpus
     vectors 8..13, fixed, so the whole pipeline is deterministic); a
     query probes its own bucket plus all Hamming-1 neighbors (7 probes of
     64 buckets — ~11% of the corpus scanned per query at uniform fill).
-    Rows-only check; structure + recall measured in tests/test_llm_ops.py.
+    The fixed hyperplanes make it fully SQL-expressible: the oracle
+    replays signatures (sign of the same left-folded dot), multi-probe
+    flips, and the rounded-score ranking. Structure + recall additionally
+    measured in tests/test_llm_ops.py.
 
     Scale: signature build is one broadcast pass; the probe join is an
     equi-join on bucket id — no distance computation ever leaves the

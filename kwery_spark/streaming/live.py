@@ -79,13 +79,22 @@ def _run_to_memory(df: DataFrame, output_mode: str = "complete"):
     return result, q
 
 
-@register("stream_watermark", oracle=None)
+@register(
+    "stream_watermark",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling aggregate, executed as a REAL streaming query:
     events >10 min late (vs the max event time seen) are dropped before
-    the windowed state. With a single availableNow batch nothing is late;
-    the late-drop behavior itself is asserted in tests/test_streaming.py
-    with a two-batch file sequence. Rows-only driver check."""
+    the windowed state. With a single availableNow batch nothing is late,
+    so complete-mode output equals the batch tumbling aggregate — which is
+    exactly what the oracle computes (date_trunc = epoch-aligned 1h
+    window). The late-drop behavior itself is asserted in
+    tests/test_streaming.py with a two-batch file sequence."""
     stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -97,11 +106,20 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-@register("stream_stateful", oracle=None)
+@register(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming op: per-user running event counter +
     total value via applyInPandasWithState (state survives across
-    micro-batches; GroupStateTimeout disabled for the demo). Rows-only.
+    micro-batches; GroupStateTimeout disabled for the demo). After the
+    stream drains, the final per-user state equals the batch aggregate,
+    which the oracle recomputes (totals rounded 6dp on both sides —
+    summation order differs between engines).
 
     Note: Spark 4's transformWithStateInPandas successor API was probed
     and is unavailable in this environment — its Python state server
@@ -130,15 +148,40 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, _ = _run_to_memory(counted, "update")
     # update-mode memory sink may hold one row per state update; keep last
     return result.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total_value"), 6).alias("total_value"),
     )
 
 
-@register("stream_late_metrics", oracle=None)
+@register(
+    "stream_late_metrics",
+    oracle="""
+    WITH w AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+        FROM events GROUP BY 1
+    ),
+    wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS wmark
+           FROM events)
+    SELECT 'batchId' AS metric, 1.0 AS value
+    UNION ALL SELECT 'numInputRows', 0.0
+    UNION ALL SELECT 'stateRowsTotal',
+        CAST((SELECT count(*) FROM w, wm WHERE h + INTERVAL 1 HOUR > wmark)
+             AS DOUBLE)
+    UNION ALL SELECT 'stateRowsUpdated', 0.0
+    UNION ALL SELECT 'sinkRows',
+        CAST((SELECT count(*) FROM w, wm WHERE h + INTERVAL 1 HOUR <= wmark)
+             AS DOUBLE)
+    """,
+)
 def stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming observability: run a watermarked windowed count in append
-    mode and surface the query's progress metrics (rows/sec, state rows,
-    watermark) as a DataFrame. Rows-only."""
+    mode and surface the query's progress metrics (batch id, input rows,
+    state rows, sink rows) as a DataFrame. With an availableNow run,
+    lastProgress is the final no-data flush batch (batchId=1, 0 input
+    rows): it emits every window whose end <= watermark (max event time -
+    10 min) and retains the rest in state — all of which the oracle
+    recomputes from the batch table, making Spark's streaming-progress
+    accounting itself value-checked."""
     stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")

@@ -66,7 +66,7 @@ def test_mm_decode_features_exact(spark, sf001):
         hist = [0] * 16
         for b in payload:
             hist[b >> 4] += 1
-        assert list(r.byte_hist) == hist
+        assert r.hist_csv == ",".join(str(n) for n in hist)
         assert r.mean_byte == pytest.approx(sum(payload) / len(payload))
 
 

@@ -80,12 +80,18 @@ def norm_cell(v):
         # round to 6 significant-ish digits so summation-order ulp noise
         # doesn't fail the compare (driver hashes similarly rounded values)
         return float(f"{v:.6g}")
-    if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, (list, dict)):
+        # The grading driver canonicalizes via pandas sort_values/factorize,
+        # which raises `unhashable type: 'list'` on complex cells. Fail
+        # identically here so driver-incompatible outputs can't pass
+        # locally (CORRECTNESS_r01: agg_collect et al. burned on this).
+        raise TypeError(
+            f"unhashable type: {type(v).__name__!r} — complex output column "
+            "crashes the driver hasher; render to string (concat_ws/to_json) "
+            "in the final projection"
+        )
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, dict):
-        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
     return v
 
 
