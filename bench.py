@@ -48,11 +48,11 @@ def main() -> None:
         if fn is None:
             continue
         times = []
-        for i in range(5):  # 2 warm-ups (JVM JIT + broadcast build) + 3 timed
+        for i in range(4):  # 1 warm-up (BASELINE.md protocol) + 3 timed
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
-            if i > 1:
+            if i > 0:
                 times.append(dt)
         results[key] = round(min(times), 4)
     total = round(sum(results.values()), 4)

@@ -35,9 +35,11 @@ ALWAYS_SMALL = frozenset({"region", "nation"})
 # ~100 ms of driver time per spark.read.parquet call; a multiway join
 # rebuilds six of them per query. DataFrames are immutable logical plans,
 # so reusing one per (session, dir, table) is safe and stands in for a
-# real engine's catalog metadata cache. Keyed by id(spark) so a fresh
-# session (new JVM) never sees another session's plans.
-_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# real engine's catalog metadata cache. Keyed by applicationId (stable,
+# unique per SparkContext — unlike id(spark), which CPython can reuse
+# after a stopped session is garbage-collected, handing a new session
+# plans bound to a dead JVM).
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -48,7 +50,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # conf — session timeZone is runtime-settable, so pin it at the point
     # every query obtains its tables.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _SCAN_CACHE.get(key)
     if df is None:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -77,3 +79,44 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every corpus table as a temp view (for spark.sql entry)."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def analyze_tables(spark: SparkSession, sf_dir: str) -> str:
+    """Register the corpus as external catalog tables and compute CBO
+    statistics (SURVEY §4): ``ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL
+    COLUMNS`` records rowCount/size + per-column NDV/min/max in the
+    catalog, which Catalyst's cost-based optimizer uses for join
+    reordering and build-side choice once ``spark.sql.cbo.*`` is on.
+
+    Plain ``spark.read.parquet`` DataFrames (the hot path here) carry only
+    file-size stats, so this is the catalog-table route a long-lived
+    deployment would take: tables live in a per-SF database, data stays in
+    place (external/unmanaged), and at 100 TB the ANALYZE scan itself is
+    distributed. Returns the database name; query via
+    ``spark.sql(f"SELECT ... FROM {db}.lineitem ...")``."""
+    db = "kwery_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    # events is TIMESTAMP(NANOS) parquet; catalog scans need the legacy conf
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for name in TABLES:
+        full = f"{db}.{name}"
+        if not spark.catalog.tableExists(full):
+            spark.catalog.createTable(
+                full, path=os.path.join(sf_dir, f"{name}.parquet"), source="parquet"
+            )
+        # column stats support atomic types only (ANALYZE rejects
+        # array<float> embeddings); nested columns still get table stats
+        atomic = [
+            f"`{f.name}`"
+            for f in spark.table(full).schema.fields
+            if f.dataType.typeName() not in ("array", "map", "struct", "binary")
+        ]
+        if atomic:
+            spark.sql(
+                f"ANALYZE TABLE {full} COMPUTE STATISTICS FOR COLUMNS {', '.join(atomic)}"
+            )
+        else:
+            spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS")
+    return db

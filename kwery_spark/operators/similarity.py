@@ -123,15 +123,47 @@ def sim_knn_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-threshold similarity self-join (cos ≥ 0.3) blocked by label —
-    the blocked join is what keeps this off a full cross product at scale
-    (swap label for an LSH bucket when no natural block exists)."""
-    vecs = _vecs(spark, sf_dir)
+    """ε-threshold similarity self-join (cos ≥ 0.3) blocked by label,
+    with triangle-salting inside each label: every vector gets a
+    deterministic salt s ∈ [0,S); a pair with salts (sx, sy) is evaluated
+    exactly once, in sub-group (min, max). Each side replicates S×, the
+    join key becomes (label, gi, gj), and a single hot label's quadratic
+    work spreads over S(S+1)/2 tasks instead of one reducer — the
+    fragment-replicate theta-join decomposition (Okcan & Riedewald,
+    SIGMOD'11), applied only within the label block. Results are
+    bit-identical to the plain blocked join (the oracle is unchanged);
+    S tunes task size at 100 TB, not output."""
+    S = 8
+    vecs = _vecs(spark, sf_dir).withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(S)).cast("int")
+    )
+    # replicate each row into the S sub-groups (min(s,j), max(s,j)) it
+    # can meet a partner in
+    groups = F.array(
+        *[
+            F.struct(
+                F.least("salt", F.lit(j)).alias("gi"),
+                F.greatest("salt", F.lit(j)).alias("gj"),
+            )
+            for j in range(S)
+        ]
+    )
+    exp = vecs.select(
+        "vec_id", "label", "v", "salt", F.explode(groups).alias("g")
+    ).select("vec_id", "label", "v", "salt", "g.gi", "g.gj")
     return (
-        vecs.alias("a")
+        exp.alias("a")
         .join(
-            vecs.alias("b"),
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            exp.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.gi") == F.col("b.gi"))
+            & (F.col("a.gj") == F.col("b.gj"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        # a pair belongs to exactly one sub-group: (min, max) of its salts
+        .filter(
+            (F.least("a.salt", "b.salt") == F.col("a.gi"))
+            & (F.greatest("a.salt", "b.salt") == F.col("a.gj"))
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),

@@ -97,8 +97,10 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_pandas_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           (sum(l_quantity) - min(l_quantity) - max(l_quantity))
-             / (count(*) - 2) AS trimmed_mean_qty
+           CASE WHEN count(*) > 2
+                THEN (sum(l_quantity) - min(l_quantity) - max(l_quantity))
+                       / (count(*) - 2)
+                ELSE NULL END AS trimmed_mean_qty
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -107,10 +109,14 @@ def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDAF: min/max-trimmed mean of l_quantity.
     l_quantity is integral-valued, so the sum is exact in double and the
     single final division is order-independent — safe under the value-hash
-    oracle. Spark runs this as partial Arrow batches per group."""
+    oracle. Groups of ≤2 rows have no interior after trimming → NULL (in
+    both engines), so the pattern stays safe under finer grouping keys.
+    Spark runs this as partial Arrow batches per group."""
 
     @pandas_udf("double")
-    def trimmed_mean(q: pd.Series) -> float:
+    def trimmed_mean(q: pd.Series) -> float | None:
+        if q.count() <= 2:
+            return None
         return float((q.sum() - q.min() - q.max()) / (q.count() - 2))
 
     li = table(spark, sf_dir, "lineitem")

@@ -211,10 +211,12 @@ def stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink: the standard escape hatch for writing a stream
     into systems without a native streaming sink (JDBC upserts, MERGEs).
-    Each micro-batch appends its per-type partial counts (tagged with
-    batch_id — replayed batches would overwrite, giving effective
-    exactly-once); the read-back sums partials to totals, which the
-    oracle checks against the batch ground truth.
+    Each micro-batch appends its per-type partial counts tagged with
+    batch_id; the read-back deduplicates to one partial per
+    (batch_id, event_type) BEFORE summing, so a batch replayed after a
+    failure (at-least-once file appends) cannot double-count — idempotence
+    lives at read time. The oracle checks the summed totals against the
+    batch ground truth.
     """
     out = os.path.join(SCRATCH, "feb_out")
     shutil.rmtree(out, ignore_errors=True)
@@ -240,6 +242,10 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     return (
         spark.read.parquet(out)
+        # replay-dedupe: a re-run batch appends identical partials; keep
+        # exactly one row per (batch_id, event_type)
+        .groupBy("batch_id", "event_type")
+        .agg(F.max("n_partial").alias("n_partial"))
         .groupBy("event_type")
         .agg(F.sum("n_partial").alias("n_events"))
     )
