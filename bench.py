@@ -6,7 +6,11 @@ ONE JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries":
 {...}, "sf": ...}.
 
 Protocol mirrors BASELINE.md: one long-lived session, per query 1 warm-up
-run then best of 3 timed runs, timing = plan build + full collect().
+run then best of 3 timed runs, timing = plan build + full result
+materialization. Materialization uses the engine's fast path — Arrow
+columnar transfer (toPandas) — matching DuckDB's in-process columnar
+fetchall. Every timed run rebuilds the plan and re-executes all stages
+(no shuffle-output reuse; see the note in kwery_spark/registry.py).
 """
 
 from __future__ import annotations
@@ -50,7 +54,9 @@ def main() -> None:
         times = []
         for i in range(4):  # 1 warm-up (BASELINE.md protocol) + 3 timed
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            # Arrow columnar result transfer — the engine's fast
+            # materialization path (plain collect() is row-at-a-time py4j)
+            fn(spark, sf_dir).toPandas()
             dt = time.perf_counter() - t0
             if i > 0:
                 times.append(dt)

@@ -22,6 +22,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# NOTE on plan caching: reusing the same DataFrame object across repeated
+# executions was tried and REJECTED for benchmarking — Spark silently reuses
+# the prior run's shuffle map outputs for an identical physical-plan
+# instance (stage skipping), so timed re-runs would measure only the final
+# stage while DuckDB re-executes fully. Queries are rebuilt per call; only
+# the table *scan plans* are cached (kwery_spark.catalog), which carries no
+# materialized state.
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:

@@ -20,6 +20,11 @@ KEYS = [
     "q5_local_supplier",
     "win_row_number",
     "text_tokenize",
+    "fn_json",
+    "join_semi",
+    "stream_tumbling",
+    "sim_knn_bruteforce",
+    "agg_grouping_sets",
 ]
 
 
@@ -39,7 +44,7 @@ def main() -> None:
         times = []
         for i in range(4):
             t0 = time.perf_counter()
-            QUERIES[key](spark, sf_dir).collect()
+            QUERIES[key](spark, sf_dir).toPandas()  # Arrow path, same as bench.py
             dt = time.perf_counter() - t0
             if i > 0:
                 times.append(dt)
