@@ -172,3 +172,154 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("ttr"), 6).alias("avg_ttr"),
         )
     )
+
+
+@register(
+    "doc_chunking",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               len(str_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, len(range(1, n + 1, 56)))) AS INTEGER) AS chunk_id,
+           unnest(list_transform(range(1, n + 1, 56),
+                  s -> array_to_string(list_slice(toks, s, s + 63), ' ')))
+               AS chunk_text,
+           CAST(unnest(list_transform(range(1, n + 1, 56),
+                       s -> len(list_slice(toks, s, s + 63)))) AS INTEGER)
+               AS n_chunk_tokens
+    FROM t
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into 64-token chunks
+    with 8-token overlap (stride 56) — the standard pre-tokenization shape
+    for embedding/RAG/training pipelines. Pure HOF expressions
+    (sequence → slice → array_join) + one posexplode; no Python, no
+    self-join, and each doc expands independently, so the op is
+    embarrassingly parallel at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(1), n, F.lit(56)),
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s, 64), " ").alias("chunk_text"),
+            F.size(F.slice(toks, s, 64)).alias("n_chunk_tokens"),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "c")
+    ).select("doc_id", "chunk_id", "c.chunk_text", "c.n_chunk_tokens")
+
+
+@register(
+    "dedup_decontaminate",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 6),
+                      i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))))
+                   AS gh
+        FROM t
+    ),
+    bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+    hits AS (
+        SELECT g.doc_id, count(DISTINCT g.gh) AS n_shared
+        FROM g JOIN bench USING (gh)
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_shared, 0) AS n_shared_grams,
+           h.n_shared IS NOT NULL AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data op that removes eval
+    leakage: flag every corpus document sharing at least one word-8-gram
+    with the held-out set (here: doc_id % 97 == 0, a deterministic
+    stand-in for a benchmark suite). Exact n-gram matching, the industry
+    default (GPT-3/Llama-style 8-gram overlap).
+
+    Scale: both sides explode to md5'd 8-grams and meet in ONE equi-join
+    on the gram hash — no pairwise document comparison ever happens; the
+    benchmark side is tiny (distinct grams of the eval suite) and AQE
+    broadcasts it. Docs shorter than 8 tokens produce no grams (guarded —
+    Spark's sequence() would otherwise generate a descending range)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 7),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, 8), " ").cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams).alias("gh"))
+    bench = g.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    hits = (
+        g.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, "gh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gh").alias("n_shared"))
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id")
+    return corpus.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shared"), F.lit(0).cast("long")).alias("n_shared_grams"),
+        F.col("n_shared").isNotNull().alias("contaminated"),
+    )
+
+
+@register(
+    "pipeline_mixture",
+    oracle="""
+    WITH rated AS (
+        SELECT doc_id, source, len(str_split(text, ' ')) AS n_tokens,
+               CASE CAST(substring(source, 4) AS INTEGER) % 4
+                    WHEN 0 THEN 'ff' WHEN 1 THEN '80'
+                    WHEN 2 THEN '40' ELSE '1a' END AS threshold
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+    FROM rated
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= threshold
+    GROUP BY source
+    """,
+)
+def pipeline_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: each source gets a deterministic keep
+    rate (by source index mod 4: 100% / ~50% / ~25% / ~10%) applied via an
+    md5(doc_id) threshold — the reproducible way to hit a target corpus
+    mix (web-heavy downsampled, curated sources kept whole). rand() would
+    make every run a different corpus; hash-gating is idempotent, resumes
+    cleanly, and the predicate evaluates scan-side so dropped docs never
+    reach a shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    src_idx = F.substring("source", 4, 10).cast("int")
+    threshold = (
+        F.when(src_idx % 4 == 0, "ff")
+        .when(src_idx % 4 == 1, "80")
+        .when(src_idx % 4 == 2, "40")
+        .otherwise("1a")
+    )
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= threshold
+    return (
+        docs.withColumn("threshold", threshold)
+        .filter(keep)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).alias("tokens_kept"),
+        )
+    )

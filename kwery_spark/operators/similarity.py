@@ -514,3 +514,64 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(rank_w).cast("long"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               127.0 / nullif(list_aggregate(list_transform(v, x -> abs(x)),
+                                             'max'), 0) AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> CAST(round(x * scale) AS INTEGER)) AS qv
+        FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           array_to_string(qv, ',') AS q_csv,
+           round(list_sum(list_transform(range(1, len(v) + 1),
+                 i -> (v[i] - qv[i] / scale) * (v[i] - qv[i] / scale)))
+                 / len(v), 6) AS mse
+    FROM q
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4x
+    storage/bandwidth cut every 100 TB vector corpus takes before ANN
+    serving: per-vector scale = 127/max|x|, q = round(x*scale), plus the
+    reconstruction MSE as the quality metric. All HOF expressions; the
+    quantized vector is rendered CSV for the hash gate (both engines
+    round() half-away-from-zero, and the corpus has no exact .5*scale
+    boundary values). nullif guards the all-zero vector (scale -> NULL
+    rather than a divide-by-zero), though unit-norm inputs can't hit it."""
+    vecs = _vecs(spark, sf_dir)
+    scale = F.lit(127.0) / F.nullif(
+        F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(0.0)
+    )
+    q = F.transform("v", lambda x: F.round(x * F.col("scale")).cast("int"))
+    err = lambda x, qx: (x - qx / F.col("scale")) * (x - qx / F.col("scale"))  # noqa: E731
+    return (
+        vecs.withColumn("scale", scale)
+        .withColumn("qv", q)
+        .select(
+            "vec_id",
+            F.round("scale", 6).alias("scale"),
+            F.array_join(F.transform("qv", lambda x: x.cast("string")), ",").alias(
+                "q_csv"
+            ),
+            F.round(
+                F.aggregate(
+                    F.zip_with("v", "qv", lambda x, qx: err(x, qx.cast("double"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.size("v"),
+                6,
+            ).alias("mse"),
+        )
+    )
