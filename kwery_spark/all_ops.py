@@ -21,6 +21,7 @@ from kwery_spark.operators import (
     text,
     tpch,
     udfs,
+    warehouse,
     windows,
 )
 from kwery_spark.functions import families

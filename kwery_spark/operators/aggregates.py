@@ -456,3 +456,49 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        CAST(coalesce(sum(CAST(floor(o_totalprice) AS BIGINT))
+                      FILTER (WHERE o_totalprice > 150000), 0) AS BIGINT)
+            AS high_value_total,
+        round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 6) AS avg_open,
+        count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
+            AS n_finished_custs
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregate family (SQL:2003): per-aggregate predicates
+    without exploding the query into self-joins. Spark parses the FILTER
+    clause natively; Catalyst folds each into a conditional partial
+    aggregate — one scan, one shuffle, regardless of how many filtered
+    aggregates ride along. The high-value checksum floors prices before
+    the BIGINT cast — Spark's double->bigint cast truncates but DuckDB's
+    ROUNDS, so the floor makes both exact."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("count(*) FILTER (WHERE o_orderstatus = 'F')").alias("n_finished"),
+            F.coalesce(
+                F.expr(
+                    "sum(CAST(floor(o_totalprice) AS BIGINT)) "
+                    "FILTER (WHERE o_totalprice > 150000)"
+                ),
+                F.lit(0).cast("long"),
+            ).alias("high_value_total"),
+            F.round(
+                F.expr("avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O')"), 6
+            ).alias("avg_open"),
+            F.expr(
+                "count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')"
+            ).alias("n_finished_custs"),
+        )
+    )

@@ -10,7 +10,7 @@ state, no driver logic.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from kwery_spark.catalog import table
 from kwery_spark.registry import register
@@ -109,4 +109,65 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         activity.join(cohort, "user_id")
         .groupBy("cohort_day", F.datediff("d", "cohort_day").alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                         > 1800000000
+                    OR lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    tagged AS (
+        SELECT user_id, event_id, ts,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+               AS duration_secs
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-minute inactivity gap): the lag-flag →
+    running-sum session-id assignment — the canonical windowed rewrite of
+    the per-user loop. One shuffle on user_id serves both windows and the
+    final aggregate; ties broken by event_id so ordering (and therefore
+    session boundaries) is fully deterministic. The streaming twin is
+    stream_session (session_window); this is the backfill/batch form."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap: second-truncated arithmetic would disagree
+    # with the oracle's interval comparison on sub-second boundaries
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_id", F.sum("new_sess").over(cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.floor(
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1_000_000
+            ).cast("long").alias("duration_secs"),
+        )
     )

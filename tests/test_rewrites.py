@@ -1,0 +1,80 @@
+"""Rewrite-invariance properties: distributed-friendly forms must be
+value-identical to their naive reference forms."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_threshold_pairs_salting_invariance(spark, sf_dir):
+    """Triangle-salted ε-join == plain label-blocked self-join, exactly
+    (every pair found once, same cosines)."""
+    from kwery_spark.operators.similarity import _vecs, dot
+
+    vecs = _vecs(spark, sf_dir)
+    plain = (
+        vecs.alias("a")
+        .join(
+            vecs.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot("a.v", "b.v"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+    want = {(r.vec_a, r.vec_b): r.cosine for r in plain.collect()}
+    got_rows = QUERIES["sim_threshold_pairs"](spark, sf_dir).collect()
+    got = {(r.vec_a, r.vec_b): r.cosine for r in got_rows}
+    assert len(got_rows) == len(got), "salted join produced duplicate pairs"
+    assert got == want
+
+
+def test_doc_chunking_reconstructs_documents(spark, sf_dir):
+    """Stride-56/size-64 chunks cover every token: concatenating each
+    chunk's first 56 tokens (all of the last chunk) rebuilds the doc, and
+    consecutive chunks overlap by exactly 8 tokens."""
+    chunks = QUERIES["doc_chunking"](spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        toks = docs[doc_id]
+        rebuilt: list[str] = []
+        for i, r in enumerate(rows):
+            ctoks = r.chunk_text.split(" ") if r.chunk_text else []
+            assert len(ctoks) == r.n_chunk_tokens
+            assert len(ctoks) <= 64
+            if i < len(rows) - 1 and len(ctoks) == 64:
+                # 8-token overlap with the next chunk
+                nxt = rows[i + 1].chunk_text.split(" ")
+                assert ctoks[56:] == nxt[: len(ctoks[56:])]
+            rebuilt.extend(ctoks if i == len(rows) - 1 else ctoks[:56])
+        assert rebuilt == toks, f"doc {doc_id} not reconstructed"
+
+
+def test_merge_upsert_action_accounting(spark, sf_dir):
+    """updated+unchanged == |target|, updated+inserted == |source|."""
+    o = table(spark, sf_dir, "orders")
+    n_target = o.filter(F.col("o_orderkey") <= 10000).count()
+    n_source = o.filter(F.col("o_orderkey").between(5000, 15000)).count()
+    rows = QUERIES["merge_upsert"](spark, sf_dir).collect()
+    by_action: dict[str, int] = {}
+    for r in rows:
+        by_action[r.action] = by_action.get(r.action, 0) + r.n_rows
+    assert by_action.get("updated", 0) + by_action.get("unchanged", 0) == n_target
+    assert by_action.get("updated", 0) + by_action.get("inserted", 0) == n_source
