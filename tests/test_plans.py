@@ -86,3 +86,38 @@ def test_bucketed_join_has_no_shuffle_before_agg(spark, sf_dir):
     df = _q("sink_bucketed")(spark, sf_dir)
     assert inspect.shuffle_count(df) <= 1, inspect.formatted_plan(df)
     assert "SortMergeJoin" in inspect.formatted_plan(df)
+
+
+def test_decontaminate_is_equi_join_no_cartesian(spark, sf_dir):
+    # gram-hash equi-join: the plan must contain hash/merge joins only —
+    # a nested-loop/cartesian here would mean the gram blocking broke
+    df = _q("dedup_decontaminate")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_merge_upsert_joins_on_key(spark, sf_dir):
+    # MERGE core: full-outer join must stay a shuffle/sort-merge or hash
+    # join on the key — never nested-loop
+    df = _q("merge_upsert")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join FullOuter" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_scd2_windows_share_one_user_shuffle(spark, sf_dir):
+    # lag-flag, cumsum, and collapse all partition by o_custkey: Catalyst
+    # should reuse the partitioning instead of re-exchanging per window
+    df = _q("scd2_dimension")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 2, inspect.formatted_plan(df)
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    df = _q("events_sessionize")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 2, inspect.formatted_plan(df)
+
+
+def test_chunking_no_shuffle(spark, sf_dir):
+    # per-doc chunk explosion is narrow: zero exchanges
+    df = _q("doc_chunking")(spark, sf_dir)
+    assert inspect.shuffle_count(df) == 0, inspect.formatted_plan(df)
