@@ -10,7 +10,7 @@ aggregate; approx_count_distinct (HyperLogLog++) is the constant-memory
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 from kwery_spark.catalog import table
@@ -502,3 +502,49 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_finished_custs"),
         )
     )
+
+
+@register(
+    "agg_median_mode",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority, round(median(o_totalprice), 6) AS median_price
+        FROM orders GROUP BY o_orderpriority
+    ),
+    c AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    m AS (
+        SELECT o_orderpriority, o_orderstatus AS mode_status,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY n DESC, o_orderstatus) AS rn
+        FROM c
+    )
+    SELECT med.o_orderpriority, med.median_price, m.mode_status
+    FROM med JOIN m ON med.o_orderpriority = m.o_orderpriority AND m.rn = 1
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (exact interpolated — Spark median() ≡ DuckDB median ≡
+    quantile_cont 0.5) plus a DETERMINISTIC mode: the builtin mode() in
+    both engines picks an arbitrary value on ties, so the mode is
+    computed as argmax over (count DESC, value ASC) — same single-shuffle
+    cost, reproducible answer. Both branches group on the same key, so
+    AQE coalesces them onto one exchange footprint."""
+    o = table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 6).alias("median_price")
+    )
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), "o_orderstatus"
+    )
+    m = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", F.col("o_orderstatus").alias("mode_status"))
+    )
+    return med.join(m, "o_orderpriority")
