@@ -121,3 +121,20 @@ def test_chunking_no_shuffle(spark, sf_dir):
     # per-doc chunk explosion is narrow: zero exchanges
     df = _q("doc_chunking")(spark, sf_dir)
     assert inspect.shuffle_count(df) == 0, inspect.formatted_plan(df)
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    # directory-level partition pruning: a segment filter over the
+    # partitionBy(c_mktsegment) layout must land in PartitionFilters, not
+    # a post-scan Filter over all partitions
+    from kwery_spark.sources.scans import _scratch
+
+    _q("sink_partitioned")(spark, sf_dir).collect()  # materialize the layout
+    out = _scratch("parquet", "customer_by_segment")
+    df = (
+        spark.read.parquet(out)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    plan = inspect.formatted_plan(df)
+    assert "PartitionFilters" in plan and "BUILDING" in plan, plan
