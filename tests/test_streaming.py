@@ -115,3 +115,66 @@ def test_watermark_drops_late_rows(spark):
     # hour-0 was emitted with 2 events — the late 3rd was dropped
     assert [(r["wstart"], r["n"]) for r in rows if r["wstart"] == t0] == [(t0, 2)], rows
     assert dropped == 1, (dropped, rows)
+
+
+def test_checkpoint_incremental_across_runs(spark):
+    """Exactly-once incremental ingest: run 1 (availableNow) processes
+    file A into a foreachBatch parquet sink; file B arrives; run 2 with
+    the SAME checkpoint processes ONLY B (no reprocessing of A), and the
+    summed sink equals the batch ground truth over A+B."""
+    import time
+
+    base = os.path.join(SCRATCH, f"incr_{uuid.uuid4().hex[:8]}")
+    src, ckpt, out = (os.path.join(base, d) for d in ("src", "ckpt", "out"))
+    os.makedirs(src)
+    t0 = 1_700_000_000
+    _write_batch(src, "a.parquet", [(t0, "view"), (t0 + 60, "view"), (t0 + 120, "click")])
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+        def write_batch(batch_df, batch_id):
+            (
+                batch_df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_partial"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(out)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sum(p.get("numInputRows", 0) for p in q.recentProgress)
+
+    rows_run1 = run_once()
+    time.sleep(1.1)
+    _write_batch(src, "b.parquet", [(t0 + 180, "view"), (t0 + 240, "purchase")])
+    rows_run2 = run_once()
+
+    assert rows_run1 == 3, rows_run1
+    assert rows_run2 == 2, rows_run2  # ONLY the new file — no reprocessing
+    # dedupe partials per (batch_id, event_type) like stream_foreach_batch,
+    # then totals must equal the batch ground truth over A+B
+    got = {
+        r["event_type"]: r["n"]
+        for r in (
+            spark.read.parquet(out)
+            .groupBy("batch_id", "event_type")
+            .agg(F.max("n_partial").alias("n_partial"))
+            .groupBy("event_type")
+            .agg(F.sum("n_partial").alias("n"))
+            .collect()
+        )
+    }
+    shutil.rmtree(base, ignore_errors=True)
+    assert got == {"view": 3, "click": 1, "purchase": 1}, got
