@@ -548,3 +548,41 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", F.col("o_orderstatus").alias("mode_status"))
     )
     return med.join(m, "o_orderpriority")
+
+
+@register(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_custs,
+           true AS estimate_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch aggregation (hll_sketch_agg, Spark >= 3.5): the
+    MERGEABLE distinct-count path — partial sketches combine across
+    partitions/days without re-scanning raw data, which is how a 100 TB
+    pipeline maintains rolling cardinalities (store the sketch, union
+    later). The sketch estimate is engine-specific, so the hash gate
+    carries the exact distinct count (oracle recomputes) plus a
+    Spark-side assertion that the sketch lands within 5% of exact."""
+    est = F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 14))")
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_custs"),
+            est.alias("est"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_custs",
+            (
+                F.abs(F.col("est") - F.col("exact_custs"))
+                / F.col("exact_custs")
+                <= 0.05
+            ).alias("estimate_within_5pct"),
+        )
+    )

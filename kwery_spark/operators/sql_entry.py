@@ -56,3 +56,31 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-planned but executes as ordinary unioned stages."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.rnk
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice,
+               CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                    AS BIGINT) AS rnk
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+    WHERE c.c_custkey <= 500
+"""
+
+
+@register("sql_lateral", oracle=_LATERAL_SQL)
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (top-2 orders per customer), submitted as
+    SQL text. Catalyst decorrelates the lateral subquery into a
+    window-ranked join rather than re-executing it per outer row — the
+    decorrelation that makes LATERAL usable at 100 TB. Identical text
+    runs in the DuckDB oracle (both dialects accept comma + LATERAL)."""
+    for name in ("customer", "orders"):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_LATERAL_SQL)
