@@ -49,6 +49,35 @@ SQLS = [
     """SELECT a FROM t1 INTERSECT ALL SELECT a FROM t2""",
     # distinct + order-insensitive compare
     """SELECT DISTINCT a, b FROM t1""",
+    # SQL:2003 FILTER-clause aggregates (r2 surface)
+    """SELECT b, count(*) FILTER (WHERE c > 0) AS n_pos,
+              sum(c) FILTER (WHERE a % 2 = 0) AS even_sum
+       FROM t1 GROUP BY b""",
+    # distribution ranks: tie-stable within peer groups, total tiebreak
+    # otherwise (NULLS FIRST spelled out — Spark defaults NULLS FIRST on
+    # ASC, DuckDB NULLS LAST)
+    """SELECT a, b,
+              CAST(row_number() OVER (PARTITION BY b ORDER BY a, c) AS BIGINT)
+                  AS rn,
+              round(cume_dist() OVER (PARTITION BY b ORDER BY a, c), 6) AS cd,
+              round(percent_rank() OVER (PARTITION BY b ORDER BY a, c), 6) AS pr
+       FROM t1""",
+    # gaps-and-islands running flag-sum (scd2/sessionize core); total
+    # order so only full-duplicate rows tie
+    """SELECT a, c,
+              CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END)
+                   OVER (ORDER BY a, c, b ASC NULLS FIRST
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS flag_cum
+       FROM t1""",
+    # FULL JOIN + action classification (merge_upsert core shape)
+    """SELECT coalesce(t1.a, t2.a) AS k, t1.b AS b, t2.d AS d,
+              CASE WHEN t1.a IS NOT NULL AND t2.a IS NOT NULL THEN 'both'
+                   WHEN t1.a IS NOT NULL THEN 'left' ELSE 'right' END AS side
+       FROM t1 FULL JOIN t2 ON t1.a = t2.a""",
+    # correlated LATERAL with a totally-ordered LIMIT
+    """SELECT t2.a AS a, t2.d AS d, x.c AS c
+       FROM t2, LATERAL (SELECT c FROM t1 WHERE t1.a = t2.a
+                         ORDER BY c, b ASC NULLS FIRST LIMIT 1) x""",
 ]
 
 
