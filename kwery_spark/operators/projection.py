@@ -218,3 +218,43 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: distinct is a shuffle on all projected columns; project first
     (2 narrow columns) so the exchange stays small."""
     return table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+               AS n_high_value,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via df.observe(): named accumulator metrics
+    (row count, quality counter, checksum) ride the normal execution —
+    zero extra scans, zero extra shuffles — and surface after the action.
+    This is how a 100 TB pipeline gets per-stage data-quality counters
+    for free instead of re-running audit queries. The returned DataFrame
+    is the observed metrics row; the oracle recomputes the same metrics
+    relationally."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    df = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_high_value"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    df.write.format("noop").mode("overwrite").save()  # the pipeline action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_high_value"], m["total_price"])],
+        "n_rows bigint, n_high_value bigint, total_price double",
+    )
