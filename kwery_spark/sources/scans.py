@@ -292,3 +292,81 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal", "file_version"
     )
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read-back: the second columnar format every multi-tool
+    lake runs alongside parquet. Values round-trip losslessly (int /
+    double / string), so the aggregate over the ORC copy must equal the
+    oracle's aggregate over the parquet original — format conversion is
+    value-checked end-to-end, not just 'it read something'."""
+    out = _scratch("orc", "orders")
+    table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT CAST(doc_id % 5 AS BIGINT) AS shard,
+           count(*) AS n_files,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           min(md5(text)) AS min_md5
+    FROM documents WHERE doc_id < 50
+    GROUP BY doc_id % 5
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source: the real ingestion path for media assets — each
+    file becomes (path, modificationTime, length, content binary). Stages
+    the first 50 documents as .bin files once, reads them back through
+    the binaryFile reader, and shards by the doc id parsed from the
+    filename. Content integrity is value-checked via per-shard byte
+    totals and an md5 over the bytes (pure-ASCII payloads, so the oracle
+    mirrors on varchar). At 100 TB this reader streams object-store
+    listings in parallel and never materializes payloads on the driver."""
+    stage = _scratch("binfiles", os.path.basename(sf_dir.rstrip("/")), "_dir")
+    stage_dir = os.path.dirname(stage)
+    marker = os.path.join(stage_dir, "_SUCCESS_STAGED")
+    if not os.path.exists(marker):
+        rows = (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 50)
+            .select("doc_id", "text")
+            .collect()  # 50 tiny rows, one-time fixture staging only
+        )
+        for r in rows:
+            with open(os.path.join(stage_dir, f"doc_{r.doc_id}.bin"), "wb") as f:
+                f.write(r.text.encode())
+        with open(marker, "w") as f:
+            f.write("ok")
+    doc_id = F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1).cast("long")
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(stage_dir)
+        .select(doc_id.alias("doc_id"), "content")
+        .groupBy((F.col("doc_id") % 5).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.length("content").cast("long")).alias("total_bytes"),
+            F.min(F.md5("content")).alias("min_md5"),
+        )
+    )
