@@ -335,3 +335,38 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
         F.sum(F.col("o_orderkey").bitwiseAND(F.lit(15))).alias("low_nibble_sum"),
     )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT c_custkey,
+           CAST(to_json(struct_pack(id := CAST(c_custkey AS BIGINT),
+                               segment := c_mktsegment,
+                               nation := CAST(c_nationkey AS INTEGER)))
+                AS VARCHAR) AS as_json,
+           c_mktsegment AS seg_from_struct,
+           CAST(c_nationkey AS INTEGER) AS nation_from_struct
+    FROM customer
+    WHERE c_custkey <= 300
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: build a nested struct from columns, read fields
+    back, and serialize to JSON — the nested-record surface (§2.8).
+    to_json output is byte-identical across engines for int/string
+    fields (minified, insertion-ordered); doubles are kept OUT of the
+    JSON payload deliberately — float-to-text formatting is the one
+    place the engines' renderers may disagree."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    s = F.struct(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("int").alias("nation"),
+    )
+    return c.select(
+        "c_custkey",
+        F.to_json(s).alias("as_json"),
+        s.getField("segment").alias("seg_from_struct"),
+        s.getField("nation").alias("nation_from_struct"),
+    )

@@ -586,3 +586,30 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("estimate_within_5pct"),
         )
     )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money aggregation: cast to DECIMAL(18,2) BEFORE summing, so
+    the result is identical regardless of partitioning or summation order
+    — the property float sums cannot give and the reason financial
+    pipelines aggregate decimals. (Both engines round the double->decimal
+    cast to nearest, and decimal addition is exact; the hash gate needs
+    no rounding at all, unlike every float aggregate in this repo.)"""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
