@@ -499,3 +499,38 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT nullif(o_orderstatus, 'P') AS k, count(*) AS n_a
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT nullif(o_orderstatus, 'F') AS k, count(*) AS n_b
+        FROM orders GROUP BY 1
+    )
+    SELECT a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics data-repair
+    and change-capture joins need. Still a hash-partitionable equi-join
+    (null-safe equality hashes NULL to a regular bucket), so unlike an
+    OR-based null workaround it never degrades to nested-loop."""
+    o = table(spark, sf_dir, "orders")
+    a = (
+        o.select(F.nullif("o_orderstatus", F.lit("P")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        o.select(F.nullif("o_orderstatus", F.lit("F")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"], "n_a", "n_b")

@@ -293,3 +293,38 @@ def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "win_distinct_running",
+    oracle="""
+    SELECT e1.user_id, e1.event_id,
+           CAST((SELECT count(DISTINCT e2.event_type)
+                 FROM events e2
+                 WHERE e2.user_id = e1.user_id
+                   AND (e2.ts < e1.ts
+                        OR (e2.ts = e1.ts AND e2.event_id <= e1.event_id)))
+                AS INTEGER) AS distinct_types_so_far
+    FROM events e1
+    WHERE e1.user_id <= 50
+    """,
+)
+def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count per user — a surface SQL engines disagree
+    on: COUNT(DISTINCT) OVER is illegal in both Spark and DuckDB, so the
+    engine-correct rewrite is size(collect_set() OVER (... ROWS
+    UNBOUNDED PRECEDING)): one shuffle on user_id, set state bounded by
+    the attribute's cardinality (5 event types — constant memory per
+    row at any scale). The oracle expresses the same thing as a
+    correlated subquery, which DuckDB decorrelates."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("distinct_types_so_far"),
+    )
