@@ -323,3 +323,120 @@ def pipeline_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(F.split("text", " ")).cast("long")).alias("tokens_kept"),
         )
     )
+
+
+@register(
+    "pipeline_pretraining_corpus",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, text,
+               str_split(lower(text), ' ') AS t,
+               len(str_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    bench_grams AS (
+        SELECT DISTINCT md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS gh
+        FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        WHERE doc_id % 97 = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(t) - 6),
+                            i -> md5(array_to_string(list_slice(t, i, i + 7), ' '))))
+                         AS gh
+              FROM toks WHERE doc_id % 97 <> 0) g
+        JOIN bench_grams USING (gh)
+    ),
+    clean AS (
+        SELECT tk.* FROM toks tk
+        WHERE tk.doc_id % 97 <> 0
+          AND tk.doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND tk.n_tokens BETWEEN 5 AND 1000
+          AND CAST(len(list_distinct(str_split(tk.text, ' '))) AS DOUBLE)
+                / tk.n_tokens > 0.2
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                ORDER BY doc_id) AS cr
+            FROM clean)
+        WHERE cr = 1
+    ),
+    sampled AS (
+        SELECT *,
+               CASE CAST(substring(source, 4) AS INTEGER) % 4
+                    WHEN 0 THEN 'ff' WHEN 1 THEN '80'
+                    WHEN 2 THEN '40' ELSE '1a' END AS threshold
+        FROM deduped
+    )
+    SELECT source,
+           count(*) AS docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(sum(len(range(1, n_tokens + 1, 56))) AS BIGINT) AS chunks_kept
+    FROM sampled
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= threshold
+    GROUP BY source
+    """,
+)
+def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end corpus build, composed from this package's
+    operators as ONE declarative plan: benchmark decontamination (8-gram
+    overlap vs the held-out set) → quality gate (token count +
+    type-token ratio) → exact-dedup keeper (min doc_id per canonical
+    md5) → deterministic per-source mixture sampling → chunk/token
+    accounting (stride-56 chunking arithmetic). Catalyst fuses the
+    stages; the only shuffles are the gram-hash join, the dedup hash,
+    and the final per-source aggregate — every one on a bounded or
+    hash-distributed key, so the composition inherits each stage's
+    100 TB story. The oracle replays the whole pipeline as a CTE chain."""
+    docs = table(spark, sf_dir, "documents")
+    ltoks = F.split(F.lower("text"), " ")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    grams = F.when(
+        F.size(ltoks) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ltoks) - 7),
+            lambda i: F.md5(F.array_join(F.slice(ltoks, i, 8), " ").cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams).alias("gh"))
+    bench = g.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    contaminated = (
+        g.filter(F.col("doc_id") % 97 != 0).join(bench, "gh").select("doc_id").distinct()
+    )
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    canon = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    src_idx = F.substring("source", 4, 10).cast("int")
+    threshold = (
+        F.when(src_idx % 4 == 0, "ff")
+        .when(src_idx % 4 == 1, "80")
+        .when(src_idx % 4 == 2, "40")
+        .otherwise("1a")
+    )
+    w = Window.partitionBy("chash").orderBy("doc_id")
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .filter(n_tokens.between(5, 1000) & (ttr > 0.2))
+        .select(
+            "doc_id", "source", canon.alias("chash"),
+            n_tokens.alias("n_tokens"), threshold.alias("threshold"),
+        )
+        .withColumn("cr", F.row_number().over(w))
+        .filter(F.col("cr") == 1)
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            <= F.col("threshold")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum(F.col("n_tokens").cast("long")).alias("tokens_kept"),
+            F.sum(
+                F.size(F.sequence(F.lit(1), F.col("n_tokens"), F.lit(56))).cast("long")
+            ).alias("chunks_kept"),
+        )
+    )
