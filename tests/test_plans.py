@@ -138,3 +138,13 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
     )
     plan = inspect.formatted_plan(df)
     assert "PartitionFilters" in plan and "BUILDING" in plan, plan
+
+
+def test_pretraining_corpus_shuffle_budget(spark, sf_dir):
+    # flagship composition: gram join + dedup hash + final agg (+ AQE
+    # bookkeeping) — must not balloon into per-stage re-exchanges or
+    # fall back to a cartesian
+    df = _q("pipeline_pretraining_corpus")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert inspect.shuffle_count(df) <= 6, inspect.formatted_plan(df)

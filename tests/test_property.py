@@ -213,3 +213,56 @@ def test_bucketed_range_join_equals_naive(spark, duck, rows, tmp_path_factory):
     assert norm_rows(got.columns, [tuple(r) for r in got.collect()]) == norm_rows(
         list(rel.columns), rel.fetchall()
     )
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24), min_size=1, max_size=8
+)
+
+
+@given(texts=TEXTS)
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hof_string_pipelines_match_duckdb(spark, duck, texts):
+    """The HOF machinery most oracles lean on — split, distinct+sort+join,
+    slice+join, length filter, md5'd n-grams — must agree between Spark's
+    array functions and DuckDB's list functions on arbitrary (messy,
+    multi-space, empty) strings."""
+    p = pd.DataFrame({"i": range(len(texts)), "s": texts}).astype(
+        {"i": "int64", "s": "object"}
+    )
+    spark.createDataFrame(p, "i long, s string").createOrReplaceTempView("tt")
+    duck.register("tt", p)
+    spark_sql = """
+      SELECT i,
+             size(split(s, ' ')) AS n_tok,
+             array_join(array_sort(array_distinct(split(s, ' '))), '|') AS vocab,
+             array_join(slice(split(s, ' '), 1, 2), '|') AS first2,
+             coalesce(array_join(filter(split(s, ' '), t -> length(t) > 1), '|'), '')
+                 AS long_toks,
+             CASE WHEN size(split(s, ' ')) >= 2
+                  THEN md5(CAST(array_join(slice(split(s, ' '), 1, 2), ' ') AS BINARY))
+                  ELSE '' END AS gram_md5
+      FROM tt
+    """
+    duck_sql = """
+      SELECT i,
+             CAST(len(str_split(s, ' ')) AS INTEGER) AS n_tok,
+             array_to_string(list_sort(list_distinct(str_split(s, ' '))), '|') AS vocab,
+             array_to_string(list_slice(str_split(s, ' '), 1, 2), '|') AS first2,
+             coalesce(array_to_string(list_filter(str_split(s, ' '),
+                                                  t -> len(t) > 1), '|'), '')
+                 AS long_toks,
+             CASE WHEN len(str_split(s, ' ')) >= 2
+                  THEN md5(array_to_string(list_slice(str_split(s, ' '), 1, 2), ' '))
+                  ELSE '' END AS gram_md5
+      FROM tt
+    """
+    sdf = spark.sql(spark_sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(duck_sql)
+    assert norm_rows(sdf.columns, srows) == norm_rows(list(rel.columns), rel.fetchall())
