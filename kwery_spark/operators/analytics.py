@@ -171,3 +171,74 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("duration_secs"),
         )
     )
+
+
+@register(
+    "events_gapfill",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               count(*) AS n, round(avg(value), 6) AS avg_v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h0,
+               max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+        FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+    )
+    SELECT s.event_type, s.h AS bucket,
+           CAST(coalesce(hh.n, 0) AS BIGINT) AS n_events,
+           coalesce(hh.n, 0) > 0 AS observed,
+           last_value(hh.avg_v IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.h
+               ROWS UNBOUNDED PRECEDING) AS avg_value_locf
+    FROM spine s LEFT JOIN hourly hh ON s.event_type = hh.event_type AND s.h = hh.h
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (time_bucket_gapfill parity): build the
+    dense hourly spine between the corpus bounds for every event type,
+    left-join observed buckets, zero-fill counts, and carry the last
+    observed hourly average forward (LOCF) into the gaps. The spine is
+    generated from ONE min/max aggregate (a scalar, broadcast into the
+    tiny type×hour cross), so at 100 TB the dense spine costs
+    |types| × |hours| rows, never a scan. Averages are rounded BEFORE
+    the carry so both engines forward identical values."""
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(F.col("event_type"), hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_v")
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("bucket"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            (F.coalesce("n", F.lit(0)) > 0).alias("observed"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("avg_value_locf"),
+        )
+    )
