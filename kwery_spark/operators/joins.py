@@ -534,3 +534,59 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_b"))
     )
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["k"], "n_a", "n_b")
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) AS s,
+               CAST(o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY AS e
+        FROM orders
+    )
+    SELECT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           CAST(datediff('day',
+                         greatest(a.s, b.s),
+                         least(a.e, b.e)) AS BIGINT) AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: each order opens a 7-day validity
+    window; find overlapping window pairs per customer. The equi-key
+    (customer) carries the shuffle — the overlap predicate is a residual
+    on an already-blocked pair space whose size is bounded by orders-per-
+    customer (~10 at any TPC-H SF), so the quadratic term never scales
+    with the corpus. For interval sets WITHOUT a natural block key, the
+    join_range time-bucket rewrite applies (bucket by chunk, probe
+    adjacent chunks)."""
+    o = table(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+            F.datediff(
+                F.least("a.e", "b.e").cast("date"),
+                F.greatest("a.s", "b.s").cast("date"),
+            ).cast("long").alias("overlap_days"),
+        )
+    )
