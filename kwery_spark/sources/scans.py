@@ -370,3 +370,71 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5("content")).alias("min_md5"),
         )
     )
+
+
+@register(
+    "scan_corrupt_tolerant",
+    oracle="""
+    SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
+           count(*) FILTER (WHERE doc_id % 50 <> 0) AS n_good,
+           count(*) FILTER (WHERE doc_id % 50 = 0) AS n_corrupt,
+           CAST(coalesce(sum(n_chars) FILTER (WHERE doc_id % 50 <> 0), 0)
+                AS BIGINT) AS chars_good
+    FROM documents WHERE doc_id < 400
+    GROUP BY doc_id % 4
+    """,
+)
+def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant ingestion: JSON-lines input where every 50th
+    record is deliberately malformed (truncated mid-object), read in
+    PERMISSIVE mode with `columnNameOfCorruptRecord` — bad rows land in
+    the quarantine column instead of failing the job, the production
+    posture for 100 TB feeds where a fraction of inputs is always broken.
+    The derived file is regenerated deterministically from `documents`,
+    so the oracle computes good/corrupt accounting straight from the
+    source table. FAILFAST/DROPMALFORMED are the same reader one option
+    away; the quarantine column is what lets a pipeline both proceed AND
+    audit."""
+    import json
+
+    rows = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "n_chars")
+        .collect()  # <=400 tiny rows, one-time deterministic fixture staging
+    )
+    path = _scratch("json_corrupt", os.path.basename(sf_dir.rstrip("/")) + ".jsonl")
+    with open(path, "w") as f:
+        for r in sorted(rows, key=lambda r: r.doc_id):
+            line = json.dumps({"doc_id": r.doc_id, "n_chars": r.n_chars})
+            if r.doc_id % 50 == 0:
+                line = line[: len(line) // 2]  # truncate mid-object → corrupt
+            f.write(line + "\n")
+    schema = "doc_id long, n_chars long, _bad string"
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    # corrupt rows: _bad holds the raw line; recover the doc id from it
+    # so quarantined records stay attributable
+    rec_id = F.coalesce(
+        F.col("doc_id"),
+        F.regexp_extract(F.col("_bad"), r'"doc_id": (\d+)', 1).cast("long"),
+    )
+    return (
+        parsed.select(
+            rec_id.alias("rid"),
+            F.col("_bad").isNotNull().alias("is_corrupt"),
+            "n_chars",
+        )
+        .groupBy((F.col("rid") % 4).alias("shard"))
+        .agg(
+            F.count(F.when(~F.col("is_corrupt"), 1)).alias("n_good"),
+            F.count(F.when(F.col("is_corrupt"), 1)).alias("n_corrupt"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_corrupt"), F.col("n_chars"))), F.lit(0)
+            ).cast("long").alias("chars_good"),
+        )
+    )
