@@ -613,3 +613,33 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bin,
+           CAST(least(floor(o_totalprice / 50000), 9) * 50000 AS DOUBLE) AS bin_lo,
+           count(*) AS n,
+           round(avg(o_totalprice), 6) AS bin_avg
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram ($50k bins, top-capped at bin 9): the
+    profiling aggregate every engine ships as width_bucket/histogram.
+    Expressed as a computed-key groupBy, it partial-aggregates map-side —
+    at 100 TB the shuffle carries ≤10 rows per partition, never raw
+    values."""
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            bin_.alias("bin"), (bin_ * 50000).cast("double").alias("bin_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 6).alias("bin_avg"),
+        )
+    )

@@ -575,3 +575,48 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mse"),
         )
     )
+
+
+@register(
+    "sim_maxsim",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE label = 0),
+    best AS (
+        SELECT d.label, q.q_id,
+               max(round(list_dot_product(d.v, q.qv), 6)) AS best_dot
+        FROM v d CROSS JOIN q
+        WHERE d.label <> 0
+        GROUP BY d.label, q.q_id
+    )
+    SELECT label, round(sum(best_dot), 6) AS maxsim_score,
+           count(*) AS n_query_vecs
+    FROM best
+    GROUP BY label
+    """,
+)
+def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT-style MaxSim): treat each
+    label's vectors as one document's token embeddings and label 0 as the
+    query's; score(doc) = Σ over query vectors of the best dot against
+    any doc vector. The query side is tiny and broadcast; the per-(doc,
+    query-vector) max is a partial aggregate, so the plan is one scan +
+    one bounded shuffle — the shape that scales MaxSim to a corpus: block
+    by candidate set (here: label), never all-pairs. Dots round to 6dp
+    BEFORE max/sum so tie-breaks and totals match the oracle exactly."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return (
+        vecs.filter(F.col("label") != 0)
+        .crossJoin(broadcast(q))
+        .groupBy("label", "q_id")
+        .agg(F.max(F.round(dot("v", "qv"), 6)).alias("best_dot"))
+        .groupBy("label")
+        .agg(
+            F.round(F.sum("best_dot"), 6).alias("maxsim_score"),
+            F.count(F.lit(1)).alias("n_query_vecs"),
+        )
+    )

@@ -344,3 +344,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(F.array_distinct(hashes)), 1, 4), ","
         ).alias("fingerprint"),
     )
+
+
+@register(
+    "text_perplexity_proxy",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t FROM documents
+    ),
+    uni AS (
+        SELECT t, count(*) AS c FROM tok GROUP BY t
+    ),
+    n AS (SELECT count(*) AS total FROM tok)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(-ln(CAST(c AS DOUBLE) / total)), 6) AS avg_neg_logp
+    FROM tok JOIN uni USING (t) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: average -ln p(token) under
+    the corpus's own unigram distribution — the cheap perplexity proxy
+    data-filtering pipelines use to drop gibberish (high score) and
+    boilerplate (low score). One explode, one count shuffle, one join
+    back; the total-token count is a scalar broadcast. At 100 TB the
+    unigram table is the only state and it is vocabulary-sized."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()  # scalar corpus size (one job; broadcast as literal)
+    return (
+        tok.join(uni, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c").cast("double") / F.lit(float(total)))), 6
+            ).alias("avg_neg_logp"),
+        )
+    )
