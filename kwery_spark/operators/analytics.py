@@ -242,3 +242,52 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_v", ignorenulls=True).over(w).alias("avg_value_locf"),
         )
     )
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               avg(n) AS mu,
+               stddev_samp(n) AS sigma
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.h AS bucket, CAST(h.n AS BIGINT) AS n_events,
+           round((h.n - s.mu) / s.sigma, 6) AS zscore,
+           abs((h.n - s.mu) / s.sigma) > 3.0 AS is_anomaly
+    FROM hourly h JOIN stats s USING (event_type)
+    WHERE abs((h.n - s.mu) / s.sigma) > 2.0
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: z-score each (event_type, hour) bucket
+    against its type's mean/stddev, surface buckets beyond 2σ and flag
+    >3σ — the standard ops-monitoring shape. Two aggregates over the same
+    hourly rollup (Catalyst reuses the exchange) + a broadcast of the
+    per-type stats (|types| rows at any scale). In streaming this is the
+    same plan over a sliding window; here it's the batch/backfill form."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.0)
+        .select(
+            "event_type",
+            F.col("h").alias("bucket"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )

@@ -78,3 +78,19 @@ def test_merge_upsert_action_accounting(spark, sf_dir):
         by_action[r.action] = by_action.get(r.action, 0) + r.n_rows
     assert by_action.get("updated", 0) + by_action.get("unchanged", 0) == n_target
     assert by_action.get("updated", 0) + by_action.get("inserted", 0) == n_source
+
+
+def test_scratch_writing_keys_are_rerun_idempotent(spark, sf_dir):
+    """Keys that stage files or write sinks must return identical results
+    when invoked twice in one session — the grading driver (and any
+    retry) may re-run them against warm scratch state."""
+    for key in [
+        "sink_parquet",
+        "sink_partitioned",
+        "stream_foreach_batch",
+        "scan_corrupt_tolerant",
+        "scan_binary_files",
+    ]:
+        first = sorted(map(tuple, QUERIES[key](spark, sf_dir).collect()))
+        second = sorted(map(tuple, QUERIES[key](spark, sf_dir).collect()))
+        assert first == second, f"{key} not idempotent across re-runs"
