@@ -643,3 +643,31 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 6).alias("bin_avg"),
         )
     )
+
+
+@register(
+    "agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+               AS qty_weighted_price,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_weight
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (Σwx/Σw): the aggregation shape behind blended
+    prices, weighted quality scores, and mixture statistics. Two partial
+    sums + ONE final division — numerator and denominator are exact sums
+    of products of integral-valued doubles, so the result is stable under
+    any summation order before the 6dp round."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            6,
+        ).alias("qty_weighted_price"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_weight"),
+    )

@@ -291,3 +291,46 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.0).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "events_pattern_adjacent",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_patterns,
+           min(ts) AS first_match_ts
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def events_pattern_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern matching (MATCH_RECOGNIZE-style, which neither
+    engine parses): find STRICTLY ADJACENT view→click→purchase runs per
+    user via a lead()-chain — unlike events_funnel, no other event may
+    intervene. One shuffle on user_id serves the window and the
+    aggregate; ties broken by event_id so adjacency is deterministic.
+    Longer patterns are more lead() columns, not more shuffles."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("t1", F.lead("event_type", 1).over(w))
+        .withColumn("t2", F.lead("event_type", 2).over(w))
+        .filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_patterns"),
+            F.min("ts").alias("first_match_ts"),
+        )
+    )
