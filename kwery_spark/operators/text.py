@@ -384,3 +384,60 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logp"),
         )
     )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS toks,
+               len(str_split(text, ' ')) AS n
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, n,
+               list_transform(range(1, greatest(n - 1, 1)),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS tri
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(tri) AS INTEGER) AS n_trigrams,
+           CAST(len(list_distinct(tri)) AS INTEGER) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)
+                       / nullif(len(tri), 0), 6) AS dup_trigram_frac,
+           round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)
+                       / nullif(len(tri), 0), 6) > 0.2 AS fails_repetition_gate
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (Gopher-style): the duplicate
+    word-trigram fraction — boilerplate and degenerate generations repeat
+    phrases, clean prose doesn't. Pure per-row HOF arithmetic (no explode,
+    no shuffle): each doc computes its own trigram multiset and distinct
+    count inline, so the op is embarrassingly parallel and adds ZERO
+    exchanges to a curation pipeline that composes it."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n = F.size(F.split("text", " "))
+    # docs under 3 tokens have no trigrams (mirrors the oracle's empty
+    # range — Spark's sequence() would otherwise fabricate one)
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_frac = F.round(
+        1.0 - F.size(F.array_distinct(tri)).cast("double")
+        / F.nullif(F.size(tri), F.lit(0)),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(tri).alias("n_trigrams"),
+        F.size(F.array_distinct(tri)).alias("n_distinct"),
+        dup_frac.alias("dup_trigram_frac"),
+        (dup_frac > 0.2).alias("fails_repetition_gate"),
+    )
