@@ -671,3 +671,44 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_weighted_price"),
         F.sum(F.col("l_quantity").cast("long")).alias("total_weight"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                AS BIGINT) AS gid,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping()/grouping_id() over ROLLUP: the marker that separates
+    'subtotal row' from 'NULL data value' — without it, rollup output is
+    ambiguous whenever the grouped column itself can be NULL. gid is the
+    bitmask form (Spark's grouping_id() ≡ the oracle's re-derived
+    grouping()*2+grouping()); labels coalesce to '<all>' on total rows
+    in both engines."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.col("g_status").cast("int").alias("g_status"),
+            F.col("g_priority").cast("int").alias("g_priority"),
+            "gid",
+            "n",
+        )
+    )

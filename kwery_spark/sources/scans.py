@@ -438,3 +438,32 @@ def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("chars_good"),
         )
     )
+
+
+@register(
+    "sink_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_cust,
+           CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS bal_floor_sum
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write + schema'd read-back — the interchange format every
+    external consumer still asks for. Doubles survive the text round-trip
+    (Spark prints shortest-repr, reads it back to the identical double),
+    but the checksum floors before summing anyway so the gate never
+    depends on float-to-text corner cases."""
+    out = _scratch("csv_rt", "customer")
+    table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).write.mode("overwrite").option("header", "true").csv(out)
+    back = (
+        spark.read.schema("c_custkey long, c_mktsegment string, c_acctbal double")
+        .option("header", "true")
+        .csv(out)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.floor("c_acctbal").cast("long")).alias("bal_floor_sum"),
+    )
