@@ -109,3 +109,34 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_or_null, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY nullif(o_orderstatus, 'P') ASC NULLS FIRST,
+             o_totalprice DESC NULLS LAST,
+             o_orderkey
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in sorts: Spark defaults NULLS FIRST on
+    ASC, DuckDB defaults NULLS LAST — silent cross-engine divergence
+    unless spelled out (this repo's differential fuzzer pins the same
+    rule). asc_nulls_first/desc_nulls_last make the contract explicit;
+    the trailing unique key makes the whole order total, so the sorted
+    result is byte-stable. Global sorts range-partition at scale — fine
+    here because the output is the deliverable."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("P")).alias("status_or_null"),
+        "o_totalprice",
+    ).orderBy(
+        F.col("status_or_null").asc_nulls_first(),
+        F.col("o_totalprice").desc_nulls_last(),
+        F.col("o_orderkey"),
+    )
