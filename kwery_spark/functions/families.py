@@ -370,3 +370,34 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("segment").alias("seg_from_struct"),
         s.getField("nation").alias("nation_from_struct"),
     )
+
+
+@register(
+    "fn_encode",
+    oracle="""
+    SELECT c_custkey,
+           base64(c_name::BLOB) AS name_b64,
+           hex(c_name) AS name_hex,
+           CAST(from_base64(base64(c_name::BLOB)) AS VARCHAR) AS b64_roundtrip,
+           CAST(unhex(hex(c_name)) AS VARCHAR) AS hex_roundtrip
+    FROM customer
+    WHERE c_custkey <= 300
+    """,
+)
+def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-text encoding family: base64 and hex, encode + decode
+    round-trips — the transport encodings every ETL boundary uses
+    (payload columns in JSON, keys in URLs). ASCII names make the varchar
+    and blob forms byte-identical across engines; the round-trip columns
+    prove decode(encode(x)) == x under the value hash, not just that the
+    functions run. Spark hex() uppercases — upper() applied so both
+    engines emit the same casing."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    name_bin = F.col("c_name").cast("binary")
+    return c.select(
+        "c_custkey",
+        F.base64(name_bin).alias("name_b64"),
+        F.upper(F.hex(name_bin)).alias("name_hex"),
+        F.unbase64(F.base64(name_bin)).cast("string").alias("b64_roundtrip"),
+        F.unhex(F.hex(name_bin)).cast("string").alias("hex_roundtrip"),
+    )
