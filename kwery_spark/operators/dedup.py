@@ -18,7 +18,7 @@ Scale notes (the whole point of these ops):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from kwery_spark.catalog import table
 from kwery_spark.registry import register
@@ -366,3 +366,59 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+@register(
+    "dedup_keep_best",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS chash,
+               CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                   / len(str_split(text, ' ')) AS ttr,
+               len(str_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY chash
+                   ORDER BY round(ttr, 6) DESC, doc_id) AS rk,
+               count(*) OVER (PARTITION BY chash) AS group_size
+        FROM scored
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(ttr, 6) AS quality,
+           CAST(group_size AS BIGINT) AS n_duplicates
+    FROM ranked WHERE rk = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-selection dedup: within each exact-duplicate group
+    (canonical-text md5), keep the HIGHEST-QUALITY copy (type-token
+    ratio, doc_id tiebreak) instead of the arbitrary lowest id — the
+    keeper policy production curation uses, since near-identical copies
+    can differ in truncation or boilerplate. Same single hash shuffle as
+    min-id dedup (pipeline_curate); only the ranking key changes. Quality
+    rounds to 6dp BEFORE ranking so both engines agree on near-tie
+    ordering."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    canon = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    ttr = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+    )
+    w = Window.partitionBy("chash").orderBy(F.col("quality").desc(), "doc_id")
+    wc = Window.partitionBy("chash")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            canon.alias("chash"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            ttr.alias("quality"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_duplicates", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", "n_tokens", "quality", "n_duplicates")
+    )
