@@ -334,3 +334,60 @@ def events_pattern_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("first_match_ts"),
         )
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+               AS DATE) AS d
+        FROM events
+    ),
+    dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+    wau AS (
+        SELECT ud.d + CAST(k AS INTEGER) AS d, count(DISTINCT user_id) AS wau
+        FROM ud CROSS JOIN unnest([0, 1, 2, 3, 4, 5, 6]) AS t(k)
+        GROUP BY 1
+    )
+    SELECT dau.d AS day, CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly active users + stickiness (DAU/WAU): WAU uses the
+    replicate-by-offset rewrite — each (user, day) fans out to the 7
+    week-ending days it supports, then one distinct count per bucket —
+    instead of a rolling DISTINCT window (which engines can't
+    deaggregate). The fan-out is a constant 7x on the (already
+    deduplicated) user-day table and every shuffle is hash-keyed, so the
+    classic product-analytics query stays fully distributable. Days
+    beyond the corpus only appear via the join with observed DAU days."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("k")).alias("d"))
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

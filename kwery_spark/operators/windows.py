@@ -328,3 +328,37 @@ def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.size(F.collect_set("event_type").over(w)).alias("distinct_types_so_far"),
     )
+
+
+@register(
+    "win_cumulative_pct",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     ROWS UNBOUNDED PRECEDING)
+                 / sum(o_totalprice) OVER (PARTITION BY o_orderpriority), 6)
+               AS cum_revenue_share
+    FROM orders
+    WHERE o_orderkey <= 3000
+    """,
+)
+def win_cumulative_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative share of total (Pareto/ABC analysis): running revenue
+    divided by the partition total — 'the top N orders carry X% of
+    revenue'. Two frames over ONE partitioning (running + unbounded), so
+    Catalyst computes both in a single window stage; ordered by
+    (price DESC, key) for a total, engine-stable accumulation order."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    part = Window.partitionBy("o_orderpriority")
+    run = part.orderBy(F.col("o_totalprice").desc(), "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(
+            F.sum("o_totalprice").over(run) / F.sum("o_totalprice").over(part), 6
+        ).alias("cum_revenue_share"),
+    )
