@@ -8,6 +8,7 @@ filters and prune columns into the vectorized parquet reader per query.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -96,27 +97,61 @@ def analyze_tables(spark: SparkSession, sf_dir: str) -> str:
     ``spark.sql(f"SELECT ... FROM {db}.lineitem ...")``."""
     db = "kwery_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    # events is TIMESTAMP(NANOS) parquet; catalog scans need the legacy conf
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for name in TABLES:
-        full = f"{db}.{name}"
-        if not spark.catalog.tableExists(full):
-            spark.catalog.createTable(
-                full, path=os.path.join(sf_dir, f"{name}.parquet"), source="parquet"
-            )
-        # column stats support atomic types only (ANALYZE rejects
-        # array<float> embeddings); nested columns still get table stats
-        atomic = [
-            f"`{f.name}`"
-            for f in spark.table(full).schema.fields
-            if f.dataType.typeName() not in ("array", "map", "struct", "binary")
-        ]
-        if atomic:
-            spark.sql(
-                f"ANALYZE TABLE {full} COMPUTE STATISTICS FOR COLUMNS {', '.join(atomic)}"
-            )
-        else:
-            spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS")
+    # ANALYZE needs the nanos conf (events is TIMESTAMP(NANOS) parquet) but
+    # must NOT leak planner-conf changes into whatever the session runs
+    # next — plan-shape tests and oracle queries assume the session
+    # defaults. Snapshot and restore; callers that WANT cost-based
+    # planning opt in explicitly via cbo_session().
+    snap = {k: spark.conf.get(k, None) for k in _CBO_CONFS + (_NANOS_CONF,)}
+    try:
+        spark.conf.set(_NANOS_CONF, "true")
+        for name in TABLES:
+            full = f"{db}.{name}"
+            if not spark.catalog.tableExists(full):
+                spark.catalog.createTable(
+                    full, path=os.path.join(sf_dir, f"{name}.parquet"), source="parquet"
+                )
+            # column stats support atomic types only (ANALYZE rejects
+            # array<float> embeddings); nested columns still get table stats
+            atomic = [
+                f"`{f.name}`"
+                for f in spark.table(full).schema.fields
+                if f.dataType.typeName() not in ("array", "map", "struct", "binary")
+            ]
+            if atomic:
+                spark.sql(
+                    f"ANALYZE TABLE {full} COMPUTE STATISTICS FOR COLUMNS {', '.join(atomic)}"
+                )
+            else:
+                spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS")
+    finally:
+        for k, v in snap.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return db
+
+
+_CBO_CONFS = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@contextmanager
+def cbo_session(spark: SparkSession):
+    """Scope cost-based planning to a block: enables ``spark.sql.cbo.*``
+    (stats-driven join reordering + build-side choice over the
+    ``analyze_tables`` catalog tables) and restores the prior conf on
+    exit, so plan-shape locks elsewhere in the session keep seeing the
+    default planner."""
+    snap = {k: spark.conf.get(k, None) for k in _CBO_CONFS}
+    try:
+        for k in _CBO_CONFS:
+            spark.conf.set(k, "true")
+        yield spark
+    finally:
+        for k, v in snap.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -373,14 +373,17 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t"))
     uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    total = tok.count()  # scalar corpus size (one job; broadcast as literal)
+    # corpus size as a 1-row aggregate broadcast into the plan — keeps the
+    # operator a single lazy plan (no eager driver action at build time)
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("corpus_total"))
     return (
         tok.join(uni, "t")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(
-                F.avg(-F.log(F.col("c").cast("double") / F.lit(float(total)))), 6
+                F.avg(-F.log(F.col("c").cast("double") / F.col("corpus_total"))), 6
             ).alias("avg_neg_logp"),
         )
     )

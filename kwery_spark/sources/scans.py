@@ -29,6 +29,40 @@ def _scratch(*parts: str) -> str:
     return path
 
 
+def _corpus_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap content fingerprint of a source table: size + mtime of its
+    parquet file(s). Staged-fixture markers embed this, so a regenerated
+    corpus invalidates the stage instead of silently reusing stale files."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    stats = []
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, entry))
+            stats.append((entry, st.st_size, st.st_mtime_ns))
+    else:
+        st = os.stat(path)
+        stats.append((name, st.st_size, st.st_mtime_ns))
+    import hashlib
+
+    return hashlib.md5(repr(stats).encode()).hexdigest()[:12]
+
+
+def _stage_once(data_dir: str, fingerprint: str, write) -> None:
+    """Run ``write()`` unless a marker for this exact source fingerprint
+    exists. Stale markers (other fingerprints) are removed; the writer is
+    expected to ``mode("overwrite")`` so old staged data cannot survive."""
+    os.makedirs(data_dir, exist_ok=True)
+    marker = os.path.join(data_dir, f"_STAGED_{fingerprint}")
+    if os.path.exists(marker):
+        return
+    for entry in os.listdir(data_dir):
+        if entry.startswith("_STAGED_"):
+            os.remove(os.path.join(data_dir, entry))
+    write()
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
 @register("scan_parquet", oracle="SELECT * FROM supplier")
 def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-table parquet scan, all columns."""
@@ -327,8 +361,8 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(doc_id % 5 AS BIGINT) AS shard,
            count(*) AS n_files,
-           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-           min(md5(text)) AS min_md5
+           CAST(sum(strlen(text) + 1) AS BIGINT) AS total_bytes,
+           min(md5(text || chr(10))) AS min_md5
     FROM documents WHERE doc_id < 50
     GROUP BY doc_id % 5
     """,
@@ -336,32 +370,36 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile source: the real ingestion path for media assets — each
     file becomes (path, modificationTime, length, content binary). Stages
-    the first 50 documents as .bin files once, reads them back through
-    the binaryFile reader, and shards by the doc id parsed from the
-    filename. Content integrity is value-checked via per-shard byte
-    totals and an md5 over the bytes (pure-ASCII payloads, so the oracle
-    mirrors on varchar). At 100 TB this reader streams object-store
-    listings in parallel and never materializes payloads on the driver."""
-    stage = _scratch("binfiles", os.path.basename(sf_dir.rstrip("/")), "_dir")
-    stage_dir = os.path.dirname(stage)
-    marker = os.path.join(stage_dir, "_SUCCESS_STAGED")
-    if not os.path.exists(marker):
-        rows = (
+    the first 50 documents as one file each via a DISTRIBUTED
+    partitionBy(doc_id) text write (no driver collect — at 100 TB this is
+    executors writing straight to the object store), reads them back
+    through the binaryFile reader, and shards by the doc id parsed from
+    the partition directory. Content integrity is value-checked via
+    per-shard byte totals and an md5 over the bytes; the text sink
+    terminates each record with '\\n', so the oracle hashes text||chr(10)
+    and counts strlen+1 (pure-ASCII payloads, so it mirrors on varchar).
+    The stage marker embeds a source-corpus fingerprint — a regenerated
+    corpus restages instead of silently reusing stale files."""
+    stage_dir = os.path.join(SCRATCH, "binfiles", os.path.basename(sf_dir.rstrip("/")))
+    files_dir = os.path.join(stage_dir, "files")
+
+    def write():
+        (
             table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 50)
-            .select("doc_id", "text")
-            .collect()  # 50 tiny rows, one-time fixture staging only
+            .select("doc_id", F.col("text").alias("value"))
+            .write.mode("overwrite")
+            .partitionBy("doc_id")
+            .text(files_dir)
         )
-        for r in rows:
-            with open(os.path.join(stage_dir, f"doc_{r.doc_id}.bin"), "wb") as f:
-                f.write(r.text.encode())
-        with open(marker, "w") as f:
-            f.write("ok")
-    doc_id = F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1).cast("long")
+
+    _stage_once(stage_dir, _corpus_fingerprint(sf_dir, "documents"), write)
+    doc_id = F.regexp_extract(F.col("path"), r"doc_id=(\d+)/", 1).cast("long")
     return (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bin")
-        .load(stage_dir)
+        .option("pathGlobFilter", "part-*")
+        .option("recursiveFileLookup", "true")
+        .load(files_dir)
         .select(doc_id.alias("doc_id"), "content")
         .groupBy((F.col("doc_id") % 5).alias("shard"))
         .agg(
@@ -390,32 +428,41 @@ def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERMISSIVE mode with `columnNameOfCorruptRecord` — bad rows land in
     the quarantine column instead of failing the job, the production
     posture for 100 TB feeds where a fraction of inputs is always broken.
-    The derived file is regenerated deterministically from `documents`,
-    so the oracle computes good/corrupt accounting straight from the
-    source table. FAILFAST/DROPMALFORMED are the same reader one option
-    away; the quarantine column is what lets a pipeline both proceed AND
+    The derived file is regenerated deterministically from `documents`
+    by a DISTRIBUTED text write (JSON lines rendered with format_string,
+    every 50th truncated mid-object in-plan — no driver collect), so the
+    oracle computes good/corrupt accounting straight from the source
+    table. FAILFAST/DROPMALFORMED are the same reader one option away;
+    the quarantine column is what lets a pipeline both proceed AND
     audit."""
-    import json
-
-    rows = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 400)
-        .select("doc_id", "n_chars")
-        .collect()  # <=400 tiny rows, one-time deterministic fixture staging
+    stage_dir = os.path.join(
+        SCRATCH, "json_corrupt", os.path.basename(sf_dir.rstrip("/"))
     )
-    path = _scratch("json_corrupt", os.path.basename(sf_dir.rstrip("/")) + ".jsonl")
-    with open(path, "w") as f:
-        for r in sorted(rows, key=lambda r: r.doc_id):
-            line = json.dumps({"doc_id": r.doc_id, "n_chars": r.n_chars})
-            if r.doc_id % 50 == 0:
-                line = line[: len(line) // 2]  # truncate mid-object → corrupt
-            f.write(line + "\n")
+    data_dir = os.path.join(stage_dir, "files")
+
+    def write():
+        line = F.format_string('{"doc_id": %d, "n_chars": %d}', "doc_id", "n_chars")
+        corrupted = F.when(
+            F.col("doc_id") % 50 == 0,
+            # truncate mid-object → corrupt (int-div length, same as len//2)
+            F.expr("substring(line, 1, length(line) div 2)"),
+        ).otherwise(F.col("line"))
+        (
+            table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 400)
+            .select("doc_id", line.alias("line"))
+            .select(corrupted.alias("value"))
+            .write.mode("overwrite")
+            .text(data_dir)
+        )
+
+    _stage_once(stage_dir, _corpus_fingerprint(sf_dir, "documents"), write)
     schema = "doc_id long, n_chars long, _bad string"
     parsed = (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_bad")
-        .json(path)
+        .json(data_dir)
     )
     # corrupt rows: _bad holds the raw line; recover the doc id from it
     # so quarantined records stay attributable
