@@ -85,7 +85,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(127)),
         lambda i: F.array_min(F.transform(F.col("toks"), lambda t: F.xxhash64(i, t))),
     )
-    hashed = docs.select("doc_id", "toks", minhashes.alias("mh"))
+    # Exchange barrier: stops CollapseProject from inlining the 128-hash
+    # signature build into every band slice (32× recompute per row) and
+    # lets ReuseExchange share one signature pass across both sides of
+    # the candidate self-join (see dedup_ngram_jaccard).
+    hashed = docs.select("doc_id", "toks", minhashes.alias("mh")).repartition("doc_id")
     # band j = rows [4j+1 .. 4j+4]; one row per (doc, band)
     bands = hashed.select(
         "doc_id",
@@ -223,32 +227,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram Jaccard near-dup, blocked by ``lang`` (order-sensitive
-    n-grams catch reorderings that token-set Jaccard misses). The lang
-    block bounds the pair space; at scale the block key would be an LSH
-    bucket instead."""
+    """Word-bigram Jaccard near-dup (order-sensitive n-grams catch
+    reorderings that token-set Jaccard misses), blocked by
+    (lang, minhash band) — NOT by lang alone, which r2 shipped and which
+    turns quadratic inside a hot lang ("en" is ~half of any real corpus).
+
+    Candidate generation reuses the dedup_minhash design over the bigram
+    set: 64 seeded xxhash64 min-hashes → 32 bands × 2 rows → equi-join on
+    (lang, band_id, band_hash); candidates are then verified with EXACT
+    bigram Jaccard, so the oracle stays the full within-lang exact pair
+    set: P(miss | j ≥ 0.75) ≤ (1 − 0.75²)³² ≈ 3.3e-12 — the banding only
+    prunes, the verification decides. Within a band bucket the pair space
+    is |bucket|², not |lang|²."""
     docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # guard: 1-token docs have no bigrams (sequence(1, 0) would generate
+    # a DESCENDING range, fabricating a gram the oracle's range() lacks)
     grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        )
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
-    g = docs.select("doc_id", "lang", grams.alias("g"))
-    inter = F.size(F.array_intersect("a.g", "b.g"))
-    union = F.size("a.g") + F.size("b.g") - inter
-    return (
-        g.alias("a")
+    # first barrier: materialize the gram arrays so the 64-seed minhash
+    # transform reads a column instead of re-running split+concat per
+    # seed (CollapseProject would inline it); also shared by the exact
+    # verify joins below via ReuseExchange
+    g = docs.select("doc_id", "lang", grams.alias("g")).repartition("doc_id")
+    # 64 min-hashes over the bigram set; band j = rows [2j+1, 2j+2]
+    minhashes = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.array_min(F.transform(F.col("g"), lambda t: F.xxhash64(i, t))),
+    )
+    # Exchange barrier: without it CollapseProject inlines the gram build
+    # into every band's slice of `mh` (64×32 recompute per row, measured
+    # 46 s → 3 s at sf0.001); the shuffle materializes the signatures once
+    # and ReuseExchange shares it across both sides of the candidate
+    # self-join.
+    hashed = g.select("doc_id", "lang", minhashes.alias("mh")).repartition("doc_id")
+    bands = hashed.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda j: F.xxhash64(F.slice("mh", j * 2 + 1, 2)),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    cand = (
+        bands.alias("a")
         .join(
-            g.alias("b"),
-            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            bands.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (inter / union).alias("bigram_jaccard"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("bigram_jaccard"))
         .filter(F.col("bigram_jaccard") >= 0.75)
     )
 
@@ -267,28 +318,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (unit vectors ⇒ cosine = dot),
-    blocked by ``label``. Floats are widened to double BEFORE multiply so
-    Spark and the oracle accumulate identically; scores rounded to 6dp."""
+    blocked by ``label`` and triangle-salted within the block (S=8,
+    Okcan & Riedewald fragment-replicate via
+    similarity.triangle_salted_self_join) so a hot label's pair space
+    spreads over S(S+1)/2 tasks instead of one reducer. Floats widen to
+    double BEFORE multiply so Spark and the oracle accumulate
+    identically; scores rounded to 6dp.
+
+    Why salting and not (label, LSH bucket): at τ = 0.35 every
+    qualifying pair in this corpus lies at cosine 0.35–0.48 (measured),
+    i.e. hyperplane-collision probability p = 1 − θ/π ≈ 0.61–0.66 per
+    signature bit, while non-qualifying same-label pairs sit near p ≈
+    0.5. Any (r, b) amplification driving the miss rate to ~0 at
+    p ≈ 0.61 — (1 − p^r)^b ≤ 1e-9 — admits p = 0.5 pairs with
+    probability ≈ 1, so the "buckets" would contain the whole block:
+    recall-lossless LSH pruning does not exist below the separable
+    regime, and a lossy bucket would silently change the exact answer
+    set the oracle checks. The honest scale levers for exact
+    low-threshold pair mining are (a) this fragment-replicate
+    decomposition of the block quadratic and (b) raising τ into the LSH
+    regime (dedup_minhash at τ = 0.9 shows that path)."""
+    from kwery_spark.operators.similarity import dot, triangle_salted_self_join
+
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    dot = F.aggregate(
-        F.zip_with("a.v", "b.v", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     return (
-        emb.alias("a")
-        .join(
-            emb.alias("b"),
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        triangle_salted_self_join(emb, "label", "vec_id", S=8)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(dot, 6).alias("cosine"),
+            F.round(dot("a.v", "b.v"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.35)
     )

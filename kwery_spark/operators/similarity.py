@@ -39,6 +39,47 @@ def dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def triangle_salted_self_join(df: DataFrame, block_col: str, id_col: str, S: int = 8) -> DataFrame:
+    """Fragment-replicate self-join decomposition (Okcan & Riedewald,
+    SIGMOD'11) within a block: every row gets a deterministic salt
+    s ∈ [0,S) and is replicated into the S sub-groups (min(s,j),
+    max(s,j)) it can meet a partner in; the equi-join key becomes
+    (block, gi, gj) and the exactly-once filter keeps the pair only in
+    sub-group (min, max) of its two salts. Output is bit-identical to
+    the plain blocked self-join, but a hot block's quadratic spreads
+    over S(S+1)/2 tasks instead of one reducer. Returns the joined
+    DataFrame with sides aliased ``a``/``b`` (a.<id> < b.<id>); callers
+    project and filter."""
+    salted = df.withColumn("salt", F.pmod(F.xxhash64(id_col), F.lit(S)).cast("int"))
+    groups = F.array(
+        *[
+            F.struct(
+                F.least("salt", F.lit(j)).alias("gi"),
+                F.greatest("salt", F.lit(j)).alias("gj"),
+            )
+            for j in range(S)
+        ]
+    )
+    exp = salted.select("*", F.explode(groups).alias("g")).select(
+        *df.columns, "salt", "g.gi", "g.gj"
+    )
+    return (
+        exp.alias("a")
+        .join(
+            exp.alias("b"),
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.gi") == F.col("b.gi"))
+            & (F.col("a.gj") == F.col("b.gj"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        # a pair belongs to exactly one sub-group: (min, max) of its salts
+        .filter(
+            (F.least("a.salt", "b.salt") == F.col("a.gi"))
+            & (F.greatest("a.salt", "b.salt") == F.col("a.gj"))
+        )
+    )
+
+
 @register(
     "sim_knn_bruteforce",
     oracle="""
@@ -133,38 +174,8 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIGMOD'11), applied only within the label block. Results are
     bit-identical to the plain blocked join (the oracle is unchanged);
     S tunes task size at 100 TB, not output."""
-    S = 8
-    vecs = _vecs(spark, sf_dir).withColumn(
-        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(S)).cast("int")
-    )
-    # replicate each row into the S sub-groups (min(s,j), max(s,j)) it
-    # can meet a partner in
-    groups = F.array(
-        *[
-            F.struct(
-                F.least("salt", F.lit(j)).alias("gi"),
-                F.greatest("salt", F.lit(j)).alias("gj"),
-            )
-            for j in range(S)
-        ]
-    )
-    exp = vecs.select(
-        "vec_id", "label", "v", "salt", F.explode(groups).alias("g")
-    ).select("vec_id", "label", "v", "salt", "g.gi", "g.gj")
     return (
-        exp.alias("a")
-        .join(
-            exp.alias("b"),
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.gi") == F.col("b.gi"))
-            & (F.col("a.gj") == F.col("b.gj"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        # a pair belongs to exactly one sub-group: (min, max) of its salts
-        .filter(
-            (F.least("a.salt", "b.salt") == F.col("a.gi"))
-            & (F.greatest("a.salt", "b.salt") == F.col("a.gj"))
-        )
+        triangle_salted_self_join(_vecs(spark, sf_dir), "label", "vec_id", S=8)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

@@ -38,6 +38,64 @@ def test_threshold_pairs_salting_invariance(spark, sf_dir):
     assert got == want
 
 
+def test_dedup_embedding_salting_invariance(spark, sf_dir):
+    """Triangle-salted dedup_embedding == plain label-blocked self-join,
+    exactly — salting spreads the block quadratic over S(S+1)/2 tasks
+    without changing the pair set (r3, VERDICT item 4)."""
+    from kwery_spark.operators.similarity import _vecs, dot
+
+    vecs = _vecs(spark, sf_dir)
+    plain = (
+        vecs.alias("a")
+        .join(
+            vecs.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot("a.v", "b.v"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+    want = {(r.vec_a, r.vec_b): r.cosine for r in plain.collect()}
+    got_rows = QUERIES["dedup_embedding"](spark, sf_dir).collect()
+    got = {(r.vec_a, r.vec_b): r.cosine for r in got_rows}
+    assert len(got_rows) == len(got), "salted join produced duplicate pairs"
+    assert got == want
+
+
+def test_dedup_block_keys_bound_the_quadratic(spark, sf_dir):
+    """Block-share locks (r3, VERDICT item 4): the pair-generating joins
+    must key on more than the hot attribute, so no single lang/label can
+    concentrate the quadratic on one reducer.
+
+    - dedup_ngram_jaccard: candidate join keys include the minhash
+      band_hash (lang alone would be |lang|² inside a hot language);
+    - dedup_embedding / sim_threshold_pairs: join keys include the
+      triangle-salt sub-group (gi, gj), fanning a hot label over
+      S(S+1)/2 tasks."""
+    import re
+
+    from kwery_spark.plans import inspect
+
+    def physical(key: str) -> str:
+        return inspect.formatted_plan(QUERIES[key](spark, sf_dir))
+
+    ngram = physical("dedup_ngram_jaccard")
+    join_keys = re.findall(r"(?:Left|Right) keys.*", ngram)
+    assert any("band_hash" in k for k in join_keys), (
+        f"ngram candidate join not band-blocked: {join_keys}"
+    )
+    for key in ("dedup_embedding", "sim_threshold_pairs"):
+        plan = physical(key)
+        keys = re.findall(r"(?:Left|Right) keys.*", plan)
+        assert any("gi" in k and "gj" in k for k in keys), (
+            f"{key} pair join not salt-spread: {keys}"
+        )
+
+
 def test_doc_chunking_reconstructs_documents(spark, sf_dir):
     """Stride-56/size-64 chunks cover every token: concatenating each
     chunk's first 56 tokens (all of the last chunk) rebuilds the doc, and
