@@ -25,5 +25,5 @@ from kwery_spark.operators import (
     windows,
 )
 from kwery_spark.functions import families
-from kwery_spark.sources import scans
+from kwery_spark.sources import scans, snapshot
 from kwery_spark.streaming import live, windows as stream_windows
