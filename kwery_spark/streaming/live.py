@@ -106,30 +106,30 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-@register(
-    "stream_stateful",
-    oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
-    FROM events GROUP BY user_id
-    """,
-)
-def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary stateful streaming op: per-user running event counter +
-    total value via applyInPandasWithState (state survives across
-    micro-batches; GroupStateTimeout disabled for the demo). After the
-    stream drains, the final per-user state equals the batch aggregate,
-    which the oracle recomputes (totals rounded 6dp on both sides —
-    summation order differs between engines).
+# transformWithStateInPandas capability probe (VERDICT r2 item 6): the
+# Spark 4 StatefulProcessor API ships a Python-side state server that
+# imports google.protobuf at runtime. Probe once, record the verdict.
+TWS_PROBE: dict[str, object] = {}
 
-    Note: Spark 4's transformWithStateInPandas successor API was probed
-    and is unavailable in this environment — its Python state server
-    requires google.protobuf, which is not installed (and installs are
-    disallowed). applyInPandasWithState covers the same capability; swap
-    in a StatefulProcessor where protobuf exists."""
+
+def tws_available() -> bool:
+    if "available" not in TWS_PROBE:
+        try:
+            import google.protobuf  # noqa: F401  (TWS state-server wire format)
+            from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+                StatefulProcessor,
+            )
+
+            TWS_PROBE.update(available=True, reason="protobuf + StatefulProcessor importable")
+        except ImportError as e:
+            TWS_PROBE.update(available=False, reason=f"import failed: {e}")
+    return bool(TWS_PROBE["available"])
+
+
+def _stateful_via_apply_in_pandas(stream: DataFrame, out_schema: str) -> DataFrame:
+    """Fallback path: applyInPandasWithState (Spark 3.4+ API)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = _events_stream(spark, sf_dir).select("user_id", "value")
-    out_schema = "user_id bigint, n_events bigint, total_value double"
     state_schema = "n bigint, total double"
 
     def update(key, pdf_iter, state: GroupState):
@@ -142,9 +142,74 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
 
-    counted = stream.groupBy("user_id").applyInPandasWithState(
+    return stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def _stateful_via_tws(stream: DataFrame, out_schema: str) -> DataFrame:
+    """Modern path: transformWithStateInPandas with a StatefulProcessor
+    (Spark 4). Exercised only where the probe passes; semantically
+    identical to the fallback."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming op: per-user running event counter +
+    total value, state surviving across micro-batches. After the stream
+    drains, the final per-user state equals the batch aggregate, which
+    the oracle recomputes (totals rounded 6dp on both sides — summation
+    order differs between engines).
+
+    The implementation capability-probes Spark 4's
+    transformWithStateInPandas (the modern StatefulProcessor API) at
+    call time and uses it when the environment supports it; otherwise it
+    falls back to applyInPandasWithState — same semantics, older API.
+    In this sandbox the probe reports unavailable (the TWS Python state
+    server needs google.protobuf, which is not installed and installs
+    are disallowed). The probe outcome is recorded in TWS_PROBE for
+    auditability and pinned by tests/test_streaming.py."""
+    stream = _events_stream(spark, sf_dir).select("user_id", "value")
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+
+    if tws_available():
+        counted = _stateful_via_tws(stream, out_schema)
+    else:
+        counted = _stateful_via_apply_in_pandas(stream, out_schema)
     result, _ = _run_to_memory(counted, "update")
     # update-mode memory sink may hold one row per state update; keep last
     return result.groupBy("user_id").agg(

@@ -178,3 +178,21 @@ def test_checkpoint_incremental_across_runs(spark):
     }
     shutil.rmtree(base, ignore_errors=True)
     assert got == {"view": 3, "click": 1, "purchase": 1}, got
+
+
+def test_stateful_api_probe_recorded(spark, sf_dir):
+    """stream_stateful must pick its API by capability probe and record
+    the verdict (VERDICT r2 item 6): transformWithStateInPandas where
+    the environment supports it, applyInPandasWithState otherwise. The
+    key must be green on whichever path the probe selects."""
+    from kwery_spark.registry import QUERIES, load_all
+    from kwery_spark.streaming import live
+
+    load_all()
+    rows = QUERIES["stream_stateful"](spark, sf_dir).collect()
+    assert rows, "stream_stateful returned no rows"
+    assert live.TWS_PROBE.get("available") in (True, False)
+    assert live.TWS_PROBE.get("reason")
+    if not live.tws_available():
+        # this sandbox: the TWS state server needs google.protobuf
+        assert "import failed" in str(live.TWS_PROBE["reason"])
