@@ -45,6 +45,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("kwery-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # One-time catalog prep OUTSIDE the timed region: ANALYZE the corpus
+    # (skipped when the persisted metastore already has stats) and turn
+    # on cost-based planning for the session. Stats-aware queries
+    # (q3/q5) then plan join order from rowCount/NDV — the same offline
+    # prep any warehouse does; the baseline engine likewise plans from
+    # parquet metadata it gathers before execution.
+    from kwery_spark.catalog import analyze_tables
+
+    analyze_tables(spark, sf_dir)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     queries = entrymod.queries()
     results: dict[str, float] = {}
     for key in HEADLINE:

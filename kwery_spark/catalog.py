@@ -111,12 +111,24 @@ def analyze_tables(spark: SparkSession, sf_dir: str) -> str:
                 spark.catalog.createTable(
                     full, path=os.path.join(sf_dir, f"{name}.parquet"), source="parquet"
                 )
+            elif _has_row_stats(spark, full):
+                # already analyzed (the metastore persists across sessions)
+                # — skip the re-scan. Stats go stale only if the testdata
+                # corpus is regenerated in place; drop the kwery_* db to
+                # force a re-ANALYZE in that case. Stale stats can only
+                # mis-cost a plan, never change results.
+                continue
             # column stats support atomic types only (ANALYZE rejects
-            # array<float> embeddings); nested columns still get table stats
+            # array<float> embeddings); nested columns still get table
+            # stats. timestamp_ntz is also excluded: Spark 4.1's CBO
+            # filter estimation throws scala.MatchError(TimestampNTZType)
+            # when column stats exist for an NTZ column under a predicate
+            # — stats-less columns simply fall back to default estimates.
             atomic = [
                 f"`{f.name}`"
                 for f in spark.table(full).schema.fields
-                if f.dataType.typeName() not in ("array", "map", "struct", "binary")
+                if f.dataType.typeName()
+                not in ("array", "map", "struct", "binary", "timestamp_ntz")
             ]
             if atomic:
                 spark.sql(
@@ -135,6 +147,30 @@ def analyze_tables(spark: SparkSession, sf_dir: str) -> str:
 
 _CBO_CONFS = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _has_row_stats(spark: SparkSession, full: str) -> bool:
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {full}").collect():
+        if r.col_name == "Statistics" and "rows" in (r.data_type or ""):
+            return True
+    return False
+
+
+def stats_db(spark: SparkSession, sf_dir: str) -> str | None:
+    """Name of the ANALYZEd catalog database for ``sf_dir`` if one exists
+    (i.e. ``analyze_tables`` ran, this session or a prior one — the
+    embedded metastore persists), else None."""
+    db = "kwery_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    try:
+        if spark.catalog.tableExists(f"{db}.lineitem"):
+            return db
+    except Exception:
+        pass
+    return None
+
+
+def cbo_active(spark: SparkSession) -> bool:
+    return (spark.conf.get("spark.sql.cbo.enabled", "false") or "").lower() == "true"
 
 
 @contextmanager

@@ -48,6 +48,33 @@ def test_analyze_tables_records_cbo_stats(spark, sf_dir):
     }
 
 
+def test_cbo_stats_path_value_invariance(spark, sf_dir):
+    """q3/q5 switch to stats-backed CBO planning when the session has
+    cbo.enabled AND an ANALYZEd catalog db (the bench posture). The two
+    paths must return identical values, and the switch must not leak:
+    with CBO off (every other session) the hand-tuned plan is used."""
+    from kwery_spark.catalog import cbo_session
+    from kwery_spark.plans import inspect
+
+    analyze_tables(spark, sf_dir)
+    for key in ("q3_shipping_priority", "q5_local_supplier"):
+        default_rows = sorted(map(tuple, QUERIES[key](spark, sf_dir).collect()))
+        with cbo_session(spark):
+            df = QUERIES[key](spark, sf_dir)
+            # proves the stats path engaged: plan reads catalog tables
+            assert "kwery_" in inspect.formatted_plan(df), key
+            cbo_rows = sorted(map(tuple, df.collect()))
+        assert [r[0] for r in cbo_rows] == [r[0] for r in default_rows], key
+        for a, b in zip(cbo_rows, default_rows):
+            for x, y in zip(a, b):
+                if isinstance(x, float):
+                    assert abs(x - y) <= 1e-6 * max(1.0, abs(y)), (key, a, b)
+                else:
+                    assert x == y, (key, a, b)
+        # off again: back to the hand-tuned parquet plan
+        assert "kwery_" not in inspect.formatted_plan(QUERIES[key](spark, sf_dir))
+
+
 def test_every_output_schema_is_driver_hashable(spark, sf_dir):
     """The grading driver value-hashes results via pandas factorize, which
     crashes on array/map/struct cells (CORRECTNESS_r01: agg_collect et
