@@ -199,11 +199,13 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.r_name = 'ASIA'
           AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-        GROUP BY n.n_name ORDER BY revenue DESC
+        GROUP BY n.n_name
         """,
     )
     if stats is not None:
-        return stats
+        # same ≤25-row single-task sort as the hand-tuned plan (an SQL
+        # ORDER BY would add a range-exchange sampling job)
+        return stats.coalesce(1).sortWithinPartitions(F.col("revenue").desc())
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
