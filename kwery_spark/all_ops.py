@@ -9,6 +9,7 @@ from kwery_spark.operators import (
     aggregates,
     analytics,
     dedup,
+    graph,
     joins,
     multimodal,
     pipeline,

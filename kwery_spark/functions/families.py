@@ -413,3 +413,70 @@ def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unbase64(F.base64(name_bin)).cast("string").alias("b64_roundtrip"),
         F.unhex(F.hex(name_bin)).cast("string").alias("hex_roundtrip"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com'                      AS host,
+           '/' || lang || '/doc-' || doc_id              AS path,
+           'page=' || (doc_id % 7) || '&ref=home'        AS query,
+           CAST(doc_id % 7 AS VARCHAR)                   AS page_param,
+           's-' || (n_chars % 5)                         AS fragment
+    FROM documents
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: assemble a URL from corpus columns, then
+    recover every component with parse_url (HOST/PATH/QUERY, keyed query
+    parameter, REF). The oracle reconstructs the components directly
+    from the base columns, so the check is a true parse round-trip —
+    Spark must get the parsing right, not just echo the input. Pure
+    JVM-side expressions (parse_url is codegen'd), zero shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+        F.lit("?page="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref=home#s-"), (F.col("n_chars") % 5).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page_param"),
+        F.parse_url(url, F.lit("REF")).alias("fragment"),
+    )
+
+
+@register(
+    "fn_regex",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\w+)', 1)                 AS first_word,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+'))
+                AS INTEGER)                                    AS n_vowel_runs,
+           regexp_replace(p_name, '[aeiou]', '', 'g')          AS consonants,
+           regexp_matches(p_name, 'red|blue|green')            AS mentions_color,
+           CAST(len(str_split(p_name, ' ')) AS INTEGER)        AS n_words
+    FROM part
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family over multi-word text (part.p_name):
+    regexp_extract (first word), regexp_count (vowel runs),
+    regexp_replace (global — DuckDB needs the explicit 'g' flag),
+    rlike (alternation; NO backreferences anywhere so the RE2-based
+    oracle engine agrees), plus a split-cardinality check. All
+    codegen'd JVM expressions; one narrow projection, no shuffle."""
+    part = table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_count("p_name", F.lit(r"[aeiou]+")).alias("n_vowel_runs"),
+        F.regexp_replace("p_name", r"[aeiou]", "").alias("consonants"),
+        F.col("p_name").rlike("red|blue|green").alias("mentions_color"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+    )

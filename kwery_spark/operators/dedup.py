@@ -11,8 +11,10 @@ Scale notes (the whole point of these ops):
   verified with exact Jaccard. Parameters (k=128, b=32, r=4) put detection
   probability at τ=0.9 near 1-4e-15, so verified LSH output ≡ the exact
   pair set w.h.p. — which is what makes the DuckDB oracle applicable.
-- n-gram Jaccard: blocked by ``lang`` to bound the quadratic term.
-- embedding near-dup: blocked by ``label``.
+- n-gram Jaccard: candidates from an equi-join on (lang, minhash band).
+- embedding near-dup: blocked by ``label``, triangle-salted within it.
+- substring spans: equi-join on the 16-gram itself, with a document-
+  frequency cap bounding the per-gram bucket.
 """
 
 from __future__ import annotations
@@ -483,4 +485,70 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_duplicates", F.count(F.lit(1)).over(wc).cast("long"))
         .filter(F.col("rk") == 1)
         .select("doc_id", "lang", "n_tokens", "quality", "n_duplicates")
+    )
+
+
+@register(
+    "dedup_substring_grams",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               len(str_split(text, ' ')) AS n
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, n - 15 + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 15), ' '))) AS g
+            FROM t WHERE n >= 16)
+    ),
+    df AS (SELECT g FROM g GROUP BY g HAVING count(*) BETWEEN 2 AND 32)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_spans
+    FROM g a JOIN df USING (g) JOIN g b USING (g)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def dedup_substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (the capability suffix-array dedup à
+    la RefinedWeb/BigCode targets): documents sharing verbatim 16-token
+    spans, found without ever forming a doc×doc pair space. Every doc
+    explodes its distinct 16-grams; pairs come from an equi-join ON THE
+    GRAM ITSELF, so the quadratic term is per-gram bucket — and the
+    document-frequency cap (a gram must appear in 2..32 docs) both
+    drops boilerplate that would explode the bucket AND is the standard
+    suffix-dedup trick for exactly that reason. Pairs sharing ≥3 capped
+    spans are substring-duplication candidates. At 100 TB: one explode,
+    one DF-count shuffle, one equi-join on gram — no all-pairs step
+    anywhere; the 32-doc cap bounds any bucket at C(32,2) pairs."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams16 = F.when(
+        n >= 16,
+        F.transform(
+            F.sequence(F.lit(1), n - 15),
+            lambda i: F.array_join(F.slice(toks, i, 16), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        docs.select("doc_id", F.explode(grams16).alias("g"))
+        .distinct()
+    )
+    capped = (
+        g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 32))
+        .select("g")
+    )
+    ga = g.join(capped, "g").select(F.col("doc_id").alias("doc_a"), "g")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "g")
+    return (
+        ga.join(gb, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= 3)
     )

@@ -631,3 +631,89 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_query_vecs"),
         )
     )
+
+
+def _pq_oracle(m_sub: int = 8, k_codes: int = 16) -> str:
+    """PQ oracle: identical codebook derivation (sub-vectors of the first
+    k_codes vectors), identical argmin encode, identical reconstruction
+    error — fully deterministic, so no tolerance gymnastics needed."""
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT unnest(range(0, {m_sub})) AS m),
+    cb AS (
+        SELECT vec_id AS code, s.m AS m,
+               list_slice(v.v, s.m * 8 + 1, s.m * 8 + 8) AS cw
+        FROM v CROSS JOIN s WHERE vec_id < {k_codes}),
+    d AS (
+        SELECT a.vec_id, s.m, c.code,
+               list_sum(list_transform(range(1, 9),
+                   i -> (list_slice(a.v, s.m * 8 + 1, s.m * 8 + 8)[i] - c.cw[i])
+                      * (list_slice(a.v, s.m * 8 + 1, s.m * 8 + 8)[i] - c.cw[i])
+               )) AS sqd
+        FROM v a CROSS JOIN s JOIN cb c ON c.m = s.m),
+    enc AS (
+        SELECT vec_id, m, code, sqd FROM (
+            SELECT vec_id, m, code, sqd,
+                   row_number() OVER (PARTITION BY vec_id, m
+                        ORDER BY sqd, code) AS rn
+            FROM d)
+        WHERE rn = 1)
+    SELECT vec_id,
+           array_to_string(list(CAST(code AS VARCHAR) ORDER BY m), ',') AS codes,
+           round(sum(sqd) / 64, 6) AS mse
+    FROM enc GROUP BY vec_id
+    """
+
+
+@register("ann_pq", oracle=_pq_oracle())
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the IVF-PQ compression half): 64-d vectors
+    split into M=8 subspaces of 8 dims; each sub-vector is encoded as
+    the nearest of K=16 codewords (deterministic codebook: the
+    sub-vectors of vec_id 0..15, the same fixed-seed trick ml_kmeans
+    uses), so a vector compresses 64 floats → 8 small codes (32× at
+    float32). Output per vector: the code string and reconstruction MSE.
+
+    Scale: the codebook is K×M×8 doubles — broadcast everywhere, like
+    ann_ivf's seed cells; encode is one broadcast join + per-(vector,
+    subspace) argmin, embarrassingly parallel, no shuffle besides the
+    final per-vector regroup. At 100 TB PQ codes are what you keep in
+    memory while raw vectors stay in cold storage."""
+    M, K, SUB = 8, 16, 8
+    vecs = _vecs(spark, sf_dir)
+    ms = F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m")
+    cb = (
+        vecs.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").alias("code"), "v", ms)
+        .select(
+            "code", "m",
+            F.slice("v", F.col("m") * SUB + 1, SUB).alias("cw"),
+        )
+    )
+    sv = (
+        vecs.select("vec_id", "v", ms)
+        .select("vec_id", "m", F.slice("v", F.col("m") * SUB + 1, SUB).alias("sv"))
+    )
+    sqd = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("sqd", "code")
+    enc = (
+        sv.join(broadcast(cb), "m")
+        .select("vec_id", "m", "code", sqd.alias("sqd"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    codes = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda s: s.code.cast("string"),
+        ),
+        ",",
+    )
+    return enc.groupBy("vec_id").agg(
+        codes.alias("codes"),
+        F.round(F.sum("sqd") / 64, 6).alias("mse"),
+    )

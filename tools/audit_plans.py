@@ -38,6 +38,7 @@ DECLARED = {
     "sim_maxsim": {"BNLJ"},          # crossJoin(broadcast(one label's query vectors))
     "events_gapfill": {"BNLJ"},      # crossJoin(broadcast(1-row min/max bounds))
     "text_perplexity_proxy": {"BNLJ"},  # crossJoin(broadcast(1-row corpus total))
+    "graph_pagerank": {"BNLJ"},      # crossJoin(broadcast(1-row node count))
 }
 
 
