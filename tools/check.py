@@ -102,14 +102,18 @@ def norm_rows(cols, rows):
     return out
 
 
-def check_key(spark, conn, key, qfn, oracle, sf_dir) -> tuple[bool, str]:
+def check_key(spark, conn, key, qfn, oracle, sf_dir, rec=None) -> tuple[bool, str]:
+    rec = rec if rec is not None else {}
     t0 = time.perf_counter()
     df = qfn(spark, sf_dir)
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]
     t_spark = time.perf_counter() - t0
+    rec.update(rows=len(spark_rows), spark_sec=round(t_spark, 3))
     if oracle is None:
+        rec.update(oracle=False)
         return True, f"rows-only: {len(spark_rows)} rows in {t_spark:.2f}s"
+    rec.update(oracle=True)
     t0 = time.perf_counter()
     rel = conn.sql(oracle)
     duck_cols = list(rel.columns)
@@ -118,9 +122,11 @@ def check_key(spark, conn, key, qfn, oracle, sf_dir) -> tuple[bool, str]:
     t_duck = time.perf_counter() - t0
     spark_types = {c: _norm_spark_type(t) for c, t in df.dtypes}
     problems = []
-    if len(spark_rows) != len(duck_rows):
+    rows_match = len(spark_rows) == len(duck_rows)
+    if not rows_match:
         problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
-    if sorted(spark_cols) != sorted(duck_cols):
+    schema_match = sorted(spark_cols) == sorted(duck_cols)
+    if not schema_match:
         problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
     else:
         type_diff = {
@@ -129,15 +135,24 @@ def check_key(spark, conn, key, qfn, oracle, sf_dir) -> tuple[bool, str]:
             if spark_types[c] != duck_types[c]
         }
         if type_diff:
+            schema_match = False
             problems.append(f"types differ {type_diff}")
+    values_match = False
     if not problems:
         ns, nd = norm_rows(spark_cols, spark_rows), norm_rows(duck_cols, duck_rows)
-        if ns != nd:
+        values_match = ns == nd
+        if not values_match:
             diff = [(a, b) for a, b in zip(ns, nd) if a != b]
             problems.append(
                 f"values differ in {len(diff)}/{len(ns)} rows; first: "
                 f"spark={diff[0][0]!r} duck={diff[0][1]!r}"
             )
+    rec.update(
+        rows_match=rows_match,
+        schema_match=schema_match,
+        values_match=values_match,
+        duck_sec=round(t_duck, 3),
+    )
     if problems:
         return False, "; ".join(problems)
     return True, f"{len(spark_rows)} rows  spark={t_spark:.2f}s duck={t_duck*1000:.0f}ms"
@@ -147,6 +162,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("keys", nargs="*")
     ap.add_argument("--sf", default=DEFAULT_SF_DIR)
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write a machine-readable per-key log (CHECKLOG) to this path",
+    )
     args = ap.parse_args()
 
     queries = entrymod.queries()
@@ -160,15 +180,37 @@ def main() -> int:
     spark = get_spark("kwery-check")
     conn = duck_conn(args.sf)
     n_fail = 0
+    log: dict[str, dict] = {}
     for key in keys:
+        rec: dict = {}
         try:
-            ok, msg = check_key(spark, conn, key, queries[key], oracles.get(key), args.sf)
+            ok, msg = check_key(
+                spark, conn, key, queries[key], oracles.get(key), args.sf, rec
+            )
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+            rec.update(error=f"{type(e).__name__}: {e}")
         status = "PASS" if ok else "FAIL"
+        rec.update(status=status)
+        log[key] = rec
         n_fail += not ok
         print(f"[{status}] {key}: {msg}")
     print(f"\n{len(keys) - n_fail}/{len(keys)} passed")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": args.sf,
+                    "n_keys": len(keys),
+                    "n_pass": len(keys) - n_fail,
+                    "keys": log,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 
