@@ -712,3 +712,38 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_pop(l_quantity, l_extendedprice), 6)  AS qty_price_covar_pop,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar_samp,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS price_at_zero_qty,
+           round(regr_r2(l_extendedprice, l_quantity), 6)    AS fit_r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics family: correlation, population/sample
+    covariance, and the SQL:2023 linear-regression aggregates
+    (slope/intercept/R²) of price against quantity per return flag.
+    All are single-pass streaming co-moment aggregates — partial
+    (map-side) combine applies exactly like sum/avg, so the shuffle
+    carries one co-moment tuple per (partition, group) at any scale.
+    Rounded to 6dp: both engines use numerically-stable co-moment
+    updates whose accumulation-order noise sits ~10 orders below that."""
+    li = table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(q, p), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop(q, p), 6).alias("qty_price_covar_pop"),
+        F.round(F.covar_samp(q, p), 6).alias("qty_price_covar_samp"),
+        F.round(F.regr_slope(p, q), 6).alias("price_per_qty"),
+        F.round(F.regr_intercept(p, q), 6).alias("price_at_zero_qty"),
+        F.round(F.regr_r2(p, q), 6).alias("fit_r2"),
+    )

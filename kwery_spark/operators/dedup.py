@@ -552,3 +552,74 @@ def dedup_substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
         .filter(F.col("n_shared_spans") >= 3)
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               CASE doc_id % 3
+                   WHEN 0 THEN 'https://site-' || (doc_id % 7) || '.example.com/'
+                               || lang || '/p/' || (doc_id % 50)
+                   WHEN 1 THEN 'https://site-' || (doc_id % 7) || '.example.com/'
+                               || lang || '/p/' || (doc_id % 50)
+                               || '?utm_source=feed&utm_campaign=x'
+                   ELSE 'https://SITE-' || (doc_id % 7) || '.EXAMPLE.COM/'
+                               || lang || '/p/' || (doc_id % 50) || '/#frag'
+               END AS url
+        FROM documents
+    )
+    SELECT canonical_url,
+           count(*) AS n_variants,
+           min(doc_id) AS keeper_doc_id
+    FROM (
+        SELECT doc_id,
+               rtrim(regexp_replace(regexp_replace(lower(url),
+                     '#.*$', '', 'g'), '\\?utm[^#]*', '', 'g'), '/')
+                   AS canonical_url
+        FROM u)
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the web-crawl pipeline step that runs
+    BEFORE content dedup: synthesize three noisy variants per logical
+    page (clean / utm-tracking query / uppercase host + fragment),
+    canonicalize (lowercase, strip fragment, strip utm query, trim
+    trailing slash), and collapse to one row per canonical URL with a
+    min-id keeper. One projection + one hash shuffle on the canonical
+    key — identical shape to dedup_exact, so the 100 TB posture is the
+    same: scale is bounded by distinct-URL cardinality, not crawl size."""
+    docs = table(spark, sf_dir, "documents")
+    site = (F.col("doc_id") % 7).cast("string")
+    page = (F.col("doc_id") % 50).cast("string")
+    base = F.concat(
+        F.lit("https://site-"), site, F.lit(".example.com/"),
+        F.col("lang"), F.lit("/p/"), page,
+    )
+    url = (
+        F.when(F.col("doc_id") % 3 == 0, base)
+        .when(F.col("doc_id") % 3 == 1, F.concat(base, F.lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(
+            F.concat(
+                F.lit("https://SITE-"), site, F.lit(".EXAMPLE.COM/"),
+                F.col("lang"), F.lit("/p/"), page, F.lit("/#frag"),
+            )
+        )
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), r"#.*$", ""), r"\?utm[^#]*", ""
+        ),
+        r"/+$",
+        "",
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )

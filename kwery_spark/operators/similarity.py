@@ -717,3 +717,87 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.alias("codes"),
         F.round(F.sum("sqd") / 64, 6).alias("mse"),
     )
+
+
+@register(
+    "embedding_mrl_truncate",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5),
+    full_rank AS (
+        SELECT query_id, vec_id, rn FROM (
+            SELECT q.query_id, a.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY list_dot_product(a.v, q.qv) DESC, a.vec_id) AS rn
+            FROM v a CROSS JOIN q WHERE a.vec_id <> q.query_id)
+        WHERE rn <= 5),
+    trunc_rank AS (
+        SELECT query_id, vec_id, rn FROM (
+            SELECT q.query_id, a.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY list_dot_product(list_slice(a.v, 1, 16),
+                                                  list_slice(q.qv, 1, 16))
+                           / (sqrt(list_sum(list_transform(list_slice(a.v, 1, 16),
+                                  x -> x * x)))
+                            * sqrt(list_sum(list_transform(list_slice(q.qv, 1, 16),
+                                  x -> x * x)))) DESC, a.vec_id) AS rn
+            FROM v a CROSS JOIN q WHERE a.vec_id <> q.query_id)
+        WHERE rn <= 5)
+    SELECT f.query_id, count(t.vec_id) AS overlap_at_5
+    FROM full_rank f LEFT JOIN trunc_rank t
+      ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def embedding_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation: score retrieval with only
+    the first 16 of 64 dims (renormalized cosine) and measure top-5
+    overlap against full-dimension retrieval per query — the quality
+    check you run before committing to truncated embeddings for the
+    cheap first-stage ANN pass. Both rankings are exact and
+    deterministic (score-desc, id tiebreak), so the oracle replays them
+    bit-for-bit; at scale the truncated pass is the point: 4× less
+    memory bandwidth on the scan everything else in this module fans
+    out."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = vecs.crossJoin(broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.col("s_full").desc(), F.col("vec_id")
+    )
+    full_rank = (
+        pairs.select("query_id", "vec_id", dot("v", "qv").alias("s_full"))
+        .withColumn("rn", F.row_number().over(w_full))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    def norm16(c):
+        sliced = F.slice(c, 1, 16)
+        return F.sqrt(
+            F.aggregate(sliced, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+    s_trunc = F.aggregate(
+        F.zip_with(F.slice("v", 1, 16), F.slice("qv", 1, 16), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (norm16(F.col("v")) * norm16(F.col("qv")))
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.col("s_trunc").desc(), F.col("vec_id")
+    )
+    trunc_rank = (
+        pairs.select("query_id", "vec_id", s_trunc.alias("s_trunc"))
+        .withColumn("rn", F.row_number().over(w_trunc))
+        .filter(F.col("rn") <= 5)
+        .select(F.col("query_id").alias("tq"), F.col("vec_id").alias("tv"))
+    )
+    return (
+        full_rank.join(
+            trunc_rank,
+            (F.col("query_id") == F.col("tq")) & (F.col("vec_id") == F.col("tv")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("tv").alias("overlap_at_5"))
+    )

@@ -444,3 +444,66 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac.alias("dup_trigram_frac"),
         (dup_frac > 0.2).alias("fails_repetition_gate"),
     )
+
+
+@register(
+    "text_quality_model",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               len(str_split(text, ' ')) AS n_tok,
+               len(list_distinct(str_split(text, ' ')))
+                 / CAST(len(str_split(text, ' ')) AS DOUBLE) AS ttr,
+               list_sum(list_transform(str_split(text, ' '), t -> len(t)))
+                 / CAST(len(str_split(text, ' ')) AS DOUBLE) AS avg_tok_len,
+               len(list_filter(str_split(lower(text), ' '),
+                   t -> t IN ('the','a','of','and','to','in','is')))
+                 / CAST(len(str_split(text, ' ')) AS DOUBLE) AS stop_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           round(ttr, 6) AS ttr,
+           round(avg_tok_len, 6) AS avg_tok_len,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(1.0 / (1.0 + exp(-(2.0 * ttr + 0.4 * avg_tok_len
+                 + 1.5 * stop_ratio - 0.0005 * n_tok - 2.2))), 6) AS quality_score,
+           round(1.0 / (1.0 + exp(-(2.0 * ttr + 0.4 * avg_tok_len
+                 + 1.5 * stop_ratio - 0.0005 * n_tok - 2.2))), 6) >= 0.5
+               AS passes_gate
+    FROM f
+    """,
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, the fastText-classifier step of a
+    curation pipeline, expressed as in-engine inference: a fixed-weight
+    logistic model over cheap text features (type-token ratio, mean
+    token length, stopword ratio, length penalty). The point at 100 TB:
+    when the model is linear-ish, inference IS a projection — no UDF,
+    no model server, whole-stage codegen end to end; swap the weights
+    for trained ones and the plan is unchanged. Scores round to 6dp
+    before the gate compare so engine exp() ulp noise can't flip a row."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lower_toks = F.split(F.lower("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    avg_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tok
+    )
+    stops = F.array([F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is")])
+    stop_ratio = (
+        F.size(F.filter(lower_toks, lambda t: F.array_contains(stops, t))) / n_tok
+    )
+    z = (
+        2.0 * ttr + 0.4 * avg_len + 1.5 * stop_ratio - 0.0005 * F.size(toks) - 2.2
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        "doc_id",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(avg_len, 6).alias("avg_tok_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality_score"),
+        (score >= 0.5).alias("passes_gate"),
+    )

@@ -39,6 +39,7 @@ DECLARED = {
     "events_gapfill": {"BNLJ"},      # crossJoin(broadcast(1-row min/max bounds))
     "text_perplexity_proxy": {"BNLJ"},  # crossJoin(broadcast(1-row corpus total))
     "graph_pagerank": {"BNLJ"},      # crossJoin(broadcast(1-row node count))
+    "embedding_mrl_truncate": {"BNLJ"},  # crossJoin(broadcast(5 query vectors))
 }
 
 
