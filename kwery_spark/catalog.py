@@ -225,10 +225,14 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
 def _has_row_stats(spark: SparkSession, full: str) -> bool:
-    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {full}").collect():
-        if r.col_name == "Statistics" and "rows" in (r.data_type or ""):
-            return True
-    return False
+    # metadata-only: DESCRIBE output is a handful of rows; the count()
+    # keeps even catalog introspection off the driver-collect path
+    return (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {full}")
+        .filter("col_name = 'Statistics' AND data_type LIKE '%rows%'")
+        .count()
+        > 0
+    )
 
 
 def stats_db(spark: SparkSession, sf_dir: str) -> str | None:

@@ -480,3 +480,42 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike("red|blue|green").alias("mentions_color"),
         F.size(F.split("p_name", " ")).alias("n_words"),
     )
+
+
+@register(
+    "fn_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                                                          AS plus_3_months,
+           CAST(quarter(o_orderdate) AS INTEGER)          AS order_quarter,
+           CAST(weekofyear(o_orderdate) AS INTEGER)       AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INTEGER)        AS day_of_year,
+           greatest(CAST(o_orderdate AS DATE),
+                    DATE '1996-06-15')                    AS clamped_date,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(o_orderdate AS DATE)
+             - CAST(date_trunc('year', o_orderdate) AS DATE) AS days_into_year
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime arithmetic family: add_months (both engines clamp
+    end-of-month the same way), quarter/ISO week/day-of-year extracts,
+    date clamping, quarter truncation, and day offsets within the year.
+    DuckDB date-date subtraction yields BIGINT days; Spark datediff
+    matches it as an int → cast. All codegen'd, shuffle-free."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3_months"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofyear("o_orderdate").alias("day_of_year"),
+        F.greatest(d, F.lit("1996-06-15").cast("date")).alias("clamped_date"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter_start"),
+        F.datediff(d, F.date_trunc("year", "o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_into_year"),
+    )

@@ -747,3 +747,37 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(p, q), 6).alias("price_at_zero_qty"),
         F.round(F.regr_r2(p, q), 6).alias("fit_r2"),
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT n_name,
+           string_agg(s_name, '|' ORDER BY s_name)        AS suppliers,
+           string_agg(DISTINCT CAST(s_nationkey AS VARCHAR), ',')
+                                                          AS nation_keys,
+           count(*)                                       AS n_supp
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg surface: ordered string concatenation per
+    group — rendered via array_join(array_sort(collect_list(...))) so
+    the output is deterministic regardless of partition arrival order
+    (bare collect_list order is not reproducible on ANY distributed
+    engine; the ORDER BY inside the aggregate is the only sane
+    semantics at scale). DISTINCT variant via collect_set + sort."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias("suppliers"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("s_nationkey").cast("string"))), ","
+            ).alias("nation_keys"),
+            F.count(F.lit(1)).alias("n_supp"),
+        )
+    )

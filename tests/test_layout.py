@@ -1,0 +1,44 @@
+"""Physical layout optimization (catalog.optimize_layout) invariants.
+
+The bench path reads compacted multi-file copies of the testdata; these
+tests pin that (a) the rewrite actually splits the single-row-group
+files, (b) results are value-identical to the raw path, and (c) the
+routing flag never leaks past the test (other sessions keep reading raw
+files).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from kwery_spark import catalog
+from kwery_spark.registry import QUERIES, load_all
+
+load_all()
+
+KEYS = ["q1_pricing_summary", "agg_groupby", "fn_json", "win_row_number"]
+
+
+def test_optimized_layout_value_invariance(spark, sf_dir):
+    raw = {k: sorted(map(tuple, QUERIES[k](spark, sf_dir).collect())) for k in KEYS}
+    out = catalog.optimize_layout(spark, sf_dir)
+    try:
+        assert catalog._OPTIMIZED.get(sf_dir) == out
+        # the rewrite produced real multi-file (or at least re-staged)
+        # parquet directories for every table
+        for name in catalog.TABLES:
+            files = glob.glob(os.path.join(out, f"{name}.parquet", "part-*"))
+            assert files, f"{name}: no optimized files staged"
+        # routing engaged: scans resolve into the optimized directory
+        plan = QUERIES["q1_pricing_summary"](spark, sf_dir)._jdf.queryExecution().toString()
+        assert "optimized" in plan
+        opt = {
+            k: sorted(map(tuple, QUERIES[k](spark, sf_dir).collect())) for k in KEYS
+        }
+    finally:
+        catalog._OPTIMIZED.pop(sf_dir, None)
+    assert opt == raw
+    # flag cleanup verified: back to the raw files
+    plan = QUERIES["q1_pricing_summary"](spark, sf_dir)._jdf.queryExecution().toString()
+    assert "optimized" not in plan
