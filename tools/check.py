@@ -167,6 +167,13 @@ def main() -> int:
         default=None,
         help="write a machine-readable per-key log (CHECKLOG) to this path",
     )
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession (no kwery_spark.session conf) — the "
+        "grading driver's own session shape; proves no key depends on "
+        "builder-side configuration",
+    )
     args = ap.parse_args()
 
     queries = entrymod.queries()
@@ -177,7 +184,16 @@ def main() -> int:
         print(f"unknown keys: {missing}")
         return 2
 
-    spark = get_spark("kwery-check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("kwery-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("kwery-check")
     conn = duck_conn(args.sf)
     n_fail = 0
     log: dict[str, dict] = {}
