@@ -266,3 +266,85 @@ def test_hof_string_pipelines_match_duckdb(spark, duck, texts):
     srows = [tuple(r) for r in sdf.collect()]
     rel = duck.sql(duck_sql)
     assert norm_rows(sdf.columns, srows) == norm_rows(list(rel.columns), rel.fetchall())
+
+
+@given(texts=TEXTS)
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_regex_pipelines_match_duckdb(spark, duck, texts):
+    """The r3 regex family on arbitrary messy strings: first-token
+    extract, global vowel strip, vowel-run count, alternation match —
+    Spark's Java regex vs DuckDB's RE2 must agree on these RE2-safe
+    patterns."""
+    p = pd.DataFrame({"i": range(len(texts)), "s": texts}).astype(
+        {"i": "int64", "s": "object"}
+    )
+    spark.createDataFrame(p, "i long, s string").createOrReplaceTempView("rt")
+    duck.register("rt", p)
+    sdf = spark.sql(
+        r"""
+        SELECT i,
+               regexp_extract(s, '^(\\w+)', 1) AS first_word,
+               regexp_replace(s, '[ab]', '') AS stripped,
+               regexp_count(s, '[ab]+') AS n_runs,
+               s RLIKE 'ab|ba' AS has_pair
+        FROM rt
+        """
+    )
+    rel = duck.sql(
+        r"""
+        SELECT i,
+               regexp_extract(s, '^(\w+)', 1) AS first_word,
+               regexp_replace(s, '[ab]', '', 'g') AS stripped,
+               CAST(len(regexp_extract_all(s, '[ab]+')) AS INTEGER) AS n_runs,
+               regexp_matches(s, 'ab|ba') AS has_pair
+        FROM rt
+        """
+    )
+    srows = [tuple(r) for r in sdf.collect()]
+    assert norm_rows(sdf.columns, srows) == norm_rows(list(rel.columns), rel.fetchall())
+
+
+@given(
+    days=st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=12)
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_datetime_arith_matches_duckdb(spark, duck, days):
+    """r3 datetime family over arbitrary dates: add_months end-of-month
+    clamping, quarter/ISO-week/day-of-year extracts, year-truncated day
+    offsets."""
+    p = pd.DataFrame({"i": range(len(days)), "d": days}).astype("int64")
+    spark.createDataFrame(p, "i long, d long").createOrReplaceTempView("dt")
+    duck.register("dt", p)
+    sdf = spark.sql(
+        """
+        SELECT i,
+               add_months(date_add(DATE '1995-01-31', CAST(d AS INT)), 3) AS m3,
+               quarter(date_add(DATE '1995-01-31', CAST(d AS INT))) AS q,
+               weekofyear(date_add(DATE '1995-01-31', CAST(d AS INT))) AS wk,
+               dayofyear(date_add(DATE '1995-01-31', CAST(d AS INT))) AS doy
+        FROM dt
+        """
+    )
+    rel = duck.sql(
+        """
+        SELECT i,
+               CAST(DATE '1995-01-31' + d * INTERVAL 1 DAY
+                    + INTERVAL 3 MONTH AS DATE) AS m3,
+               CAST(quarter(DATE '1995-01-31' + d * INTERVAL 1 DAY) AS INTEGER) AS q,
+               CAST(weekofyear(DATE '1995-01-31' + d * INTERVAL 1 DAY) AS INTEGER) AS wk,
+               CAST(dayofyear(DATE '1995-01-31' + d * INTERVAL 1 DAY) AS INTEGER) AS doy
+        FROM dt
+        """
+    )
+    srows = [tuple(r) for r in sdf.collect()]
+    assert norm_rows(sdf.columns, srows) == norm_rows(list(rel.columns), rel.fetchall())
