@@ -623,3 +623,108 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle=r"""
+    WITH canon AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+               list_distinct(str_split(text, ' ')) AS t
+        FROM documents
+    ),
+    existing AS (SELECT * FROM canon WHERE doc_id % 5 <> 0),
+    batch AS (SELECT * FROM canon WHERE doc_id % 5 = 0),
+    near AS (
+        SELECT DISTINCT b.doc_id
+        FROM batch b JOIN existing e
+          ON len(list_intersect(b.t, e.t))
+               / (len(b.t) + len(e.t) - len(list_intersect(b.t, e.t))) >= 0.9
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.h IN (SELECT h FROM existing) THEN 'exact_dup'
+                WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS verdict
+    FROM batch b LEFT JOIN near ON near.doc_id = b.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: a NEW BATCH (docs with
+    doc_id % 5 == 0 — an SF-independent slice) is deduplicated against
+    the EXISTING corpus (the other 80%) only, never within itself; batch docs duplicating each other both
+    survive (they'll meet in the next compaction). Verdict per batch
+    doc: exact_dup (canonical md5 seen before) beats near_dup (token
+    Jaccard ≥ 0.9 vs any existing doc) beats kept.
+
+    Near-dup candidates come from a minhash band join (64 hashes, 32
+    bands × 2 rows) BETWEEN batch and existing — never a batch×existing
+    product: P(miss | j ≥ 0.9) ≤ (1 − 0.9²)³² ≈ 1e-23, so the
+    LSH+exact-verify pipeline equals the oracle's full pair scan. At
+    100 TB the existing side's band table is a precomputed index you
+    append to per batch — exactly how production MinHash indexes run."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("h"),
+        F.array_distinct(F.split("text", " ")).alias("t"),
+    )
+    minhashes = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.array_min(F.transform(F.col("t"), lambda t: F.xxhash64(i, t))),
+    )
+    hashed = docs.select("doc_id", "h", "t", minhashes.alias("mh")).repartition(
+        "doc_id"
+    )
+    bands = hashed.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda j: F.xxhash64(F.slice("mh", j * 2 + 1, 2)),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    b_bands = bands.filter(F.col("doc_id") % 5 == 0)
+    e_bands = bands.filter(F.col("doc_id") % 5 != 0)
+    cand = (
+        b_bands.alias("b")
+        .join(
+            e_bands.alias("e"),
+            (F.col("b.band_id") == F.col("e.band_id"))
+            & (F.col("b.band_hash") == F.col("e.band_hash")),
+        )
+        .select(
+            F.col("b.doc_id").alias("b_id"), F.col("e.doc_id").alias("e_id")
+        )
+        .distinct()
+    )
+    bt = hashed.select(F.col("doc_id").alias("b_id"), F.col("t").alias("t_b"))
+    et = hashed.select(F.col("doc_id").alias("e_id"), F.col("t").alias("t_e"))
+    inter = F.size(F.array_intersect("t_b", "t_e"))
+    union = F.size("t_b") + F.size("t_e") - inter
+    near = (
+        cand.join(bt, "b_id")
+        .join(et, "e_id")
+        .filter((inter / union) >= 0.9)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    exact = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select("h")
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return (
+        batch.join(exact, "h", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact").isNotNull(), "exact_dup")
+            .when(F.col("is_near").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+    )

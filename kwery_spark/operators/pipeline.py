@@ -440,3 +440,71 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunks_kept"),
         )
     )
+
+
+@register(
+    "pipeline_temperature_mixture",
+    oracle="""
+    WITH s AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, sum(sqrt(c)) AS sw FROM s),
+    r AS (
+        SELECT lang, c,
+               round(least(1.0, (sqrt(c) / sw) * (n / 2.0) / c), 6) AS keep_rate
+        FROM s CROSS JOIN tot),
+    kept AS (
+        SELECT d.lang, count(*) AS n_kept
+        FROM documents d JOIN r USING (lang)
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+              / 16777216.0 < keep_rate
+        GROUP BY d.lang)
+    SELECT r.lang, CAST(r.c AS BIGINT) AS n_total, r.keep_rate,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN kept k ON k.lang = r.lang
+    """,
+)
+def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling (mT5/DoReMi style):
+    target share q_l ∝ p_l^α with α=0.5, so low-resource languages are
+    upsampled relative to their natural share; per-lang keep rate =
+    q_l·N_target/c_l (capped at 1, N_target = N/2), applied via the same
+    md5(doc_id) uniform used everywhere in this repo — reproducible,
+    resumable, scan-side. Rates are computed FROM the data (one tiny
+    lang aggregate broadcast back), and rounded to 6dp BEFORE the keep
+    compare so both engines gate identically. At 100 TB: one count
+    shuffle over |langs| groups, one broadcast join, one filtered scan."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = s.agg(
+        F.sum("c").cast("double").alias("n"), F.sum(F.sqrt("c")).alias("sw")
+    )
+    r = s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "c",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.sqrt("c") / F.col("sw")) * (F.col("n") / 2.0) / F.col("c"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("double")
+        / 16777216.0
+    )
+    kept = (
+        docs.join(F.broadcast(r), "lang")
+        .filter(u < F.col("keep_rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        r.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("c").alias("n_total"),
+            "keep_rate",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

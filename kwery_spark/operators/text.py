@@ -507,3 +507,65 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("quality_score"),
         (score >= 0.5).alias("passes_gate"),
     )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(str_split(lower(text), ' ')) AS t FROM documents
+    ),
+    freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    vocab AS (
+        SELECT t FROM (
+            SELECT t, row_number() OVER (ORDER BY c DESC, t) AS rk FROM freq)
+        WHERE rk <= 256)
+    SELECT doc_id,
+           count(*) AS n_tok,
+           count(*) FILTER (WHERE v.t IS NULL) AS n_oov,
+           round(count(*) FILTER (WHERE v.t IS NULL)
+                 / CAST(count(*) AS DOUBLE), 6) AS oov_rate,
+           CAST(coalesce(sum(len(tok.t)) FILTER (WHERE v.t IS NULL), 0)
+                AS BIGINT) AS oov_chars
+    FROM tok LEFT JOIN vocab v USING (t)
+    GROUP BY doc_id
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage analysis: induce a 256-entry vocab
+    (top corpus frequencies, token tiebreak) and measure per-document
+    OOV rate and the byte mass that would fall back to char-level
+    encoding — the check you run before committing to a tokenizer for a
+    new corpus slice. Shape at 100 TB: one token-count shuffle, a
+    vocabulary that is top-K-small by construction (broadcast), and one
+    per-doc regroup; nothing scales with vocab×corpus."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # global top-K via orderBy+limit → TakeOrderedAndProject: per-partition
+    # 256-entry heaps merged on one tiny reduce — NOT a single-partition
+    # row_number window, which would funnel every distinct token through
+    # one task at 100 TB. Ordering (c desc, t) matches the oracle's
+    # row_number tiebreak exactly, so the induced vocab is identical.
+    vocab = (
+        freq.orderBy(F.col("c").desc(), "t")
+        .limit(256)
+        .select("t", F.lit(True).alias("in_vocab"))
+    )
+    oov = F.col("in_vocab").isNull()
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count(F.when(oov, 1)).alias("n_oov"),
+            F.round(
+                F.count(F.when(oov, 1)) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("oov_rate"),
+            F.coalesce(F.sum(F.when(oov, F.length("t"))), F.lit(0))
+            .cast("long")
+            .alias("oov_chars"),
+        )
+    )

@@ -40,6 +40,7 @@ DECLARED = {
     "text_perplexity_proxy": {"BNLJ"},  # crossJoin(broadcast(1-row corpus total))
     "graph_pagerank": {"BNLJ"},      # crossJoin(broadcast(1-row node count))
     "embedding_mrl_truncate": {"BNLJ"},  # crossJoin(broadcast(5 query vectors))
+    "pipeline_temperature_mixture": {"BNLJ"},  # crossJoin(broadcast(1-row totals))
 }
 
 
