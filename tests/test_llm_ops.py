@@ -145,3 +145,29 @@ def test_ann_lsh_structure_and_recall(spark, sf001):
     ][:5]
     got = {r.neighbor_id for r in by_q.get(0, [])}
     assert len(set(bf) & got) >= 2  # measured 3/5, deterministic
+
+
+def test_pagerank_is_a_distribution(spark, sf_dir):
+    """PageRank must conserve mass: ranks positive, summing to ~1 (the
+    bidirected graph has no dangling nodes to leak mass through)."""
+    rows = QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
+    assert all(r.pagerank > 0 for r in rows)
+
+
+def test_pq_codes_and_error_sane(spark, sf_dir):
+    """PQ encode: every code in [0,16), one code per subspace, and the
+    mean reconstruction error must beat the trivial all-zeros codebook
+    (for unit vectors that baseline MSE is 1/64 per dimension-share =
+    mean squared norm / 64)."""
+    rows = QUERIES["ann_pq"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
+        assert r.mse >= 0
+    avg_mse = sum(r.mse for r in rows) / len(rows)
+    # all-zero reconstruction of a unit vector has MSE 1/64 per dim pair
+    assert avg_mse < 1.0 / 64, avg_mse
