@@ -801,3 +801,173 @@ def embedding_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("tv").alias("overlap_at_5"))
     )
+
+
+def _ivfpq_oracle() -> str:
+    """Deterministic replay of the full IVF→PQ-ADC→exact-rerank stack:
+    same seeds (vec_id<8 cells), same codebook (vec_id<16 sub-vectors),
+    same probes (top-4 cells), same candidate ranking (ADC top-32, id
+    tiebreaks), same exact top-5 re-rank."""
+    return """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, v AS sv FROM v WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT a.vec_id, a.v, s.cid,
+                   row_number() OVER (PARTITION BY a.vec_id
+                        ORDER BY list_dot_product(a.v, s.sv) DESC, s.cid) AS rn
+            FROM v a CROSS JOIN seeds s)
+        WHERE rn = 1),
+    sub AS (SELECT unnest(range(0, 8)) AS m),
+    cb AS (
+        SELECT vec_id AS code, sub.m AS m,
+               list_slice(v.v, sub.m * 8 + 1, sub.m * 8 + 8) AS cw
+        FROM v CROSS JOIN sub WHERE vec_id < 16),
+    enc AS (
+        SELECT vec_id, m, code FROM (
+            SELECT a.vec_id, c.m, c.code,
+                   row_number() OVER (PARTITION BY a.vec_id, c.m ORDER BY
+                       list_sum(list_transform(range(1, 9),
+                           i -> (list_slice(a.v, c.m * 8 + 1, c.m * 8 + 8)[i] - c.cw[i])
+                              * (list_slice(a.v, c.m * 8 + 1, c.m * 8 + 8)[i] - c.cw[i]))),
+                       c.code) AS rn
+            FROM v a JOIN cb c ON true)
+        WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 3),
+    probes AS (
+        SELECT query_id, cid FROM (
+            SELECT q.query_id, s.cid,
+                   row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY list_dot_product(q.qv, s.sv) DESC, s.cid) AS rn
+            FROM q CROSS JOIN seeds s)
+        WHERE rn <= 4),
+    qcb AS (
+        SELECT q.query_id, c.m, c.code,
+               list_dot_product(list_slice(q.qv, c.m * 8 + 1, c.m * 8 + 8), c.cw)
+                   AS contrib
+        FROM q CROSS JOIN cb c),
+    adc AS (
+        SELECT p.query_id, a.vec_id, sum(t.contrib) AS adc_score
+        FROM probes p
+        JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        JOIN enc e ON e.vec_id = a.vec_id
+        JOIN qcb t ON t.query_id = p.query_id AND t.m = e.m AND t.code = e.code
+        GROUP BY p.query_id, a.vec_id),
+    top20 AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc_score DESC, vec_id) AS rn
+            FROM adc)
+        WHERE rn <= 32)
+    SELECT query_id, neighbor_id, score, rnk FROM (
+        SELECT t.query_id, t.vec_id AS neighbor_id,
+               round(list_dot_product(v.v, q.qv), 6) AS score,
+               CAST(row_number() OVER (PARTITION BY t.query_id
+                    ORDER BY list_dot_product(v.v, q.qv) DESC, t.vec_id)
+                    AS BIGINT) AS rnk
+        FROM top20 t JOIN v ON v.vec_id = t.vec_id
+                     JOIN q ON q.query_id = t.query_id)
+    WHERE rnk <= 5
+    """
+
+
+@register("ann_ivfpq", oracle=_ivfpq_oracle())
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN stack end-to-end: IVF coarse quantizer (8
+    fixed seed cells, nprobe=4) narrows the scan, PQ asymmetric distance
+    (8×16 deterministic codebook; per-query lookup table of
+    query-subvector · codeword contributions) ranks candidates WITHOUT
+    touching raw vectors, and only the ADC top-32 get exact re-ranking
+    to a final top-5. Every stage is deterministic (fixed seeds, id
+    tiebreaks) so the oracle replays the whole stack.
+
+    Scale: seeds and codebook broadcast (k·dim and 16·64 doubles); the
+    ADC join touches codes (8 bytes/vector), not vectors — the memory
+    shape that makes billion-vector search work; raw vectors are read
+    only for the 32·|queries| re-rank rows."""
+    M, K, SUB, NPROBE = 8, 16, 8, 4
+    vecs = _vecs(spark, sf_dir)
+    seeds = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("sv")
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
+    assigned = (
+        vecs.crossJoin(broadcast(seeds))
+        .select("vec_id", "v", "cid", dot("v", "sv").alias("d"))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m")
+    cb = (
+        vecs.filter(F.col("vec_id") < K)
+        .select(F.col("vec_id").alias("code"), "v", ms)
+        .select("code", "m", F.slice("v", F.col("m") * SUB + 1, SUB).alias("cw"))
+    )
+    sv = vecs.select("vec_id", "v", ms).select(
+        "vec_id", "m", F.slice("v", F.col("m") * SUB + 1, SUB).alias("sv")
+    )
+    sqd = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    enc_w = Window.partitionBy("vec_id", "m").orderBy("sqd", "code")
+    enc = (
+        sv.join(broadcast(cb), "m")
+        .select("vec_id", "m", "code", sqd.alias("sqd"))
+        .withColumn("rn", F.row_number().over(enc_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    q = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("d").desc(), "cid")
+    probes = (
+        q.crossJoin(broadcast(seeds))
+        .select("query_id", "cid", dot("qv", "sv").alias("d"))
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "cid")
+    )
+    qcb = q.crossJoin(broadcast(cb)).select(
+        "query_id",
+        "m",
+        "code",
+        F.aggregate(
+            F.zip_with(
+                F.slice("qv", F.col("m") * SUB + 1, SUB),
+                F.col("cw"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("contrib"),
+    )
+    adc = (
+        broadcast(probes)
+        .join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .join(enc, "vec_id")
+        .join(broadcast(qcb), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("contrib").alias("adc_score"))
+    )
+    top_w = Window.partitionBy("query_id").orderBy(F.col("adc_score").desc(), "vec_id")
+    top20 = (
+        adc.withColumn("rn", F.row_number().over(top_w))
+        .filter(F.col("rn") <= 32)
+        .select("query_id", "vec_id")
+    )
+    rerank_w = Window.partitionBy("query_id").orderBy(F.col("exact").desc(), "neighbor_id")
+    return (
+        top20.join(vecs, "vec_id")
+        .join(broadcast(q), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), dot("v", "qv").alias("exact"))
+        .withColumn("rnk", F.row_number().over(rerank_w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", F.round("exact", 6).alias("score"), "rnk")
+    )

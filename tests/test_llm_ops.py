@@ -171,3 +171,37 @@ def test_pq_codes_and_error_sane(spark, sf_dir):
     avg_mse = sum(r.mse for r in rows) / len(rows)
     # all-zero reconstruction of a unit vector has MSE 1/64 per dim pair
     assert avg_mse < 1.0 / 64, avg_mse
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, sf_dir):
+    """The IVF→PQ-ADC→rerank stack must recover most of the true top-5:
+    per query, ≥3 of the exact brute-force top-5 (the compression +
+    coarse probe trade recall for the memory/scan shape; the rerank
+    stage keeps what survives candidate generation exact)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from kwery_spark.operators.similarity import _vecs, dot
+
+    got = {}
+    for r in QUERIES["ann_ivfpq"](spark, sf_dir).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "vec_id")
+    truth = {}
+    for r in (
+        vecs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dot("v", "qv").alias("s"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    ):
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(got) == set(truth)
+    for qid in truth:
+        overlap = len(got[qid] & truth[qid])
+        assert overlap >= 3, (qid, got[qid], truth[qid])

@@ -41,6 +41,7 @@ DECLARED = {
     "graph_pagerank": {"BNLJ"},      # crossJoin(broadcast(1-row node count))
     "embedding_mrl_truncate": {"BNLJ"},  # crossJoin(broadcast(5 query vectors))
     "pipeline_temperature_mixture": {"BNLJ"},  # crossJoin(broadcast(1-row totals))
+    "ann_ivfpq": {"BNLJ"},           # crossJoin(broadcast(seeds / codebook / 3 queries))
 }
 
 
