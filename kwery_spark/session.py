@@ -18,6 +18,11 @@ from pyspark.sql import SparkSession
 # empty 1-row tasks.
 _LOCAL_SHUFFLE_PARTITIONS = "8"
 
+# Repo root — warehouse + Derby metastore are pinned here so catalog
+# state is (a) persistent across sessions and (b) never written outside
+# the repo, regardless of the caller's working directory.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def builder(app_name: str = "kwery-spark", cpus: int | None = None) -> SparkSession.Builder:
     if cpus is None:
@@ -58,6 +63,16 @@ def builder(app_name: str = "kwery-spark", cpus: int | None = None) -> SparkSess
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.warehouse.dir", f"file://{_REPO_ROOT}/spark-warehouse")
+        # Pin the Derby metastore into the repo via the JDO URL, NOT via
+        # spark.driver.extraJavaOptions -Dderby.system.home: overriding
+        # extraJavaOptions clobbers pyspark's default JVM flags (incl.
+        # --add-modules=jdk.incubator.vector) and costs a measured ~25%
+        # across the whole bench when the SIMD paths fall back to scalar.
+        .config(
+            "spark.hadoop.javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={_REPO_ROOT}/metastore_db;create=true",
+        )
     )
 
 
