@@ -391,3 +391,40 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_churn",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS tmax FROM events),
+    u AS (
+        SELECT user_id,
+               max(CAST(ts AS TIMESTAMP)) AS last_seen,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(datediff('day', last_seen, tmax) AS BIGINT) AS days_inactive,
+           datediff('day', last_seen, tmax) > 7 AS is_churned
+    FROM u CROSS JOIN mx
+    """,
+)
+def events_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity churn flags: per-user days since last event relative
+    to the corpus horizon (max ts), churned if > 7 days dark. The
+    horizon is a 1-row aggregate broadcast into the plan (no driver
+    action, no second scan barrier); the per-user aggregate is one hash
+    shuffle with map-side partials. Day arithmetic via datediff on both
+    engines — no sub-second traps since it floors to dates."""
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("tmax"))
+    u = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"), F.count(F.lit(1)).alias("n_events")
+    )
+    days = F.datediff(F.col("tmax").cast("date"), F.col("last_seen").cast("date"))
+    return u.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        "n_events",
+        days.cast("long").alias("days_inactive"),
+        (days > 7).alias("is_churned"),
+    )

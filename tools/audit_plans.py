@@ -42,6 +42,7 @@ DECLARED = {
     "embedding_mrl_truncate": {"BNLJ"},  # crossJoin(broadcast(5 query vectors))
     "pipeline_temperature_mixture": {"BNLJ"},  # crossJoin(broadcast(1-row totals))
     "ann_ivfpq": {"BNLJ"},           # crossJoin(broadcast(seeds / codebook / 3 queries))
+    "events_churn": {"BNLJ"},        # crossJoin(broadcast(1-row corpus horizon))
 }
 
 
