@@ -21,6 +21,7 @@ from kwery_spark.operators import (
     sql_entry,
     text,
     tpch,
+    tpch_ext,
     udfs,
     warehouse,
     windows,

@@ -1,0 +1,744 @@
+"""Extended TPC-H-shaped decision-support suite (SURVEY.md §2.12).
+
+Beyond the three headline queries in tpch.py (Q1/Q3/Q5 shapes), this module
+covers the rest of the classic TPC-H patterns the corpus schema can express,
+adapted where the synthetic schema diverges from spec (no partsupp, no
+commit/receipt dates, no shipmode/container/phone columns — see TESTDATA.md):
+
+  q4  -> late-shipment EXISTS rewritten as shipped >90 days after order
+  q12 -> shipmode grouping rewritten over l_returnflag
+  q22 -> phone-prefix country code rewritten over the nation dimension,
+         "no orders at all" (vacuous here: every customer has orders)
+         rewritten as "no orders since 2000-01-01"
+
+Determinism rules (CLAUDE.md): thresholds that feed comparisons are either
+exact in FP (sums/avgs of integral-valued quantity doubles) or computed via
+an exact DECIMAL sum + one double division so Spark and DuckDB derive the
+bit-identical threshold; ranking cutoffs carry explicit key tie-breaks.
+Every query is a single declarative plan — no driver-side data movement.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import register
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): EXISTS -> left-semi join.
+
+    The spec's l_commitdate < l_receiptdate lateness test has no columns
+    here; the adapted predicate (shipped >90 days after the order date)
+    exercises the same shape — a correlated EXISTS that Catalyst plans as
+    a LEFT SEMI equi-join on orderkey with a non-equi residual.
+
+    Scale: the quarter filter prunes orders at the scan; the semi-join
+    shuffles only (orderkey, orderdate) pairs and short-circuits per key.
+    Final agg is <=5 groups -> single-task sort, no range exchange.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1996-10-01 00:00:00"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, on=late, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .coalesce(1)
+        .sortWithinPartitions("o_orderpriority")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT sum(l_extendedprice * l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change (TPC-H Q6): pure scan-filter-aggregate.
+
+    Scale: all four predicates push into the parquet scan (PushedFilters);
+    the aggregate is map-side partial + a 1-row final — the cheapest
+    possible shape, bounded by scan bandwidth alone at any SF.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (TPC-H Q7 shape).
+
+    Scale: both sides are pre-filtered to the two nations BEFORE the fact
+    joins — supplier and customer each take a broadcast join against a
+    2-row filtered nation dim, shrinking the shuffled fact keys by ~12.5x
+    (2/25 nations) ahead of the orderkey join. With both endpoints
+    restricted to the same two nations, the spec's pair-disjunction
+    reduces to supp_nation <> cust_nation, a cheap residual filter.
+    """
+    nations = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = nations.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nations.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = table(spark, sf_dir, "supplier").join(
+        broadcast(n1), F.col("s_nationkey") == F.col("s_nk")
+    )
+    cust = table(spark, sf_dir, "customer").join(
+        broadcast(n2), F.col("c_nationkey") == F.col("c_nk")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        # 2 nation pairs x 2 years -> bounded output at any SF
+        .coalesce(1)
+        .sortWithinPartitions("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+             / sum(volume) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    ) all_sales
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): share-of-total via
+    conditional aggregation — one pass, no self-join against the total.
+
+    Scale: nation/region are fixed-size (broadcast always); the PROMO part
+    filter and the order-date window prune the fact chain at the scans.
+    part and supplier scale with SF, so their joins are left to AQE to pick
+    broadcast vs shuffle per deployment. The share division happens on two
+    already-aggregated sums per year — 2 output rows at any SF.
+    """
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nat = nation.join(
+        broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    supp_nat = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer").join(
+        broadcast(cust_nat), F.col("c_nationkey") == F.col("c_nk"), "left_semi"
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(supp_nat), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_5", volume).otherwise(0.0))
+                / F.sum(volume)
+            ).alias("mkt_share")
+        )
+        .coalesce(1)
+        .sortWithinPartitions("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, sum(amount) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS amount
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit measure (TPC-H Q9 shape, sans ps_supplycost —
+    no partsupp table exists; amount is gross discounted revenue).
+
+    Scale: the %red% LIKE prunes part before its fact join (a contains
+    filter can't push to parquet min/max but does run in the scan stage);
+    nation broadcasts; part/supplier joins AQE-decide. Output is
+    |nation| x |year| — final single-task sort is bounded.
+    """
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_profit"
+            )
+        )
+        .coalesce(1)
+        .sortWithinPartitions(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): top-20 lossy customers.
+
+    Scale: quarter + returnflag filters sit under the joins; the group-by
+    key includes only customer-functional columns so the aggregate shuffles
+    once on custkey; ORDER BY+LIMIT fuses to TakeOrderedAndProject (per-
+    partition top-20 heaps, no global sort). Tie-break on c_custkey keeps
+    the 20-row cutoff engine-deterministic.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-10-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_class",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority class (TPC-H Q12 shape; the corpus has no
+    l_shipmode column, so the grouping runs over l_returnflag).
+
+    Scale: the ship-year filter prunes lineitem at the scan; one equi-join
+    on orderkey, conditional-sum aggregation with map-side partials; <=3
+    output groups -> single-task sort.
+    """
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape; the spec's
+    comment-pattern exclusion becomes an order-priority exclusion).
+
+    Scale: left outer join on custkey (keeps zero-order customers), count
+    per customer, then a second tiny aggregation over the count value.
+    The first shuffle is the only data-sized one; the second moves at most
+    |distinct counts| x partitions rows. Distribution output is bounded
+    (~max orders per customer) -> single-task sort.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .coalesce(1)
+        .sortWithinPartitions(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT 100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0 END)
+           / sum(l.l_extendedprice * (1 - l.l_discount)) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14): share-of-revenue in one month.
+
+    Scale: month filter prunes lineitem at the scan; the part join carries
+    only (p_partkey, p_type) after pruning; conditional sums aggregate
+    map-side to a single row — the division is one scalar op.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-09-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-10-01 00:00:00"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.00)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM supplier s
+    JOIN (
+        SELECT l_suppkey,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    ) rev ON s.s_suppkey = rev.l_suppkey
+    ORDER BY rev.total_revenue DESC, s.s_suppkey
+    LIMIT 1
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape). The spec's revenue = max(revenue)
+    equality join is replaced by rank-1 selection with a suppkey
+    tie-break: FP sums can differ between engines in the last ulp, so an
+    exact equality against max() is not engine-portable, while the DESC
+    ordering is (supplier revenues are well-separated; ties fall to the
+    key). Same answer, deterministic across engines.
+
+    Scale: quarter filter at the scan; one shuffle on l_suppkey for the
+    per-supplier sums; ORDER BY+LIMIT fuses to TakeOrderedAndProject —
+    no global sort, no second pass to re-find the max.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy(F.col("total_revenue").desc(), F.col("s_suppkey"))
+        .limit(1)
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+    SELECT sum(l.l_extendedprice) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+        FROM lineitem
+        GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < t.qty_threshold
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): correlated AVG
+    subquery decorrelated into a per-part aggregate + equi-join — the
+    standard Catalyst-friendly rewrite (the oracle mirrors the same
+    decorrelated form; DuckDB plans the correlated original identically).
+
+    Threshold determinism: l_quantity is integral-valued, so each
+    per-part sum (and thus avg = exact_sum / count) is EXACT in FP; both
+    engines derive the bit-identical 0.2*avg threshold and the < compare
+    can never straddle an ulp.
+
+    Scale: the brand filter reduces the probe side before the join; the
+    per-part avg shuffles on l_partkey (same key as the join — at scale
+    one co-partitioned exchange serves both). Single-row output.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_volume",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, sum(l.l_quantity) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customer (TPC-H Q18 shape): HAVING-IN semi-join.
+
+    Threshold determinism: sum(l_quantity) is a sum of integral-valued
+    doubles — exact in FP, so the >250 cut is engine-portable.
+
+    Scale: the qualifying-orderkey set (HAVING) aggregates on l_orderkey
+    and semi-joins back on the same key — co-partitioned, one logical
+    exchange; the customer join only sees qualifying orders (~1% of
+    rows). ORDER BY+LIMIT 100 fuses to TakeOrderedAndProject; the
+    orderkey tie-break pins the cutoff.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 shape): OR-of-ANDs spanning both
+    join sides (no p_container column; size stands in for it).
+
+    Scale: Catalyst derives the implied single-side prefilters from the
+    disjunction (brand IN (...) on part, quantity in [1,30] on lineitem)
+    and pushes them below the join, so the equi-join on partkey sees only
+    candidate rows; the full disjunction evaluates as the join residual.
+    Single-row output.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1) & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & (q >= 10) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 35)
+            & (q >= 20) & (q <= 30)
+        )
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+    WITH thresh AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18, 2))) AS DOUBLE)
+               / count(*) AS avg_bal
+        FROM customer
+        WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name, count(*) AS numcust, sum(c.c_acctbal) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    CROSS JOIN thresh
+    WHERE c.c_acctbal > thresh.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 shape): rich-but-dormant
+    customers. Adapted: the phone-prefix country code becomes the nation
+    dim, and — because every customer in this corpus has at least one
+    order — "no orders" becomes "no orders since 2000-01-01".
+
+    Threshold determinism: the average balance is computed as an EXACT
+    DECIMAL(18,2) sum followed by a single double division, so Spark and
+    DuckDB derive the bit-identical threshold double (a plain double
+    sum would be summation-order-dependent in its last ulp and could
+    flip boundary customers between engines).
+
+    Scale: the 1-row threshold broadcasts into the filter (no driver
+    round-trip); the NOT EXISTS plans as a left-anti equi-join on
+    custkey against date-pruned orders; <=25 output rows.
+    """
+    cust = table(spark, sf_dir, "customer")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("2000-01-01 00:00:00")
+    ).select("o_custkey")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        cust.join(broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("n_name")
+    )

@@ -37,6 +37,7 @@ DECLARED = {
     "ml_kmeans": {"BNLJ"},           # crossJoin(broadcast(k centroids))
     "sim_maxsim": {"BNLJ"},          # crossJoin(broadcast(one label's query vectors))
     "events_gapfill": {"BNLJ"},      # crossJoin(broadcast(1-row min/max bounds))
+    "q22_dormant_customers": {"BNLJ"},  # crossJoin(broadcast(1-row avg-balance threshold))
     "text_perplexity_proxy": {"BNLJ"},  # crossJoin(broadcast(1-row corpus total))
     "graph_pagerank": {"BNLJ"},      # crossJoin(broadcast(1-row node count))
     "embedding_mrl_truncate": {"BNLJ"},  # crossJoin(broadcast(5 query vectors))
