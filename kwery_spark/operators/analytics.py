@@ -428,3 +428,200 @@ def events_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         days.cast("long").alias("days_inactive"),
         (days > 7).alias("is_churned"),
     )
+
+
+@register(
+    "analytics_rfm",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o.o_custkey,
+               date_diff('day', max(o.o_orderdate),
+                         (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+               count(*) AS frequency,
+               round(CAST(sum(o.o_totalprice) AS DOUBLE), 6) AS monetary
+        FROM orders o
+        GROUP BY o.o_custkey
+    ),
+    b AS (
+        SELECT
+            percentile_cont(0.2) WITHIN GROUP (ORDER BY recency_days) AS r1,
+            percentile_cont(0.4) WITHIN GROUP (ORDER BY recency_days) AS r2,
+            percentile_cont(0.6) WITHIN GROUP (ORDER BY recency_days) AS r3,
+            percentile_cont(0.8) WITHIN GROUP (ORDER BY recency_days) AS r4,
+            percentile_cont(0.2) WITHIN GROUP (ORDER BY frequency)    AS f1,
+            percentile_cont(0.4) WITHIN GROUP (ORDER BY frequency)    AS f2,
+            percentile_cont(0.6) WITHIN GROUP (ORDER BY frequency)    AS f3,
+            percentile_cont(0.8) WITHIN GROUP (ORDER BY frequency)    AS f4,
+            percentile_cont(0.2) WITHIN GROUP (ORDER BY monetary)     AS m1,
+            percentile_cont(0.4) WITHIN GROUP (ORDER BY monetary)     AS m2,
+            percentile_cont(0.6) WITHIN GROUP (ORDER BY monetary)     AS m3,
+            percentile_cont(0.8) WITHIN GROUP (ORDER BY monetary)     AS m4
+        FROM per_cust
+    )
+    SELECT p.o_custkey,
+           CAST(p.recency_days AS BIGINT) AS recency_days,
+           p.frequency, p.monetary,
+           CASE WHEN p.recency_days <= b.r1 THEN 5
+                WHEN p.recency_days <= b.r2 THEN 4
+                WHEN p.recency_days <= b.r3 THEN 3
+                WHEN p.recency_days <= b.r4 THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN p.frequency <= b.f1 THEN 1
+                WHEN p.frequency <= b.f2 THEN 2
+                WHEN p.frequency <= b.f3 THEN 3
+                WHEN p.frequency <= b.f4 THEN 4 ELSE 5 END AS f_score,
+           CASE WHEN p.monetary <= b.m1 THEN 1
+                WHEN p.monetary <= b.m2 THEN 2
+                WHEN p.monetary <= b.m3 THEN 3
+                WHEN p.monetary <= b.m4 THEN 4 ELSE 5 END AS m_score
+    FROM per_cust p CROSS JOIN b
+    """,
+)
+def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary quintiles).
+
+    Scale: scoring avoids the classic ntile-over-everything trap — a
+    global ntile window needs a single-task total sort of every customer.
+    Instead the five quintile boundaries are computed once with exact
+    interpolated percentiles (a tiny all-to-one partial aggregate) and
+    broadcast back as one row; each customer's scores are then pure
+    map-side CASE comparisons. Two 1-row broadcasts (corpus horizon,
+    boundary set) — both declared BNLJ like events_gapfill.
+
+    Determinism: recency/frequency are integer-valued (orders are
+    midnight-aligned), monetary is round(sum,6) BEFORE the percentile
+    so both engines interpolate the identical doubles (round-before-
+    carry rule); both engines use the same (1-f)*lo + f*hi formula.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    horizon = orders.agg(F.max("o_orderdate").alias("horizon"))
+    per_cust = (
+        orders.join(F.broadcast(horizon))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("horizon"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 6).alias("monetary"),
+        )
+    )
+    bounds = per_cust.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"{c[0]}{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, p in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+        ]
+    )
+    p = per_cust.join(F.broadcast(bounds))
+
+    def score(col: str, prefix: str, invert: bool):
+        # ascending CASE cascade over the four quintile boundaries
+        c = F.col(col)
+        asc = (
+            F.when(c <= F.col(f"{prefix}1"), 1)
+            .when(c <= F.col(f"{prefix}2"), 2)
+            .when(c <= F.col(f"{prefix}3"), 3)
+            .when(c <= F.col(f"{prefix}4"), 4)
+            .otherwise(5)
+        )
+        return (6 - asc) if invert else asc
+
+    return p.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("recency_days", "r", invert=True).alias("r_score"),
+        score("frequency", "f", invert=False).alias("f_score"),
+        score("monetary", "m", invert=False).alias("m_score"),
+    )
+
+
+@register(
+    "events_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island,
+               count(*) AS streak_len,
+               min(d) AS streak_start
+        FROM islands
+        GROUP BY user_id, island
+    ),
+    best AS (
+        SELECT user_id, streak_len, streak_start,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY streak_len DESC, streak_start) AS rn,
+               CAST(sum(streak_len) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_active_days
+        FROM streaks
+    )
+    SELECT user_id,
+           streak_len AS best_streak,
+           streak_start,
+           n_active_days
+    FROM best
+    WHERE rn = 1
+    """,
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the canonical
+    gaps-and-islands pattern: distinct activity days, row_number per user,
+    then (day - row_number) is constant within each unbroken run, so a
+    plain group-by on that derived island key collapses each streak.
+
+    Scale: everything is user_id-keyed, so the plan pays ONE shuffle: an
+    explicit repartition(user_id) whose partitioning then satisfies the
+    day-dedup (hash(user_id) clusters every (user_id, d) group), both
+    windows, both aggregates, and the final self-join — Catalyst inserts
+    no further Exchange (locked in tests/test_plans.py). n_active_days
+    is derived as sum(streak_len) in the same branch rather than from a
+    second scan. No global sort anywhere. Tie between equal-length
+    streaks resolves to the earliest start date.
+    """
+    days = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .repartition("user_id")
+        .dropDuplicates(["user_id", "d"])
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("d").alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start")
+    )
+    # total active days = sum of island lengths as a WINDOW over the same
+    # user_id partitioning — a groupBy+join would make Spark recompute the
+    # whole streaks branch (no physical common-subtree reuse) and pay a
+    # second Exchange
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .withColumn(
+            "n_active_days",
+            F.sum("streak_len").over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").alias("best_streak"),
+            "streak_start",
+            "n_active_days",
+        )
+    )

@@ -103,3 +103,121 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH purch AS (
+        SELECT DISTINCT user_id,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
+        FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM purch a JOIN purch b
+          ON a.hr = b.hr AND a.user_id < b.user_id
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM edges
+            UNION ALL
+            SELECT v AS node FROM edges
+        ) ends GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.u ELSE e.v END AS src,
+               CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                    THEN e.v ELSE e.u END AS dst
+        FROM edges e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    wedges AS (
+        SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+        FROM oriented o1 JOIN oriented o2 ON o1.dst = o2.src
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM wedges w
+        WHERE EXISTS (SELECT 1 FROM oriented o
+                      WHERE o.src = w.a AND o.dst = w.c)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges)  AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+           CAST(t.n_triangles AS BIGINT)                 AS n_triangles,
+           round(CAST(t.n_triangles AS DOUBLE)
+                 / (SELECT count(*) FROM wedges), 6)     AS closure_ratio
+    FROM tri t
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting with degree orientation (the
+    Cohen / "node-iterator++" MapReduce classic). Graph: users co-purchasing
+    in the same hour. Each undirected edge is oriented from the lower
+    (degree, id) endpoint to the higher, which (a) counts every triangle
+    exactly once and (b) bounds the wedge fan-out per node by its
+    out-degree in the orientation — O(m^1.5) total work on any graph,
+    versus unbounded hub fan-out for the naive neighbor join.
+
+    Scale: pair generation is blocked by the hour bucket (bounded
+    quadratic per block, the same discipline as the dedup family); the
+    wedge join and the closing-edge semi-join are plain equi-joins on
+    node keys — shuffle-partitionable to any cluster size. Output is a
+    single summary row.
+    """
+    purch = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .distinct()
+    )
+    a = purch.select(F.col("user_id").alias("ua"), "hr")
+    b = purch.select(F.col("user_id").alias("ub"), "hr")
+    edges = (
+        a.join(b, ["hr"])
+        .filter(F.col("ua") < F.col("ub"))
+        .select(F.col("ua").alias("u"), F.col("ub").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    o1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    o2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = o1.join(o2, "b").select("a", "b", "c")
+    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["a", "c"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    return (
+        tri.join(broadcast(n_edges))
+        .join(broadcast(n_wedges))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.col("n_triangles").cast("double") / F.col("n_wedges"), 6
+            ).alias("closure_ratio"),
+        )
+    )

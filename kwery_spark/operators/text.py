@@ -569,3 +569,134 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oov_chars"),
         )
     )
+
+
+@register(
+    "ml_naive_bayes",
+    oracle="""
+    WITH train_tok AS (
+        SELECT lang, unnest(str_split(lower(text), ' ')) AS token
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    test_tok AS (
+        SELECT doc_id, lang AS true_lang,
+               unnest(str_split(lower(text), ' ')) AS token
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM train_tok),
+    lang_tot AS (
+        SELECT lang, count(*) AS n_tok FROM train_tok GROUP BY lang
+    ),
+    priors AS (
+        SELECT lang,
+               ln(CAST(count(*) AS DOUBLE)
+                  / (SELECT count(*) FROM documents WHERE doc_id % 2 = 0))
+                   AS log_prior
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    ),
+    tok_lang AS (
+        SELECT lang, token, count(*) AS c FROM train_tok GROUP BY lang, token
+    ),
+    doc_tok AS (
+        SELECT doc_id, true_lang, token, count(*) AS cnt
+        FROM test_tok GROUP BY doc_id, true_lang, token
+    ),
+    scored AS (
+        SELECT d.doc_id, d.true_lang, lt.lang,
+               round(
+                   max(p.log_prior)
+                   + sum(d.cnt * ln((COALESCE(tl.c, 0) + 1.0)
+                                    / (lt.n_tok + v.v))),
+                   6) AS score
+        FROM doc_tok d
+        CROSS JOIN lang_tot lt
+        CROSS JOIN vocab v
+        JOIN priors p ON p.lang = lt.lang
+        LEFT JOIN tok_lang tl ON tl.lang = lt.lang AND tl.token = d.token
+        GROUP BY d.doc_id, d.true_lang, lt.lang, v.v
+    ),
+    predicted AS (
+        SELECT doc_id, true_lang, lang AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rn
+        FROM scored
+    )
+    SELECT true_lang, pred_lang, count(*) AS n_docs
+    FROM predicted WHERE rn = 1
+    GROUP BY true_lang, pred_lang
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, trained and evaluated
+    entirely in SQL expressions: fit P(token|lang) with add-one smoothing
+    on even doc_ids, classify odd doc_ids, emit the confusion matrix.
+    Shows the classic "ML training as aggregation" pattern — the model IS
+    a (lang, token)->count table, so fitting is one group-by and
+    inference is one join + log-sum.
+
+    Scale: the model table is token-keyed — the inference join is a plain
+    equi-join on token that AQE can broadcast when the vocabulary is
+    small or shuffle when it isn't; per-doc scoring aggregates on
+    (doc_id, lang), bounded by |langs| fan-out. No driver-side model.
+
+    Determinism: scores are log-sums of doubles (summation-order-
+    dependent in the last ulp), so they round to 6 decimals BEFORE the
+    argmax and ties break on lang ascending — both engines pick the same
+    winner even on near-tied scores.
+    """
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    tok = F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    train_tok = train.select("lang", tok)
+    test_tok = test.select(
+        "doc_id", F.col("lang").alias("true_lang"), tok
+    )
+    vocab = train_tok.agg(F.countDistinct("token").alias("v"))
+    lang_tot = train_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
+    # total train-doc count stays IN the plan (1-row broadcast) — an eager
+    # .count() here would embed a driver-side scan job into plan build
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    priors = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_lang"))
+        .join(F.broadcast(n_train))
+        .select(
+            "lang",
+            F.log(F.col("n_docs_lang").cast("double") / F.col("n_train")).alias(
+                "log_prior"
+            ),
+        )
+    )
+    tok_lang = train_tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    doc_tok = test_tok.groupBy("doc_id", "true_lang", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    scored = (
+        doc_tok.join(F.broadcast(lang_tot.join(priors, "lang")))
+        .join(F.broadcast(vocab))
+        .join(tok_lang, ["lang", "token"], "left")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(
+            F.round(
+                F.max("log_prior")
+                + F.sum(
+                    F.col("cnt")
+                    * F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                        / (F.col("n_tok") + F.col("v"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("true_lang"), F.col("lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -155,3 +155,76 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "warehouse_cdc_apply",
+    oracle="""
+    WITH changelog AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error'  THEN 'D'
+                               ELSE 'U' END AS op
+        FROM events
+    ),
+    latest AS (
+        SELECT user_id, op, round(value, 6) AS last_value, ts AS last_ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM changelog
+    ),
+    counts AS (
+        SELECT user_id, count(*) AS n_ops,
+               CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deletes
+        FROM changelog
+        GROUP BY user_id
+    )
+    SELECT l.user_id, l.op AS last_op, l.last_value, l.last_ts,
+           c.n_ops, c.n_deletes
+    FROM latest l JOIN counts c ON c.user_id = l.user_id
+    WHERE l.rn = 1 AND l.op <> 'D'
+    """,
+)
+def warehouse_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application: collapse an ordered insert/update/delete
+    change stream to the current snapshot — the core of every lakehouse
+    ingestion job (Debezium -> table). The event stream stands in as the
+    changelog: signup=INSERT, error=DELETE (tombstone), others=UPDATE.
+    Latest-op-wins per key by (ts, event_id); keys whose last op is a
+    tombstone drop out of the snapshot.
+
+    Scale: one hash partitioning on the primary key serves the ranking
+    window AND the per-key op counters (Catalyst reuses the exchange);
+    no driver state, no order-sensitive accumulation — the rank picks
+    the winner regardless of partition arrival order, which is exactly
+    why MERGE-on-read table formats use this same rewrite.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.round("value", 6).alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
+    )
+    return latest.filter(F.col("last_op") != "D").join(counts, "user_id")

@@ -514,3 +514,201 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         F.sum(F.floor("c_acctbal").cast("long")).alias("bal_floor_sum"),
     )
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_returnflag
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact table is laid out
+    Hive-partitioned on l_returnflag; the query filters it only
+    TRANSITIVELY — the predicate sits on a joined dimension (flag_class =
+    'returns'), never on the fact itself. Spark plans the dim's broadcast
+    as a reused subquery filter on the fact scan's PartitionFilters
+    (dynamicpruning#N in the plan, asserted in tests/test_plans.py), so
+    only the R partition directory is ever listed or read.
+
+    Scale: THE mechanism that makes star-schema queries viable on 100 TB
+    partitioned facts — partition elimination decided at runtime from the
+    dim filter, no manual predicate copying. The 3-row dim is a fixed
+    enumeration (source_values pattern), always broadcastable.
+    """
+    # sf-keyed path + unconditional overwrite: a shared marker-guarded
+    # copy would go stale across scale factors (the scan_binary_files
+    # lesson — ADVICE r2), and the write is one distributed pass anyway
+    out = _scratch("parquet", f"lineitem_by_flag_{os.path.basename(sf_dir)}")
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("A", "archived"), ("N", "normal"), ("R", "returns")],
+        "flag string, flag_class string",
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.l_returnflag == dim.flag)
+        .filter(F.col("flag_class") == "returns")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def _zinterleave(px: str, sx: str, bits: int = 8) -> str:
+    """Bit-interleave expression (Morton/Z-curve code), valid verbatim in
+    both Spark SQL and DuckDB (fully parenthesized &, >>, <<)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({px} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({sx} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_EXPR = _zinterleave("px", "sx")
+
+_ZORDER_ORACLE = f"""
+WITH bounds AS (
+    SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+           min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+    FROM lineitem
+),
+norm AS (
+    SELECT CAST(floor((l.l_partkey - b.minp) * 256.0
+                      / (b.maxp - b.minp + 1)) AS BIGINT) AS px,
+           CAST(floor((l.l_suppkey - b.mins) * 256.0
+                      / (b.maxs - b.mins + 1)) AS BIGINT) AS sx
+    FROM lineitem l CROSS JOIN bounds b
+),
+coded AS (SELECT px, sx, {_Z_EXPR} AS zv FROM norm),
+placed AS (
+    SELECT 'zorder' AS layout, (zv >> 6) AS tile, px, sx FROM coded
+    UNION ALL
+    SELECT 'linear' AS layout, ((px << 2) + (sx >> 6)) AS tile, px, sx FROM coded
+),
+tiles AS (
+    SELECT layout, tile,
+           min(px) AS minpx, max(px) AS maxpx,
+           min(sx) AS minsx, max(sx) AS maxsx,
+           count(*) AS c
+    FROM placed GROUP BY layout, tile
+),
+matching AS (
+    SELECT count(*) AS m FROM norm
+    WHERE px BETWEEN 64 AND 95 AND sx BETWEEN 32 AND 63
+)
+SELECT t.layout,
+       CAST(count(*) AS BIGINT) AS n_tiles,
+       CAST(sum(CASE WHEN t.minpx <= 95 AND t.maxpx >= 64
+                      AND t.minsx <= 63 AND t.maxsx >= 32
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tiles_scanned,
+       CAST(sum(CASE WHEN t.minpx <= 95 AND t.maxpx >= 64
+                      AND t.minsx <= 63 AND t.maxsx >= 32
+                     THEN t.c ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(max(m.m) AS BIGINT) AS rows_matching,
+       round(CAST(sum(CASE WHEN t.minpx <= 95 AND t.maxpx >= 64
+                            AND t.minsx <= 63 AND t.maxsx >= 32
+                           THEN t.c ELSE 0 END) AS DOUBLE) / max(m.m), 6)
+           AS scan_amplification
+FROM tiles t CROSS JOIN matching m
+GROUP BY t.layout
+"""
+
+
+@register("layout_zorder", oracle=_ZORDER_ORACLE)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering vs lexicographic layout — the
+    data-skipping decision every 100 TB table owner faces. Rows are
+    normalized into a 256x256 (partkey, suppkey) grid, assigned to 1024
+    tiles ("files") under two layouts — Z-curve prefix tiles vs
+    lexicographic (px-major) tiles — and a 2-D box predicate is evaluated
+    against per-tile min/max statistics exactly the way a parquet reader
+    prunes row groups. Output: tiles scanned, rows scanned, and scan
+    amplification per layout; the Z-layout's amplification is the reason
+    Delta/Iceberg OPTIMIZE ZORDER exists — lexicographic tiles cover the
+    full suppkey range per partkey stripe, so a box query overscans.
+
+    Scale: the Morton code is 32 integer bit-ops per row, pure JVM
+    codegen; tile stats are one hash aggregate on (layout, tile) —
+    bounded at 2x1024 rows at any SF. The only 1-row broadcasts are the
+    key-range bounds and the matching-row count (declared BNLJ).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("minp"),
+        F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"),
+        F.max("l_suppkey").alias("maxs"),
+    )
+    norm = li.join(F.broadcast(bounds)).select(
+        F.floor(
+            (F.col("l_partkey") - F.col("minp"))
+            * 256.0
+            / (F.col("maxp") - F.col("minp") + 1)
+        ).alias("px"),
+        F.floor(
+            (F.col("l_suppkey") - F.col("mins"))
+            * 256.0
+            / (F.col("maxs") - F.col("mins") + 1)
+        ).alias("sx"),
+    )
+    coded = norm.select("px", "sx", F.expr(_Z_EXPR).alias("zv"))
+    placed = coded.select(
+        F.lit("zorder").alias("layout"),
+        F.expr("zv >> 6").alias("tile"),
+        "px",
+        "sx",
+    ).unionAll(
+        coded.select(
+            F.lit("linear").alias("layout"),
+            F.expr("(px << 2) + (sx >> 6)").alias("tile"),
+            "px",
+            "sx",
+        )
+    )
+    tiles = placed.groupBy("layout", "tile").agg(
+        F.min("px").alias("minpx"),
+        F.max("px").alias("maxpx"),
+        F.min("sx").alias("minsx"),
+        F.max("sx").alias("maxsx"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    matching = norm.filter(
+        F.col("px").between(64, 95) & F.col("sx").between(32, 63)
+    ).agg(F.count(F.lit(1)).alias("m"))
+    hit = (
+        (F.col("minpx") <= 95)
+        & (F.col("maxpx") >= 64)
+        & (F.col("minsx") <= 63)
+        & (F.col("maxsx") >= 32)
+    )
+    return (
+        tiles.join(F.broadcast(matching))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("tiles_scanned"),
+            F.sum(F.when(hit, F.col("c")).otherwise(0)).alias("rows_scanned"),
+            F.max("m").alias("rows_matching"),
+            F.round(
+                F.sum(F.when(hit, F.col("c")).otherwise(0)).cast("double")
+                / F.max("m"),
+                6,
+            ).alias("scan_amplification"),
+        )
+    )

@@ -148,3 +148,56 @@ def test_pretraining_corpus_shuffle_budget(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
     assert inspect.shuffle_count(df) <= 6, inspect.formatted_plan(df)
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    # the OR-of-ANDs spans both join sides; Catalyst must derive the
+    # per-side implied filters and push them into BOTH parquet scans
+    df = _q("q19_discounted_revenue")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert plan.count("PushedFilters: [") >= 2, plan
+    assert "Or(" in plan, plan  # the derived disjunction reached a scan
+
+
+def test_q18_and_q10_fuse_topk(spark, sf_dir):
+    for key in ("q18_large_volume", "q10_returned_items"):
+        df = _q(key)(spark, sf_dir)
+        assert inspect.has_take_ordered(df), inspect.formatted_plan(df)
+
+
+def test_q15_no_global_sort(spark, sf_dir):
+    # rank-1 selection must be TakeOrderedAndProject, never a range
+    # exchange + full sort
+    df = _q("q15_top_supplier")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert inspect.has_take_ordered(df), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    # the dim-side filter must reach the fact scan as a dynamic partition
+    # pruning subquery — the whole point of scan_partition_pruned
+    df = _q("scan_partition_pruned")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_streaks_single_user_shuffle(spark, sf_dir):
+    # one explicit repartition(user_id) must serve the day-dedup, both
+    # windows, both aggregates, and the final join — no further Exchange
+    df = _q("events_streaks")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 1, inspect.formatted_plan(df)
+
+
+def test_cdc_apply_single_key_shuffle(spark, sf_dir):
+    # ranking window and op counters both partition on user_id
+    df = _q("warehouse_cdc_apply")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 2, inspect.formatted_plan(df)
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    # every pair/wedge/closing join must be an equi-join on node keys;
+    # the only BNLJ allowed is the 1-row summary counter broadcast
+    df = _q("graph_triangle_count")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan

@@ -38,6 +38,10 @@ DECLARED = {
     "sim_maxsim": {"BNLJ"},          # crossJoin(broadcast(one label's query vectors))
     "events_gapfill": {"BNLJ"},      # crossJoin(broadcast(1-row min/max bounds))
     "q22_dormant_customers": {"BNLJ"},  # crossJoin(broadcast(1-row avg-balance threshold))
+    "analytics_rfm": {"BNLJ"},       # crossJoin(broadcast(1-row horizon / quintile bounds))
+    "ml_naive_bayes": {"BNLJ"},      # crossJoin(broadcast(5-row lang priors, 1-row vocab/total))
+    "graph_triangle_count": {"BNLJ"},  # crossJoin(broadcast(1-row edge/wedge counters))
+    "layout_zorder": {"BNLJ"},       # crossJoin(broadcast(1-row key bounds / match count))
     "text_perplexity_proxy": {"BNLJ"},  # crossJoin(broadcast(1-row corpus total))
     "graph_pagerank": {"BNLJ"},      # crossJoin(broadcast(1-row node count))
     "embedding_mrl_truncate": {"BNLJ"},  # crossJoin(broadcast(5 query vectors))
