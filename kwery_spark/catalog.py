@@ -167,7 +167,10 @@ def analyze_tables(spark: SparkSession, sf_dir: str) -> str:
     # row stats, a prior run completed — skip the per-table checks
     # (~1 s of metastore round-trips per table otherwise)
     try:
-        if _has_row_stats(spark, f"{db}.{TABLES[-1]}"):
+        last = f"{db}.{TABLES[-1]}"
+        # tableExists first: probing DESCRIBE on a missing table raises an
+        # AnalysisException that Spark 4 logs at ERROR even when caught
+        if spark.catalog.tableExists(last) and _has_row_stats(spark, last):
             return db
     except Exception:
         pass
