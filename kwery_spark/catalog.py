@@ -74,19 +74,40 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright (PARQUET_TYPE_ILLEGAL). Read it as raw int64
-    nanos (legacy conf) and convert to a proper µs TimestampType column —
-    lossless here because the generated values carry only µs precision
-    (FIXTURES.md events.ts). Conf is set per-session at read time so the
-    query functions also work on a driver-provided vanilla session."""
+    """Normalize events.ts to a µs TimestampType column whatever the
+    corpus generation wrote. Observed variants across driver rounds:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright
+      (PARQUET_TYPE_ILLEGAL); the legacy conf reads it as raw int64 nanos,
+      converted here with integer div (not /) so ns→µs truncates exactly
+      like DuckDB's CAST(ts_ns AS TIMESTAMP) — double division would
+      round half-up.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as TIMESTAMP_NTZ;
+      with the session timeZone pinned to UTC (table() above) the cast to
+      TimestampType is a pure type relabel — same micros value, and it
+      matches DuckDB's naive TIMESTAMP semantics for every downstream
+      date/interval function.
+
+    Conf + probe happen per read (cheap footer-only job) so the query
+    functions also work on a driver-provided vanilla session."""
     import pyspark.sql.functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    # integer div (not /) so ns→µs truncates exactly like DuckDB's
-    # CAST(ts_ns AS TIMESTAMP); double division would round half-up.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_ts(df)
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """ts → µs TimestampType from any of the corpus encodings (shared by
+    the batch catalog and the streaming source)."""
+    import pyspark.sql.functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # nanosAsLong path: raw int64 nanoseconds
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":  # µs naive: relabel under UTC session tz
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -113,17 +134,9 @@ def optimize_layout(spark: SparkSession, sf_dir: str) -> str:
 
     Returns the optimized directory. Re-runs are skipped via a
     fingerprint marker over the raw files' (size, mtime)."""
-    import hashlib
-
     out = os.path.join(_SCRATCH, "optimized", os.path.basename(sf_dir.rstrip("/")))
     os.makedirs(out, exist_ok=True)
-    stats = []
-    for name in TABLES:
-        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
-        stats.append((name, st.st_size, st.st_mtime_ns))
-    marker = os.path.join(
-        out, "_OPTIMIZED_" + hashlib.md5(repr(stats).encode()).hexdigest()[:12]
-    )
+    marker = os.path.join(out, "_OPTIMIZED_" + _corpus_fingerprint(sf_dir))
     if not os.path.exists(marker):
         for entry in os.listdir(out):
             if entry.startswith("_OPTIMIZED_"):
@@ -144,6 +157,28 @@ def optimize_layout(spark: SparkSession, sf_dir: str) -> str:
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Short content fingerprint of the raw corpus files ((size, mtime_ns)
+    per table). Both the optimized-layout marker and the catalog database
+    name embed it, so a driver-regenerated corpus (same paths, new data —
+    happens between rounds) can never be served stale rewritten files,
+    schemas, or ANALYZE stats: the old artifacts simply stop being
+    addressed."""
+    import hashlib
+
+    stats = []
+    for name in TABLES:
+        st = os.stat(os.path.join(sf_dir, f"{name}.parquet"))
+        stats.append((name, st.st_size, st.st_mtime_ns))
+    return hashlib.md5(repr(stats).encode()).hexdigest()[:10]
+
+
+def _db_name(sf_dir: str, optimized: bool) -> str:
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    prefix = "kwery_opt_" if optimized else "kwery_"
+    return f"{prefix}{base}_{_corpus_fingerprint(sf_dir)}"
+
+
 def analyze_tables(spark: SparkSession, sf_dir: str) -> str:
     """Register the corpus as external catalog tables and compute CBO
     statistics (SURVEY §4): ``ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL
@@ -159,10 +194,10 @@ def analyze_tables(spark: SparkSession, sf_dir: str) -> str:
     ``spark.sql(f"SELECT ... FROM {db}.lineitem ...")``."""
     opt = _OPTIMIZED.get(sf_dir)
     data_dir = opt or sf_dir
-    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     # optimized-layout sessions get their own catalog db (same values,
-    # different physical paths + stats)
-    db = ("kwery_opt_" if opt else "kwery_") + base
+    # different physical paths + stats); the name embeds the corpus
+    # fingerprint so regenerated testdata invalidates schemas + stats
+    db = _db_name(sf_dir, optimized=opt is not None)
     # warm-start fast path: if the LAST table of the loop already carries
     # row stats, a prior run completed — skip the per-table checks
     # (~1 s of metastore round-trips per table otherwise)
@@ -244,8 +279,7 @@ def stats_db(spark: SparkSession, sf_dir: str) -> str | None:
     embedded metastore persists), else None. When this process runs on
     an optimized layout, only the optimized-layout db is eligible (a raw
     db's stats describe other files)."""
-    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    db = ("kwery_opt_" if sf_dir in _OPTIMIZED else "kwery_") + base
+    db = _db_name(sf_dir, optimized=sf_dir in _OPTIMIZED)
     try:
         if spark.catalog.tableExists(f"{db}.lineitem"):
             return db

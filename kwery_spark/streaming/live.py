@@ -18,34 +18,19 @@ import uuid
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
+from kwery_spark.catalog import _normalize_ts
 from kwery_spark.registry import register
 
 SCRATCH = "/root/repo/.scratch/streaming"
 
-# raw schema: ts as int64 nanos (see catalog._events for why)
-EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with ts normalized to a
-    proper timestamp column (same ns→µs truncation as the batch catalog).
+    proper µs timestamp column (same conversion as the batch catalog —
+    the corpus has shipped ts as TIMESTAMP(NANOS) and as naive µs across
+    driver rounds, so the file's own footer schema is authoritative; a
+    hardcoded schema broke when the corpus was regenerated).
 
     Spark's file stream source requires a DIRECTORY; the corpus ships a
     single file, so it is staged (symlinked) into scratch once per SF."""
@@ -56,8 +41,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    stream = spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(stage)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # footer-only batch read: the stream source requires an explicit
+    # schema, and this one is always the file's truth
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(stage)
+    return _normalize_ts(stream)
 
 
 def _run_to_memory(df: DataFrame, output_mode: str = "complete"):

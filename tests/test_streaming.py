@@ -14,9 +14,24 @@ import pandas as pd
 import pyspark.sql.functions as F
 
 import __spark_entry__ as entrymod
-from kwery_spark.streaming.live import EVENT_SCHEMA, SCRATCH, _events_stream
+from kwery_spark.streaming.live import SCRATCH, _events_stream
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 NS = 1_000_000_000
+
+# Schema of the crafted fixtures below: ts as plain int64 nanoseconds
+# (the live corpus source probes the file's own footer schema instead —
+# kwery_spark/streaming/live.py:_events_stream)
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
 
 
 def test_streaming_tumbling_equals_batch(spark, sf_dir):
