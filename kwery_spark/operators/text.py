@@ -70,7 +70,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: top-scoring term per document. Pure relational pipeline —
     term counts ⋈ document frequencies; idf = ln(N/df)."""
     docs = table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar dimension (one job; cheap and cacheable)
+    # corpus size as a 1-row aggregate broadcast into the plan (not an
+    # eager count() at build time — keeps the operator one lazy plan)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(_tokens(docs)).alias("token"))
         .groupBy("doc_id", "token")
@@ -80,10 +82,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
     return (
         tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "token",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -742,3 +742,317 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("n_name")
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity * (1 - l_discount)) AS cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, sp.cost
+        FROM supply sp
+        JOIN part p ON p.p_partkey = sp.l_partkey
+        JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'LARGE'
+          AND p.p_size BETWEEN 10 AND 20
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, round(cost, 6) AS supply_cost
+    FROM (SELECT *, min(cost) OVER (PARTITION BY p_partkey) AS mincost
+          FROM eligible)
+    WHERE cost = mincost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape: correlated MIN subquery).
+
+    No partsupp table exists in this corpus, so "supply cost" is the
+    OBSERVED minimum effective unit price per (part, supplier) derived
+    from lineitem — the correlated `cost = (SELECT min...)` of the spec
+    becomes a window MIN over parts with an equality keep. The FP
+    equality is engine-portable because both engines evaluate the
+    identical expression tree over the identical rows and min() is
+    order-independent, so both sides of the compare carry the same bit
+    pattern.
+
+    Scale: supply is one shuffle on (partkey, suppkey); part/supplier/
+    nation/region are dimension broadcasts (region+nation fixed-size,
+    part/supplier pruned by their filters); the window partitions by
+    p_partkey over the already-filtered eligible set; ORDER BY+LIMIT
+    fuses to TakeOrderedAndProject.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.col("l_extendedprice") / F.col("l_quantity") * (1 - F.col("l_discount"))
+        ).alias("cost")
+    )
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey")
+    return (
+        supply.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "cost")
+        .withColumn("mincost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("mincost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.round("cost", 6).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH val AS (
+        SELECT l.l_partkey,
+               sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value_dec
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT sum(value_dec) AS total FROM val)
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM val CROSS JOIN tot
+    WHERE value_dec > total * CAST(0.001 AS DECIMAL(6,4))
+    ORDER BY part_value DESC, l_partkey
+    LIMIT 100
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-part identification (TPC-H Q11 shape: group value above
+    a fraction of the global total). partsupp's availqty*supplycost is
+    replaced by observed traded value (sum of extended price) for one
+    nation's suppliers.
+
+    Determinism: both the per-part values and the corpus total are
+    DECIMAL sums (order-independent, exact), and the threshold compare
+    stays entirely in decimal arithmetic — no FP sum ever feeds a
+    comparison, per the repo float rules.
+
+    Scale: one shuffle on l_partkey after a broadcast supplier-filter;
+    the global total is a 1-row aggregate broadcast back via crossJoin —
+    the same two-pass fraction-of-total shape a 1000-executor cluster
+    wants (no driver scalar, no second scan of lineitem).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(
+            broadcast(
+                supp.join(
+                    broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+                ).select("s_suppkey")
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value_dec"))
+    )
+    tot = val.agg(F.sum("value_dec").alias("total"))
+    return (
+        val.crossJoin(broadcast(tot))
+        .filter(F.col("value_dec") > F.expr("total * CAST(0.001 AS DECIMAL(6,4))"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 100
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part/supplier relationship counts (TPC-H Q16 shape). The spec's
+    partsupp becomes the DISTINCT observed (part, supplier) pairs from
+    lineitem; the complaints NOT IN subquery becomes an anti-join
+    against low-balance suppliers (the corpus has no comment column on
+    supplier).
+
+    Scale: the distinct-pair reduction is the only full shuffle; the
+    excluded-supplier list is a broadcast anti-join (supplier is a
+    dimension); COUNT(DISTINCT suppkey) expands to a two-phase
+    partial/final aggregate; integer counts only, no FP anywhere.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_type") != "PROMO")
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select(
+        "s_suppkey"
+    )
+    return (
+        pairs.join(broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(100)
+    )
+
+
+@register(
+    "q20_front_loaded_supply",
+    oracle="""
+    WITH qty AS (
+        SELECT l.l_suppkey,
+               sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                         AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                        THEN l.l_quantity ELSE 0 END) AS qty_1996,
+               sum(l.l_quantity) AS qty_all
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'cold%'
+        GROUP BY l.l_suppkey, l.l_partkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN
+          (SELECT l_suppkey FROM qty WHERE qty_1996 > 0.5 * qty_all)
+    ORDER BY s.s_name
+    """,
+)
+def q20_front_loaded_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape: nested IN chain over
+    qualifying parts). partsupp's `availqty > 0.5 * shipped qty` excess
+    test becomes "supplier shipped more than half of a cold-part's
+    lifetime volume inside 1996" — same nested-subquery shape, resolved
+    as aggregate + semi-join.
+
+    Determinism: l_quantity values are integral doubles, so the sums and
+    the 0.5 multiply are exact in both engines — the > compare cannot
+    straddle an ulp.
+
+    Scale: part filter broadcasts into the lineitem scan (name-prefix
+    prune), one shuffle on (suppkey, partkey), then a semi-join that
+    only carries qualifying suppkeys; supplier/nation are broadcast
+    dimensions and the <=#suppliers output sorts in one task.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cold = table(spark, sf_dir, "part").filter(F.col("p_name").like("cold%")).select(
+        "p_partkey"
+    )
+    in96 = (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00")) & (
+        F.col("l_shipdate") < _ts("1997-01-01 00:00:00")
+    )
+    qty = (
+        li.join(broadcast(cold), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in96, F.col("l_quantity")).otherwise(0.0)).alias("qty_1996"),
+            F.sum("l_quantity").alias("qty_all"),
+        )
+        .filter(F.col("qty_1996") > 0.5 * F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        supp.join(qty, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .coalesce(1)
+        .sortWithinPartitions("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH per_order AS (
+        SELECT l.l_orderkey,
+               count(DISTINCT l.l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN l.l_shipdate >
+                                        o.o_orderdate + INTERVAL 60 DAY
+                                   THEN l.l_suppkey END) AS n_late,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN l.l_suppkey END) AS late_supp
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM per_order po
+    JOIN supplier s ON s.s_suppkey = po.late_supp
+    WHERE po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape). The spec's
+    EXISTS (another supplier on the order) AND NOT EXISTS (another LATE
+    supplier) pair is rewritten as ONE aggregation per order — distinct
+    supplier count, distinct late-supplier count, and the late supplier
+    itself (max over a single-element set when n_late = 1) — replacing
+    two correlated self-joins of the fact table with a single shuffle.
+    Lateness: shipped >60 days after the order date (no receipt/commit
+    dates in this corpus).
+
+    Scale: this rewrite is the difference between three lineitem
+    shuffles (spec shape) and one; the orders join prunes to status 'F'
+    before shuffling; supplier is a broadcast dimension; output is
+    bounded by supplier count -> TakeOrderedAndProject.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        per_order.join(broadcast(supp), F.col("s_suppkey") == F.col("late_supp"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
