@@ -201,3 +201,33 @@ def test_triangle_count_no_cartesian(spark, sf_dir):
     df = _q("graph_triangle_count")(spark, sf_dir)
     plan = inspect.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q21_single_fact_aggregation(spark, sf_dir):
+    # the double-correlated-EXISTS rewrite exists to touch lineitem ONCE:
+    # join-to-orders + per-order distinct aggregation + bounded final agg
+    # must stay within 3 exchanges — the spec shape (two correlated
+    # self-joins of lineitem) costs at least 6
+    df = _q("q21_waiting_suppliers")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 3, inspect.formatted_plan(df)
+    assert inspect.has_take_ordered(df), inspect.formatted_plan(df)
+
+
+def test_q2_dims_broadcast_no_cartesian(spark, sf_dir):
+    # part/nation/region ride along as broadcasts; the supply aggregation
+    # and the per-part window are the only exchanges
+    df = _q("q2_min_cost_supplier")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert inspect.has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+    assert inspect.shuffle_count(df) <= 2, plan
+
+
+def test_q11_total_is_broadcast_not_collected(spark, sf_dir):
+    # the fraction-of-total threshold must enter the plan as a broadcast
+    # 1-row aggregate (BroadcastNestedLoopJoin over a single row), never
+    # a driver-side scalar
+    df = _q("q11_important_parts")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert inspect.has_broadcast_join(df), plan
+    assert inspect.shuffle_count(df) <= 3, plan

@@ -48,6 +48,8 @@ DECLARED = {
     "pipeline_temperature_mixture": {"BNLJ"},  # crossJoin(broadcast(1-row totals))
     "ann_ivfpq": {"BNLJ"},           # crossJoin(broadcast(seeds / codebook / 3 queries))
     "events_churn": {"BNLJ"},        # crossJoin(broadcast(1-row corpus horizon))
+    "q11_important_parts": {"BNLJ"},  # crossJoin(broadcast(1-row decimal total))
+    "text_tfidf": {"BNLJ"},          # crossJoin(broadcast(1-row corpus size))
 }
 
 
