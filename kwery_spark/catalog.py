@@ -279,8 +279,11 @@ def stats_db(spark: SparkSession, sf_dir: str) -> str | None:
     embedded metastore persists), else None. When this process runs on
     an optimized layout, only the optimized-layout db is eligible (a raw
     db's stats describe other files)."""
-    db = _db_name(sf_dir, optimized=sf_dir in _OPTIMIZED)
     try:
+        # _db_name fingerprints the corpus via os.stat — a missing or
+        # renamed corpus file must mean "no stats db", not an OSError
+        # escaping a probe that is documented to be safe (ADVICE r3)
+        db = _db_name(sf_dir, optimized=sf_dir in _OPTIMIZED)
         if spark.catalog.tableExists(f"{db}.lineitem"):
             return db
     except Exception:

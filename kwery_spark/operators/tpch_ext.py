@@ -945,7 +945,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier s
     JOIN nation n ON n.n_nationkey = s.s_nationkey
     WHERE s.s_suppkey IN
-          (SELECT l_suppkey FROM qty WHERE qty_1996 > 0.5 * qty_all)
+          (SELECT l_suppkey FROM qty
+           WHERE qty_all >= 80 AND qty_1996 > 0.5 * qty_all)
     ORDER BY s.s_name
     """,
 )
@@ -953,12 +954,16 @@ def q20_front_loaded_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Potential part promotion (TPC-H Q20 shape: nested IN chain over
     qualifying parts). partsupp's `availqty > 0.5 * shipped qty` excess
     test becomes "supplier shipped more than half of a cold-part's
-    lifetime volume inside 1996" — same nested-subquery shape, resolved
-    as aggregate + semi-join.
+    lifetime volume inside 1996, over a meaningful volume (>= 80 units)"
+    — same nested-subquery shape, resolved as aggregate + semi-join. The
+    volume floor keeps the predicate discriminative at gate scale: with
+    no floor, every supplier owns some single-lineitem group that lands
+    fully inside 1996, so the r3 form accepted all 100 suppliers at
+    sf0.01 (ADVICE r3); with it, 14/100 qualify.
 
-    Determinism: l_quantity values are integral doubles, so the sums and
-    the 0.5 multiply are exact in both engines — the > compare cannot
-    straddle an ulp.
+    Determinism: l_quantity values are integral doubles, so the sums,
+    the >= 80 compare, and the 0.5 multiply are exact in both engines —
+    neither compare can straddle an ulp.
 
     Scale: part filter broadcasts into the lineitem scan (name-prefix
     prune), one shuffle on (suppkey, partkey), then a semi-join that
@@ -979,7 +984,7 @@ def q20_front_loaded_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(in96, F.col("l_quantity")).otherwise(0.0)).alias("qty_1996"),
             F.sum("l_quantity").alias("qty_all"),
         )
-        .filter(F.col("qty_1996") > 0.5 * F.col("qty_all"))
+        .filter((F.col("qty_all") >= 80) & (F.col("qty_1996") > 0.5 * F.col("qty_all")))
         .select("l_suppkey")
     )
     supp = table(spark, sf_dir, "supplier")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kwery_spark.catalog import _normalize_ts
 from kwery_spark.registry import register
+from kwery_spark.sources.scans import _corpus_fingerprint
 
 SCRATCH = "/root/repo/.scratch/streaming"
 
@@ -33,14 +34,28 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     hardcoded schema broke when the corpus was regenerated).
 
     Spark's file stream source requires a DIRECTORY; the corpus ships a
-    single file, so it is staged (symlinked) into scratch once per SF."""
+    single file, so it is staged (symlinked) into scratch once per SF.
+    The stage dir name embeds the source-corpus fingerprint, so a
+    regenerated corpus (the driver has rebuilt /root/testdata in place
+    once already) gets a fresh stage instead of streaming stale data;
+    the symlink create tolerates a concurrent-session race."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # same defensive UTC pin the batch catalog applies at table(): the
+    # ntz->timestamp relabel in _normalize_ts is only exact under UTC,
+    # and a driver-provided session may run a streaming key first
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = os.path.join(sf_dir, "events.parquet")
-    stage = os.path.join(SCRATCH, "events_src", sf_dir.strip("/").replace("/", "_"))
+    fp = _corpus_fingerprint(sf_dir, "events")
+    stage = os.path.join(
+        SCRATCH, "events_src", sf_dir.strip("/").replace("/", "_") + "_" + fp
+    )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass  # concurrent session staged the same fingerprint
     # footer-only batch read: the stream source requires an explicit
     # schema, and this one is always the file's truth
     raw_schema = spark.read.parquet(src).schema

@@ -53,8 +53,10 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf001):
 
 
 def test_mm_decode_features_exact(spark, sf001):
-    """The fake decoder's features must match an independent local
-    recomputation byte-for-byte (sha256 + 16-bin histogram + mean)."""
+    """The REAL encode→decode round-trip (PNG inflate+filter
+    reconstruction / WAV chunk walk) must land features that match an
+    independent local recomputation over the source bytes byte-for-byte
+    (sha256 + 16-bin histogram + mean)."""
     out = {r.doc_id: r for r in QUERIES["mm_decode_features"](spark, sf001).collect()}
     tbl = pq.read_table(f"{sf001}/documents.parquet", columns=["doc_id", "text"])
     docs = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
