@@ -264,10 +264,14 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned (event_type, props) columns out over the cores BEFORE parsing
     — a ~2 MB shuffle buys a 16-way parse (measured 0.36 s → 0.28 s at
     sf0.1). At real scale the scan arrives already split and this rule
-    leaves the plan untouched."""
+    leaves the plan untouched. The split count comes from the parquet
+    footers (catalog.scan_splits) — metadata only, no RDD lineage
+    instantiated at plan-build time."""
+    from kwery_spark.catalog import scan_splits
+
     ev = table(spark, sf_dir, "events").select("event_type", "props")
     target = max(8, spark.sparkContext.defaultParallelism // 2)
-    if ev.rdd.getNumPartitions() < target // 2:
+    if scan_splits(sf_dir, "events") < target // 2:
         ev = ev.repartition(target)
     k = F.from_json(F.col("props"), "k INT").getField("k")
     return (

@@ -11,7 +11,14 @@ Flags:
 (WholeStageCodegen coverage needs the executed plan under AQE, so it is
 asserted per-key in tests/test_plans.py rather than swept here.)
 
-Usage: python tools/audit_plans.py [--sf DIR]
+Declared-BNLJ keys are additionally EXECUTED and their broadcast build
+sides measured (VERDICT r3 item 6): the whitelist's justification is
+"this side is provably tiny", so the audit reads the BroadcastExchange's
+``numOutputRows`` metric from the final AQE plan and fails if any
+declared build side exceeds ``BNLJ_BUILD_ROW_BOUND`` — a declared key
+whose small side silently grows can no longer hide behind its name.
+
+Usage: python tools/audit_plans.py [--sf DIR] [--no-bounds]
 Exit code 1 if any UNDECLARED flag fires — suitable as a CI gate.
 """
 
@@ -53,8 +60,68 @@ DECLARED = {
 }
 
 
+# Max rows any declared BNLJ broadcast side may actually produce. Every
+# whitelisted side is a 1-row aggregate or a fixed-size parameter table
+# (seeds, hyperplanes, codebooks — largest today: ann_ivfpq's 128-entry
+# codebook); 1024 leaves parameter headroom while a data-dependent side
+# (any table that grows with SF) blows through it immediately.
+BNLJ_BUILD_ROW_BOUND = 1024
+
+
 def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _walk(node):
+    """Yield (simpleName, node) over the physical plan tree, descending
+    through AQE wrappers, materialized query stages, and exchange reuse."""
+    name = node.getClass().getSimpleName()
+    yield name, node
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk(node.executedPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _walk(node.plan())
+        return
+    if name == "ReusedExchangeExec":
+        yield from _walk(node.child())
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+
+
+def bnlj_build_rows(df) -> list[int]:
+    """Execute ``df`` and return the measured ``numOutputRows`` of every
+    BroadcastNestedLoopJoin's build-side BroadcastExchange in the final
+    (post-AQE) plan. Shallowest exchange per build subtree = the BNLJ's
+    own broadcast (BFS; nested joins' exchanges sit deeper)."""
+    from collections import deque
+
+    df.collect()
+    rows: list[int] = []
+    for name, node in _walk(df._jdf.queryExecution().executedPlan()):
+        if name != "BroadcastNestedLoopJoinExec":
+            continue
+        side = 1 if "BuildRight" in node.buildSide().toString() else 0
+        queue = deque([node.children().apply(side)])
+        while queue:
+            n = queue.popleft()
+            nn = n.getClass().getSimpleName()
+            if nn == "BroadcastExchangeExec":
+                rows.append(int(n.metrics().apply("numOutputRows").value()))
+                break
+            if nn == "AdaptiveSparkPlanExec":
+                queue.append(n.executedPlan())
+            elif nn.endswith("QueryStageExec"):
+                queue.append(n.plan())
+            elif nn == "ReusedExchangeExec":
+                queue.append(n.child())
+            else:
+                ch = n.children()
+                for i in range(ch.size()):
+                    queue.append(ch.apply(i))
+    return rows
 
 
 def audit(key: str, df) -> list[str]:
@@ -72,6 +139,11 @@ def audit(key: str, df) -> list[str]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--no-bounds",
+        action="store_true",
+        help="skip executing declared-BNLJ keys to measure build sides",
+    )
     args = ap.parse_args()
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
@@ -79,7 +151,8 @@ def main() -> None:
     bad = 0
     for key in sorted(queries):
         try:
-            flags = audit(key, queries[key](spark, args.sf))
+            df = queries[key](spark, args.sf)
+            flags = audit(key, df)
         except Exception as e:  # plan build only; execution not needed
             print(f"[ERR ] {key}: {type(e).__name__}: {str(e)[:120]}")
             bad += 1
@@ -89,7 +162,24 @@ def main() -> None:
             print(f"[FLAG] {key}: {','.join(undeclared)}")
             bad += 1
         elif flags:
-            print(f"[ok* ] {key}: declared {','.join(flags)}")
+            if "BNLJ" in flags and not args.no_bounds:
+                try:
+                    sides = bnlj_build_rows(df)
+                except Exception as e:
+                    print(f"[ERR ] {key}: bound check: {type(e).__name__}: {str(e)[:100]}")
+                    bad += 1
+                    continue
+                oversized = [r for r in sides if r > BNLJ_BUILD_ROW_BOUND]
+                if oversized:
+                    print(
+                        f"[FLAG] {key}: BNLJ_OVERSIZE build side rows={oversized} "
+                        f"(bound {BNLJ_BUILD_ROW_BOUND})"
+                    )
+                    bad += 1
+                else:
+                    print(f"[ok* ] {key}: declared {','.join(flags)}, build rows={sides}")
+            else:
+                print(f"[ok* ] {key}: declared {','.join(flags)}")
         else:
             print(f"[ok  ] {key}")
     print(f"\n{bad} undeclared-flag keys")
