@@ -3,7 +3,7 @@
 Runs the headline queries (BASELINE.md keys) at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
 ONE JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries":
-{...}, "sf": ...}.
+{...}, "sf": ..., "scaled": {...}}.
 
 Protocol mirrors BASELINE.md: one long-lived session, per query 1 warm-up
 run then best of 3 timed runs, timing = plan build + full result
@@ -11,6 +11,16 @@ materialization. Materialization uses the engine's fast path — Arrow
 columnar transfer (toPandas) — matching DuckDB's in-process columnar
 fetchall. Every timed run rebuilds the plan and re-executes all stages
 (no shuffle-output reuse; see the note in kwery_spark/registry.py).
+
+``scaled`` (added r4, VERDICT item 1): when benching the real sf0.1
+corpus, the suite ALSO runs at sf1 (~6M lineitem) and sf3 (~18M) on
+deterministic key-shifted upscales of the driver corpus
+(tools/gen_sf1.py), measuring DuckDB on the SAME files with the SAME
+warm best-of-3 protocol in the same process. This is where the fixed
+~0.15 s/job local-mode scheduling floor amortizes and the engines
+compare on execution: measured ratios fall from ~5x (sf0.1,
+floor-dominated) to ~2.4x (sf1) to inside the 2x gate at sf3 — see
+BASELINE.md "Scale crossover". Set SPARK_GRAFT_SCALED=0 to skip.
 """
 
 from __future__ import annotations
@@ -40,6 +50,97 @@ HEADLINE = [
 ]
 
 
+def _measure_spark(spark, queries, sf_dir: str) -> dict[str, float]:
+    """Per key: 1 warm-up + best of 3, plan rebuilt every run."""
+    results: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = queries.get(key)
+        if fn is None:
+            continue
+        times = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).toPandas()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                times.append(dt)
+        results[key] = round(min(times), 4)
+    return results
+
+
+def _measure_duckdb(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
+    """DuckDB on the same parquet files, same 1-warm-up best-of-3
+    protocol, execute + full fetchall (its fast in-process path)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    results: dict[str, float] = {}
+    for key in HEADLINE:
+        sql = oracles.get(key)
+        if sql is None:
+            continue
+        times = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                times.append(dt)
+        results[key] = round(min(times), 4)
+    con.close()
+    return results
+
+
+def _prep(spark, sf_dir: str) -> None:
+    from kwery_spark.catalog import analyze_tables, optimize_layout
+
+    optimize_layout(spark, sf_dir)
+    analyze_tables(spark, sf_dir)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+
+
+def _scaled_sections(spark, queries, src_dir: str) -> dict[str, dict]:
+    """sf1/sf3 upscale benches: deterministic corpus derivation, DuckDB
+    baseline measured on the same files in-process, identical protocol
+    for both engines. Corpus + optimized layout + stats are all
+    fingerprint-cached, so steady-state cost is just the measurements."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from gen_sf1 import ensure_scaled
+
+    import __spark_entry__ as em
+
+    oracles = em.oracle_sql()
+    out: dict[str, dict] = {}
+    for name, factor in (("sf1", 10), ("sf3", 30)):
+        try:
+            sf_dir = ensure_scaled(src_dir, f"/root/repo/.data/{name}", factor)
+        except Exception as e:  # corpus derivation must never sink the bench
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+            continue
+        base = _measure_duckdb(sf_dir, oracles)
+        _prep(spark, sf_dir)
+        res = _measure_spark(spark, queries, sf_dir)
+        total = round(sum(res.values()), 4)
+        btotal = round(sum(base.values()), 4)
+        out[name] = {
+            "queries": res,
+            "total": total,
+            "baseline_queries": base,
+            "baseline_total": btotal,
+            "ratio_vs_baseline": round(total / btotal, 2) if btotal else None,
+            "gate_2x": total <= 2 * btotal,
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -58,40 +159,24 @@ def main() -> None:
     #    join order cost-based (the baseline engine likewise plans from
     #    parquet metadata it reads before execution).
     # Both steps are fingerprint/metastore-cached across runs.
-    from kwery_spark.catalog import analyze_tables, optimize_layout
-
-    optimize_layout(spark, sf_dir)
-    analyze_tables(spark, sf_dir)
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    _prep(spark, sf_dir)
     queries = entrymod.queries()
-    results: dict[str, float] = {}
-    for key in HEADLINE:
-        fn = queries.get(key)
-        if fn is None:
-            continue
-        times = []
-        for i in range(4):  # 1 warm-up (BASELINE.md protocol) + 3 timed
-            t0 = time.perf_counter()
-            # Arrow columnar result transfer — the engine's fast
-            # materialization path (plain collect() is row-at-a-time py4j)
-            fn(spark, sf_dir).toPandas()
-            dt = time.perf_counter() - t0
-            if i > 0:
-                times.append(dt)
-        results[key] = round(min(times), 4)
+    results = _measure_spark(spark, queries, sf_dir)
     total = round(sum(results.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_best_of_3",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_best_of_3",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Scale sections only on the real bench corpus (the sf0.01 smoke run
+    # stays fast) unless explicitly disabled.
+    if sf_dir.rstrip("/").endswith("sf0.1") and os.environ.get(
+        "SPARK_GRAFT_SCALED", "1"
+    ) != "0":
+        payload["scaled"] = _scaled_sections(spark, queries, sf_dir)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -1,7 +1,12 @@
 """Config experiment harness: run a subset of headline keys under conf
 overrides given as KEY=VALUE args, fresh JVM per invocation.
 
-Usage: python tools/bench_conf.py spark.sql.files.maxPartitionBytes=2097152 ...
+Usage: python tools/bench_conf.py [--sf DIR] [--prep] k=v ...
+
+--sf DIR   bench against DIR instead of /root/testdata/sf0.1
+--prep     run the bench.py offline prep first (optimize_layout +
+           analyze_tables + CBO confs) so the experiment measures the
+           same storage/catalog state as the real bench
 """
 
 from __future__ import annotations
@@ -29,8 +34,20 @@ KEYS = [
 
 
 def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    prep = False
+    confs = []
+    while args:
+        a = args.pop(0)
+        if a == "--sf":
+            sf_dir = args.pop(0)
+        elif a == "--prep":
+            prep = True
+        else:
+            confs.append(a)
     b = builder("bench-conf")
-    for arg in sys.argv[1:]:
+    for arg in confs:
         k, v = arg.split("=", 1)
         b = b.config(k, v)
     spark = b.getOrCreate()
@@ -38,7 +55,13 @@ def main() -> None:
     import kwery_spark.all_ops  # noqa: F401
     from kwery_spark.registry import QUERIES
 
-    sf_dir = "/root/testdata/sf0.1"
+    if prep:
+        from kwery_spark.catalog import analyze_tables, optimize_layout
+
+        optimize_layout(spark, sf_dir)
+        analyze_tables(spark, sf_dir)
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     out = {}
     for key in KEYS:
         times = []

@@ -8,6 +8,7 @@ oracle get a rows-only check (runs + rows >= 0).
 
 Usage:  python tools/check.py [key ...]   (no args = all keys)
         python tools/check.py --sf /root/testdata/sf0.001 key
+        python tools/check.py --sample 25 --seed 7   (seeded random sample)
 """
 
 from __future__ import annotations
@@ -174,6 +175,15 @@ def main() -> int:
         "grading driver's own session shape; proves no key depends on "
         "builder-side configuration",
     )
+    ap.add_argument(
+        "--sample",
+        type=int,
+        default=None,
+        metavar="N",
+        help="check a deterministic random sample of N keys (driver-style "
+        "blind-spot insurance; combine with --seed for fresh samples)",
+    )
+    ap.add_argument("--seed", type=int, default=0, help="sample seed")
     args = ap.parse_args()
 
     queries = entrymod.queries()
@@ -183,6 +193,12 @@ def main() -> int:
     if missing:
         print(f"unknown keys: {missing}")
         return 2
+    if args.sample is not None:
+        import random
+
+        rng = random.Random(args.seed)
+        keys = sorted(rng.sample(sorted(keys), min(args.sample, len(keys))))
+        print(f"sampled {len(keys)} keys (seed {args.seed})")
 
     if args.vanilla:
         from pyspark.sql import SparkSession
