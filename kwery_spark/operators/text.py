@@ -703,3 +703,91 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("true_lang"), F.col("lang").alias("pred_lang"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "text_bm25",
+    oracle="""
+    WITH dl AS (
+        SELECT doc_id, len(str_split(lower(text), ' ')) AS dl FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term
+              FROM documents)
+        WHERE term IN ('join', 'scan', 'filter')
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           round(sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))),
+                 6) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM tf
+    JOIN df ON df.term = tf.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, tf.doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for the fixed query
+    {join, scan, filter}: the lexical-search complement to text_tfidf
+    and the standard first-stage retriever in RAG / training-data
+    curation pipelines.
+
+    Fully relational: per-doc term frequencies for the query terms
+    (explode -> semi-filter via a broadcast 3-row term table -> count),
+    document frequencies (3-row broadcast), and corpus stats
+    (count + avg doclen, a 1-row broadcast aggregate — the declared-BNLJ
+    pattern shared with text_tfidf). Scoring is one join chain + a
+    per-doc sum; top-20 fuses to TakeOrderedAndProject.
+
+    Scale: the explode stream is filtered to query terms BEFORE the
+    (doc_id, term) shuffle, so the shuffle carries only matching
+    postings — with a q-row query table this is the standard distributed
+    inverted-score join, linear in postings, never in |docs| x |terms|.
+    Determinism: tf/dl/df are exact integers; the score is a fixed
+    arithmetic chain over them with <= 3 addends per doc, rounded to 6
+    decimals; ties at the cutoff break on doc_id."""
+    K1, B = 1.2, 0.75
+    docs = table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(_tokens(docs)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    terms = spark.createDataFrame([("join",), ("scan",), ("filter",)], "term string")
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(docs)).alias("term"))
+        .join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (
+        idf
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

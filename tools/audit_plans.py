@@ -57,6 +57,7 @@ DECLARED = {
     "events_churn": {"BNLJ"},        # crossJoin(broadcast(1-row corpus horizon))
     "q11_important_parts": {"BNLJ"},  # crossJoin(broadcast(1-row decimal total))
     "text_tfidf": {"BNLJ"},          # crossJoin(broadcast(1-row corpus size))
+    "text_bm25": {"BNLJ"},           # crossJoin(broadcast(1-row corpus stats))
 }
 
 
