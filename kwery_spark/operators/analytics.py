@@ -625,3 +625,107 @@ def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active_days",
         )
     )
+
+
+@register(
+    "events_ab_test",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS variant,
+               max(CASE WHEN event_type = 'purchase' AND value > 90
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM per_user GROUP BY variant
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN variant = 0 THEN n_users END) AS n_control,
+            max(CASE WHEN variant = 0 THEN n_converted END) AS conv_control,
+            max(CASE WHEN variant = 1 THEN n_users END) AS n_treatment,
+            max(CASE WHEN variant = 1 THEN n_converted END) AS conv_treatment
+        FROM arms
+    )
+    SELECT n_control, conv_control, n_treatment, conv_treatment,
+           round(CAST(conv_control AS DOUBLE) / n_control, 6) AS rate_control,
+           round(CAST(conv_treatment AS DOUBLE) / n_treatment, 6)
+               AS rate_treatment,
+           round((CAST(conv_treatment AS DOUBLE) / n_treatment)
+                 - (CAST(conv_control AS DOUBLE) / n_control), 6)
+               AS abs_lift,
+           round(((CAST(conv_treatment AS DOUBLE) / n_treatment)
+                  - (CAST(conv_control AS DOUBLE) / n_control))
+                 / sqrt((CAST(conv_control + conv_treatment AS DOUBLE)
+                         / (n_control + n_treatment))
+                        * (1 - CAST(conv_control + conv_treatment AS DOUBLE)
+                               / (n_control + n_treatment))
+                        * (1.0 / n_control + 1.0 / n_treatment)), 6)
+               AS z_score
+    FROM wide
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic hash-bucket assignment
+    (user_id % 2 — the md5-free form is fine here because the id IS the
+    randomization unit), per-user conversion (a 'purchase' above a
+    value threshold — the unthresholded form converts every corpus user
+    and degenerates the variance to zero),
+    per-arm totals, and the pooled two-proportion z-score for
+    treatment-vs-control lift.
+
+    Shape: one shuffle on user_id for the per-user collapse, then a
+    2-row arm aggregate conditionally pivoted to a single row — the
+    entire statistical readout is O(users) distributed work + O(1)
+    final state, which is how experiment pipelines stay cheap at 100 TB
+    of raw events. Determinism: counts are exact integers; every
+    derived statistic is a fixed chain of divisions/sqrt over them,
+    rounded to 6 decimals."""
+    per_user = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).alias("variant"),
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0).alias("c"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(F.max("c").alias("converted"))
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_control"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias(
+            "conv_control"
+        ),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_treatment"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias(
+            "conv_treatment"
+        ),
+    )
+    rc = F.col("conv_control").cast("double") / F.col("n_control")
+    rt = F.col("conv_treatment").cast("double") / F.col("n_treatment")
+    pooled = (F.col("conv_control") + F.col("conv_treatment")).cast("double") / (
+        F.col("n_control") + F.col("n_treatment")
+    )
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_control") + 1.0 / F.col("n_treatment"))
+    )
+    return wide.select(
+        "n_control",
+        "conv_control",
+        "n_treatment",
+        "conv_treatment",
+        F.round(rc, 6).alias("rate_control"),
+        F.round(rt, 6).alias("rate_treatment"),
+        F.round(rt - rc, 6).alias("abs_lift"),
+        F.round((rt - rc) / se, 6).alias("z_score"),
+    )

@@ -231,3 +231,45 @@ def test_q11_total_is_broadcast_not_collected(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert inspect.has_broadcast_join(df), plan
     assert inspect.shuffle_count(df) <= 3, plan
+
+
+def test_bm25_postings_filter_before_shuffle(spark, sf_dir):
+    # the explode stream is semi-filtered by a broadcast term table
+    # BEFORE the (doc_id, term) aggregation shuffle, and the top-20
+    # fuses to TakeOrderedAndProject — no global sort exchange
+    df = _q("text_bm25")(spark, sf_dir)
+    assert inspect.has_broadcast_join(df), inspect.formatted_plan(df)
+    assert inspect.has_take_ordered(df), inspect.formatted_plan(df)
+
+
+def test_ab_test_single_user_shuffle(spark, sf_dir):
+    # per-user collapse shuffles once on user_id; the 2-row arm pivot
+    # and the final 1-row stats add at most one tiny exchange each
+    df = _q("events_ab_test")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 3, inspect.formatted_plan(df)
+
+
+def test_txnlog_read_is_plain_scan(spark, sf_dir):
+    # log replay resolves to a plain multi-directory parquet scan:
+    # committed-version reads carry no extra joins or exchanges beyond
+    # the final aggregate in the key itself
+    from kwery_spark.sources.txnlog import TxnLogTable
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        t = TxnLogTable(d)
+        t.commit(spark, spark.range(100).selectExpr("id", "id % 7 AS k"), "append")
+        t.commit(spark, spark.range(100, 150).selectExpr("id", "id % 7 AS k"), "append")
+        df = t.read(spark)
+        assert inspect.shuffle_count(df) == 0, inspect.formatted_plan(df)
+        assert df.count() == 150
+
+
+def test_mm_decode_stays_arrow_batched(spark, sf_dir):
+    # the two-stage encode/decode pipeline must plan as mapInPandas
+    # (ArrowEvalPython / MapInPandas), never row-at-a-time Python
+    df = _q("mm_decode_features")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
