@@ -971,3 +971,121 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", F.round("exact", 6).alias("score"), "rnk")
     )
+
+
+def _pca_oracle(iters: int = 3, dim: int = 64) -> str:
+    """Unrolled power-iteration oracle in long (vec_id, idx, xv) form:
+    each Spark round (project -> accumulate -> renormalize) is one pair
+    of CTEs. DuckDB 1.0: parallel unnests zip (idx, val)."""
+    sql = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    long AS (
+        SELECT vec_id, unnest(range(1, len(v) + 1)) AS idx, unnest(v) AS val
+        FROM v),
+    mu AS (SELECT idx, avg(val) AS m FROM long GROUP BY idx),
+    x AS (SELECT vec_id, long.idx, val - m AS xv
+          FROM long JOIN mu ON mu.idx = long.idx),
+    tot AS (SELECT sum(xv * xv) AS t FROM x),
+    p0 AS (SELECT unnest(range(1, {dim} + 1)) AS idx, 0.125 AS pv)"""
+    last = "p0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    d{i} AS (
+        SELECT vec_id, sum(xv * pv) AS d
+        FROM x JOIN {last} p ON p.idx = x.idx
+        GROUP BY vec_id),
+    w{i} AS (
+        SELECT idx, sum(xv * d) AS w
+        FROM x JOIN d{i} USING (vec_id)
+        GROUP BY idx),
+    p{i} AS (
+        SELECT idx, w / sqrt(sum(w * w) OVER ()) AS pv,
+               sqrt(sum(w * w) OVER ()) AS lam
+        FROM w{i})"""
+        last = f"p{i}"
+    sql += f"""
+    SELECT CAST(p.idx - 1 AS INTEGER) AS idx,
+           round(CASE WHEN (SELECT pv FROM {last} WHERE idx = 1) >= 0
+                      THEN pv ELSE -pv END, 6) AS loading,
+           round(lam, 6) AS eigenvalue,
+           round(lam / t, 6) AS explained_ratio
+    FROM {last} p CROSS JOIN tot
+    ORDER BY idx
+    """
+    return sql
+
+
+@register("embedding_pca", oracle=_pca_oracle())
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by distributed
+    power iteration (3 fixed rounds, fixed start vector = uniform unit
+    1/8 per dim — exact in binary, so the whole computation is
+    deterministic modulo sum-order ulp, which round(6) absorbs).
+
+    Each round is two aggregate passes, never materializing the 64x64
+    covariance: project d_i = x_i . p (per-row fold over the centered
+    vector), accumulate w = sum_i x_i * d_i (posexplode -> per-dimension
+    sum = one 64-group shuffle), renormalize on the 1-row result. The
+    eigenvalue estimate is ||C p|| of the final round; explained_ratio
+    divides by the total scatter sum ||x_i||^2. Sign is canonicalized on
+    the first loading so both engines agree on the eigenvector's
+    direction.
+
+    Scale: O(n*d) work per round in two shuffles whose reduce sides are
+    |vectors| and 64 rows; the mean, the iterate p, and the scatter are
+    1-row broadcasts (declared BNLJ pattern). At 100 TB this is exactly
+    how distributed PCA/LSA top-k factors are computed (block power /
+    Lanczos iterations over X^T(Xv) products); more components = deflate
+    and repeat."""
+    dim, iters = 64, 3
+    vecs = _vecs(spark, sf_dir)
+    mu = (
+        vecs.select(F.posexplode("v").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.avg("val").alias("m"))
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("ps"))
+        .select(F.transform("ps", lambda p: p.getField("m")).alias("mu"))
+    )
+    x = (
+        vecs.crossJoin(broadcast(mu))
+        .select("vec_id", F.zip_with("v", "mu", lambda a, b: a - b).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    tot = x.agg(
+        F.sum(F.aggregate("x", F.lit(0.0), lambda acc, y: acc + y * y)).alias("t")
+    )
+    p = spark.range(1).select(
+        F.array(*[F.lit(1.0 / 8.0)] * dim).alias("p"), F.lit(0.0).alias("lam")
+    )
+    for _ in range(iters):
+        d = x.crossJoin(broadcast(p.select("p"))).select(
+            "x", dot("x", "p").alias("d")
+        )
+        w = (
+            d.select("d", F.posexplode("x").alias("idx", "xv"))
+            .select("idx", (F.col("xv") * F.col("d")).alias("prod"))
+            .groupBy("idx")
+            .agg(F.sum("prod").alias("w"))
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "w"))).alias("ps"))
+            .select(F.transform("ps", lambda q: q.getField("w")).alias("w"))
+        )
+        p = w.select(
+            F.col("w"),
+            F.sqrt(
+                F.aggregate("w", F.lit(0.0), lambda acc, y: acc + y * y)
+            ).alias("lam"),
+        ).select(F.transform("w", lambda y: y / F.col("lam")).alias("p"), "lam")
+        p = p.localCheckpoint(eager=True)
+    sign = F.when(F.element_at("p", 1) >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return (
+        p.crossJoin(broadcast(tot))
+        .select(F.col("lam"), F.col("t"), (sign).alias("sgn"), F.posexplode("p").alias("idx", "pv"))
+        .select(
+            "idx",
+            F.round(F.col("sgn") * F.col("pv"), 6).alias("loading"),
+            F.round("lam", 6).alias("eigenvalue"),
+            F.round(F.col("lam") / F.col("t"), 6).alias("explained_ratio"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("idx")
+    )

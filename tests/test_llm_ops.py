@@ -207,3 +207,16 @@ def test_ivfpq_recall_vs_bruteforce(spark, sf_dir):
     for qid in truth:
         overlap = len(got[qid] & truth[qid])
         assert overlap >= 3, (qid, got[qid], truth[qid])
+
+
+def test_embedding_pca_invariants(spark, sf001):
+    """Power iteration must emit a unit-norm component with a positive
+    eigenvalue, canonical sign, and an explained ratio in (0, 1]."""
+    rows = sorted(QUERIES["embedding_pca"](spark, sf001).collect(), key=lambda r: r.idx)
+    assert len(rows) == 64 and [r.idx for r in rows] == list(range(64))
+    norm = sum(r.loading ** 2 for r in rows) ** 0.5
+    assert abs(norm - 1.0) < 1e-4, norm
+    assert rows[0].loading >= 0  # sign canonicalization
+    lam, ratio = rows[0].eigenvalue, rows[0].explained_ratio
+    assert lam > 0 and 0 < ratio <= 1
+    assert all(r.eigenvalue == lam and r.explained_ratio == ratio for r in rows)

@@ -58,6 +58,7 @@ DECLARED = {
     "q11_important_parts": {"BNLJ"},  # crossJoin(broadcast(1-row decimal total))
     "text_tfidf": {"BNLJ"},          # crossJoin(broadcast(1-row corpus size))
     "text_bm25": {"BNLJ"},           # crossJoin(broadcast(1-row corpus stats))
+    "embedding_pca": {"BNLJ"},       # crossJoin(broadcast(1-row mean/iterate/scatter))
 }
 
 
