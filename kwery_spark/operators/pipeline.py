@@ -508,3 +508,118 @@ def pipeline_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    """Unrolled BPE training oracle: each round = weighted pair count →
+    argmax (count desc, pair asc) → corpus-wide literal merge. Both
+    engines' replace() scans left-to-right without rescanning its own
+    output, so the merge step is bit-identical (probed r4)."""
+    sql = """
+    WITH words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+        WHERE word <> ''
+        GROUP BY word),
+    rep0 AS (
+        SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS rep, wcount
+        FROM words)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    p{r} AS (
+        SELECT syms[i] AS a, syms[i + 1] AS b,
+               CAST(sum(wcount) AS BIGINT) AS cnt
+        FROM (
+            SELECT string_split(trim(rep), ' ') AS syms, wcount,
+                   unnest(range(1, len(string_split(trim(rep), ' ')))) AS i
+            FROM rep{r - 1})
+        GROUP BY a, b),
+    best{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    rep{r} AS (
+        SELECT replace(rep, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')
+                   AS rep,
+               wcount
+        FROM rep{r - 1} CROSS JOIN best{r})"""
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, a || '+' || b AS pair, "
+        f"a || b AS merged_token, cnt AS pair_count FROM best{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return sql + "\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY merge_round"
+
+
+@register("pipeline_bpe_train", oracle=_bpe_oracle())
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training, 3 merge rounds: the core
+    of building a vocabulary for LLM pretraining, run distributed.
+
+    Each round over the word-frequency table (words, not raw tokens —
+    the classic weighting that makes BPE corpus-size-independent):
+    (1) count adjacent symbol pairs weighted by word frequency,
+    (2) pick the argmax pair (count desc, lexicographic tiebreak — fully
+    deterministic), (3) merge it corpus-wide with a literal
+    space-delimited replace on the symbol string. The merge convention
+    is "greedy left-to-right non-overlapping" — both engines' replace()
+    scans identically (probed), so the oracle replays the exact rounds.
+
+    Scale: the state per round is ONE broadcast row (the winning pair);
+    pair counting is explode → weighted sum (map-side combined), and
+    the merge is a narrow per-row map. At 100 TB the word-frequency
+    table is the only shuffled structure, and it is vastly smaller than
+    the corpus (Zipf); this is how industrial BPE trainers distribute.
+    Output: the merge table (round, pair, merged token, weighted count)
+    — the artifact a tokenizer ships."""
+    rounds = 3
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    rep = words.select(
+        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("rep"),
+        "wcount",
+    ).localCheckpoint(eager=True)
+    merges = []
+    for r in range(1, rounds + 1):
+        syms = F.split(F.trim(F.col("rep")), " ")
+        pair_structs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(syms) - 2),
+                lambda i: F.struct(
+                    F.element_at(syms, i + 1).alias("a"),
+                    F.element_at(syms, i + 2).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array())
+        best = (
+            rep.select(F.explode(pair_structs).alias("p"), "wcount")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wcount").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            best.select(
+                F.lit(r).cast("long").alias("merge_round"),
+                F.concat_ws("+", "a", "b").alias("pair"),
+                F.concat("a", "b").alias("merged_token"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        rep = rep.crossJoin(F.broadcast(best)).select(
+            F.replace(
+                F.col("rep"),
+                F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+            ).alias("rep"),
+            "wcount",
+        ).localCheckpoint(eager=True)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.coalesce(1).sortWithinPartitions("merge_round")

@@ -59,6 +59,7 @@ DECLARED = {
     "text_tfidf": {"BNLJ"},          # crossJoin(broadcast(1-row corpus size))
     "text_bm25": {"BNLJ"},           # crossJoin(broadcast(1-row corpus stats))
     "embedding_pca": {"BNLJ"},       # crossJoin(broadcast(1-row mean/iterate/scatter))
+    "pipeline_bpe_train": {"BNLJ"},  # crossJoin(broadcast(1-row winning pair/round))
 }
 
 
