@@ -570,7 +570,39 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus (Zipf); this is how industrial BPE trainers distribute.
     Output: the merge table (round, pair, merged token, weighted count)
     — the artifact a tokenizer ships."""
-    rounds = 3
+    merges = _bpe_train(spark, sf_dir, rounds=3)
+    out = merges[0].select(*_MERGE_COLS)
+    for m in merges[1:]:
+        out = out.unionAll(m.select(*_MERGE_COLS))
+    return out.coalesce(1).sortWithinPartitions("merge_round")
+
+
+_MERGE_COLS = ("merge_round", "pair", "merged_token", "pair_count")
+
+
+def _char_rep(col):
+    """Word → space-delimited character symbols, with sentinel spaces so
+    every symbol (incl. first/last) is ' '-delimited for literal merges."""
+    return F.concat(F.lit(" "), F.regexp_replace(col, "(.)", "$1 "))
+
+
+def _bpe_merge_rule(rep_col):
+    """One BPE merge applied to a symbol-string column: literal
+    left-to-right non-overlapping replace of ' a b ' with ' ab '
+    (a/b come from the joined winning-pair row)."""
+    return F.replace(
+        rep_col,
+        F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
+        F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, rounds: int) -> list[DataFrame]:
+    """Shared BPE trainer: returns one 1-row DataFrame per merge round
+    with (merge_round, pair, merged_token, pair_count, a, b). Iterative
+    fixed-round op: each round localCheckpoints the winner and the
+    re-merged word table (lineage truncation, same pattern as
+    ml_kmeans/dedup_clusters)."""
     docs = table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
@@ -578,10 +610,9 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcount"))
     )
-    rep = words.select(
-        F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")).alias("rep"),
-        "wcount",
-    ).localCheckpoint(eager=True)
+    rep = words.select(_char_rep(F.col("word")).alias("rep"), "wcount").localCheckpoint(
+        eager=True
+    )
     merges = []
     for r in range(1, rounds + 1):
         syms = F.split(F.trim(F.col("rep")), " ")
@@ -609,17 +640,96 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws("+", "a", "b").alias("pair"),
                 F.concat("a", "b").alias("merged_token"),
                 F.col("cnt").alias("pair_count"),
+                "a",
+                "b",
             )
         )
         rep = rep.crossJoin(F.broadcast(best)).select(
-            F.replace(
-                F.col("rep"),
-                F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" ")),
-                F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
-            ).alias("rep"),
-            "wcount",
+            _bpe_merge_rule(F.col("rep")).alias("rep"), "wcount"
         ).localCheckpoint(eager=True)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out.coalesce(1).sortWithinPartitions("merge_round")
+    return merges
+
+
+def _bpe_apply_oracle(rounds: int = 3) -> str:
+    """Training CTEs (same as _bpe_oracle) + per-word application of the
+    learned merges in round order, aggregated per document."""
+    train = _bpe_oracle(rounds)
+    # strip the trailing UNION SELECT block; keep the WITH chain
+    train_body = train[: train.index("\n    SELECT CAST(1")]
+    sql = train_body + """,
+    docw AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+        WHERE word <> '' AND doc_id < 50),
+    a0 AS (
+        SELECT doc_id, strlen(word) AS nchar,
+               ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS rep
+        FROM docw)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    a{r} AS (
+        SELECT doc_id, nchar,
+               replace(rep, ' ' || b.a || ' ' || b.b || ' ',
+                       ' ' || b.a || b.b || ' ') AS rep
+        FROM a{r - 1} CROSS JOIN best{r} b)"""
+    sql += f"""
+    SELECT doc_id,
+           CAST(sum(nchar) AS BIGINT) AS n_char_tokens,
+           CAST(sum(len(string_split(trim(rep), ' '))) AS BIGINT)
+               AS n_bpe_tokens,
+           round(CAST(sum(len(string_split(trim(rep), ' '))) AS DOUBLE)
+                 / sum(nchar), 6) AS compression
+    FROM a{rounds}
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+    return sql
+
+
+@register("pipeline_bpe_apply", oracle=_bpe_apply_oracle())
+def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize documents with the trained BPE merges (the other half of
+    the tokenizer lifecycle): re-derive the 3 deterministic merge rules,
+    apply them per word in round order (merge order is semantics in
+    BPE), and report per-document char-level vs BPE token counts + the
+    compression ratio — the metric vocab builders actually tune for.
+
+    Scale: the rules are three 1-row broadcasts applied as narrow maps
+    over the exploded word stream; one shuffle aggregates per-doc
+    counts. At 100 TB this is a pure map-side tokenizer pass, the same
+    plan shape a Spark tokenization job over a real vocab table has
+    (rules become a broadcast array applied in a single expression)."""
+    rounds = 3
+    merges = _bpe_train(spark, sf_dir, rounds)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docw = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            F.length("word").alias("nchar"),
+            _char_rep(F.col("word")).alias("rep"),
+        )
+    )
+    for best in merges:
+        docw = docw.crossJoin(F.broadcast(best.select("a", "b"))).select(
+            "doc_id", "nchar", _bpe_merge_rule(F.col("rep")).alias("rep")
+        )
+    return (
+        docw.select(
+            "doc_id",
+            "nchar",
+            F.size(F.split(F.trim("rep"), " ")).alias("ntok"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nchar").cast("long").alias("n_char_tokens"),
+            F.sum("ntok").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("ntok").cast("double") / F.sum("nchar"), 6
+            ).alias("compression"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("doc_id")
+    )

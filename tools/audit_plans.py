@@ -60,6 +60,7 @@ DECLARED = {
     "text_bm25": {"BNLJ"},           # crossJoin(broadcast(1-row corpus stats))
     "embedding_pca": {"BNLJ"},       # crossJoin(broadcast(1-row mean/iterate/scatter))
     "pipeline_bpe_train": {"BNLJ"},  # crossJoin(broadcast(1-row winning pair/round))
+    "pipeline_bpe_apply": {"BNLJ"},  # crossJoin(broadcast(1-row merge rule/round))
 }
 
 
