@@ -729,3 +729,74 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rt - rc, 6).alias("abs_lift"),
         F.round((rt - rc) / se, 6).alias("z_score"),
     )
+
+
+@register(
+    "events_forecast_ses",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    ranked AS (
+        SELECT event_type, day, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS t
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(max(t) AS BIGINT) AS n_days,
+           CAST(max(CASE WHEN rn = t THEN n END) AS BIGINT) AS last_count,
+           round(sum(CASE WHEN rn = 1 THEN power(0.7, t - 1) * n
+                          ELSE 0.3 * power(0.7, t - rn) * n END), 6)
+               AS forecast
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day volume forecast per event type by simple exponential
+    smoothing (alpha=0.3), computed in CLOSED FORM: the recurrence
+    s_t = a*y_t + (1-a)*s_{t-1} with s_1=y_1 unrolls to one weighted
+    sum, sum_t w_t*y_t with w_t = a*(1-a)^(T-t) (t>1) and
+    w_1 = (1-a)^(T-1) — so the whole forecast is a single grouped
+    aggregate over the daily counts, no iteration, no ordered state
+    carry. The geometric weights decay, so the sum is numerically tame
+    at any history length.
+
+    Scale: daily rollup shuffles once on (event_type, day); the ranked
+    window and the final aggregate reuse the event_type partitioning.
+    Per-series state is O(1) — this is the textbook shape for
+    forecasting millions of series in one pass (each series is one
+    group). Determinism: counts are exact; power/multiply/sum-per-group
+    over <=O(days) terms, rounded to 6."""
+    alpha = 0.3
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        "n",
+        F.row_number().over(w.orderBy("day")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("t"),
+    )
+    weight = F.when(
+        F.col("rn") == 1, F.pow(F.lit(1 - alpha), F.col("t") - 1)
+    ).otherwise(F.lit(alpha) * F.pow(F.lit(1 - alpha), F.col("t") - F.col("rn")))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("t").cast("long").alias("n_days"),
+            F.max(F.when(F.col("rn") == F.col("t"), F.col("n")))
+            .cast("long")
+            .alias("last_count"),
+            F.round(F.sum(weight * F.col("n")), 6).alias("forecast"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
+    )
