@@ -523,3 +523,50 @@ def fn_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_into_year"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT
+        event_type,
+        CAST(count(*) AS BIGINT) AS n_events,
+        avg(CAST(props ->> 'k' AS INTEGER)) AS avg_k,
+        CAST(max(CAST(props ->> 'k' AS INTEGER)) AS BIGINT) AS max_k,
+        CAST(sum(CASE WHEN (props ->> 'zzz') IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_no_path
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT family: parse_json -> open-schema VariantType,
+    typed extraction with variant_get, and missing-path semantics with
+    try_variant_get. Variant is the modern ingest shape for
+    semi-structured data at scale — parse once into a binary-encoded
+    value, then extract fields without re-parsing and WITHOUT declaring
+    a schema up front (vs from_json's fixed struct in fn_json; both
+    paths are now covered).
+
+    Scale: parse + extraction are JVM-side expressions inside codegen;
+    the aggregate shuffles 5 groups. The oracle mirrors through
+    DuckDB's JSON operators (missing path -> NULL matches
+    try_variant_get)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "props")
+    v = F.parse_json(F.col("props"))
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.zzz", "string").alias("missing"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("k").alias("avg_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0)).alias(
+                "n_no_path"
+            ),
+        )
+    )

@@ -590,3 +590,45 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("overlap_days"),
         )
     )
+
+
+@register(
+    "join_hinted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT)
+               AS price_floor_sum
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'MACHINERY'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join strategy HINT surface: force a shuffled hash join where the
+    planner would default to sort-merge. Hints are the manual override
+    for when statistics mislead the optimizer — SHJ skips both sort
+    passes at the cost of building a per-partition hash map, the right
+    trade when one side is modestly sized per partition but too big to
+    broadcast. tests/test_plans.py locks that the hint actually lands
+    (ShuffledHashJoin in the plan, no SortMergeJoin).
+
+    Scale: same single co-partitioned shuffle as the default join —
+    only the per-partition algorithm changes, which is exactly why the
+    hint is safe to ship: it cannot change results or shuffle volume,
+    only local CPU/memory shape."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey")
+        .hint("shuffle_hash")
+    )
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor("o_totalprice").cast("long")).alias("price_floor_sum"),
+        )
+    )

@@ -273,3 +273,12 @@ def test_mm_decode_stays_arrow_batched(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_join_hint_forces_shuffled_hash(spark, sf_dir):
+    # the hint must land: ShuffledHashJoin in the executed plan, no
+    # sort-merge fallback (hints change local algorithm, not results)
+    df = _q("join_hinted")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
