@@ -800,3 +800,67 @@ def events_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("event_type")
     )
+
+
+@register(
+    "events_sequence_regex",
+    oracle="""
+    WITH journeys AS (
+        SELECT user_id,
+               string_agg(substring(event_type, 1, 1), ''
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS journey
+        FROM events
+        WHERE user_id < 50
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(strlen(journey) AS INTEGER) AS journey_len,
+           CAST(len(regexp_extract_all(journey, 'v[^p]*p')) AS INTEGER)
+               AS n_view_to_purchase,
+           journey LIKE '%vcp%' AS has_strict_funnel,
+           substring(journey, 1, 10) AS journey_head
+    FROM journeys
+    ORDER BY user_id
+    """,
+)
+def events_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence pattern matching over per-user event journeys — the
+    MATCH_RECOGNIZE analog: render each user's time-ordered event
+    stream as a compact symbol string (one initial per event; the five
+    corpus types have distinct initials), then run regex patterns over
+    it. Patterns here: non-overlapping view→eventually→purchase
+    episodes (`v[^p]*p` — greedy left-to-right scan, identical
+    semantics in Spark's Java regex and DuckDB's RE2 for this
+    p-excluding pattern) and the strict view→click→purchase adjacency.
+
+    Scale: one shuffle on user_id; the journey is built with a SORTED
+    collect_list (deterministic (ts, event_id) order — never bare
+    collect), and each journey is O(events-per-user), the natural
+    bound for any per-entity sequence analysis. Regexes run JVM-side
+    in codegen. This string-render + regex shape is how sequence/funnel
+    pattern engines (MATCH_RECOGNIZE, funnel SQL dialects) execute at
+    scale: sessions become strings, patterns become automata."""
+    ini = F.substring("event_type", 1, 1)
+    journeys = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", F.struct(F.col("ts"), F.col("event_id"), ini.alias("i")).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s.getField("i")
+                ),
+            ).alias("journey")
+        )
+    )
+    return journeys.select(
+        "user_id",
+        F.length("journey").alias("journey_len"),
+        F.size(F.regexp_extract_all("journey", F.lit("v[^p]*p"), 0)).alias(
+            "n_view_to_purchase"
+        ),
+        F.col("journey").like("%vcp%").alias("has_strict_funnel"),
+        F.substring("journey", 1, 10).alias("journey_head"),
+    ).coalesce(1).sortWithinPartitions("user_id")
