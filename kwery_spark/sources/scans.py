@@ -733,3 +733,62 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scan_amplification"),
         )
     )
+
+
+@register(
+    "sink_partition_overwrite",
+    oracle="""
+    WITH final AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_mktsegment = 'BUILDING'
+                    THEN c_acctbal + 50.0 ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(floor(bal) AS BIGINT)) AS BIGINT) AS bal_floor_sum
+    FROM final
+    GROUP BY c_mktsegment
+    """,
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the standard backfill primitive:
+    rewrite exactly the partitions present in the incoming batch and
+    leave every other partition untouched. Here: a full segment-
+    partitioned customer table is laid down, then ONE segment
+    (BUILDING, balances corrected by +50.0 — integral, exact) is
+    recomputed and written with partitionOverwriteMode=dynamic. The
+    read-back must show the corrected BUILDING rows AND the other four
+    segments' original rows — a static overwrite would have deleted
+    them, which is exactly the production incident this mode exists to
+    prevent. The conf is scoped and restored.
+
+    Scale: both writes are distributed; at 100 TB "overwrite one day's
+    partition" is this same plan with a date partition column. The
+    oracle recomputes the expected final table from the source."""
+    out = _scratch("parquet", "customer_dyn_overwrite")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").alias("bal")
+    )
+    cust.write.mode("overwrite").partitionBy("c_mktsegment").parquet(out)
+    patch = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .withColumn("bal", F.col("bal") + 50.0)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        patch.write.mode("overwrite").partitionBy("c_mktsegment").parquet(out)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(out)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.floor("bal").cast("long")).alias("bal_floor_sum"),
+        )
+    )
