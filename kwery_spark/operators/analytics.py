@@ -864,3 +864,76 @@ def events_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("journey").like("%vcp%").alias("has_strict_funnel"),
         F.substring("journey", 1, 10).alias("journey_head"),
     ).coalesce(1).sortWithinPartitions("user_id")
+
+
+@register(
+    "events_ttest_welch",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id % 2 AS variant,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(value) AS m,
+               var_samp(value) AS v
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY variant
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN variant = 0 THEN n END) AS n0,
+            max(CASE WHEN variant = 0 THEN m END) AS m0,
+            max(CASE WHEN variant = 0 THEN v END) AS v0,
+            max(CASE WHEN variant = 1 THEN n END) AS n1,
+            max(CASE WHEN variant = 1 THEN m END) AS m1,
+            max(CASE WHEN variant = 1 THEN v END) AS v1
+        FROM arms
+    )
+    SELECT n0, n1,
+           round(m0, 6) AS mean_control,
+           round(m1, 6) AS mean_treatment,
+           round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6) AS t_stat,
+           round(pow(v0 / n0 + v1 / n1, 2)
+                 / (pow(v0 / n0, 2) / (n0 - 1) + pow(v1 / n1, 2) / (n1 - 1)),
+                 6) AS welch_df
+    FROM wide
+    """,
+)
+def events_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on purchase values between the
+    two experiment arms — the continuous-metric complement to
+    events_ab_test's proportion z-test. Per-arm count/mean/sample
+    variance come from ONE grouped aggregate (Spark's var_samp is a
+    single-pass merge-able moment computation — this is why the whole
+    test is O(events) distributed work with 2 rows of final state);
+    the t statistic and Welch–Satterthwaite degrees of freedom are
+    O(1) arithmetic on top, rounded to 6."""
+    arms = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy((F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    wide = arms.agg(
+        *[
+            F.max(F.when(F.col("variant") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (0, 1)
+            for c in ("n", "m", "v")
+        ]
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+        + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+    )
+    return wide.select(
+        "n0",
+        "n1",
+        F.round("m0", 6).alias("mean_control"),
+        F.round("m1", 6).alias("mean_treatment"),
+        F.round((F.col("m1") - F.col("m0")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+    )
