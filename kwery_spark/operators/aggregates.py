@@ -781,3 +781,43 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_supp"),
         )
     )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_qty,
+           round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope / intercept / r2 /
+    avgx / avgy / count): per-group OLS of price on quantity in ONE
+    grouped pass — the SQL-standard bivariate fit every warehouse
+    exposes. Spark computes these as merge-able moment aggregates
+    (single-pass, partial-aggregated map-side), so the fit costs the
+    same shuffle as a count. Both engines implement the identical
+    SQL-standard definitions; round(6) absorbs sum-order ulp."""
+    li = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("long").alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.regr_avgx(y, x), 6).alias("avg_qty"),
+            F.round(F.regr_avgy(y, x), 6).alias("avg_price"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag")
+    )
