@@ -937,3 +937,105 @@ def events_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("m1") - F.col("m0")) / F.sqrt(se2), 6).alias("t_stat"),
         F.round(df, 6).alias("welch_df"),
     )
+
+
+@register(
+    "events_markov_stationary",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM ev
+    ),
+    counts AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    p AS (
+        SELECT src, dst, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p, n
+        FROM counts
+    ),
+    pi0 AS (SELECT DISTINCT src AS state, 0.2 AS pi FROM counts),
+    pi1 AS (SELECT p.dst AS state, sum(pi * p.p) AS pi
+            FROM pi0 JOIN p ON p.src = pi0.state GROUP BY p.dst),
+    pi2 AS (SELECT p.dst AS state, sum(pi * p.p) AS pi
+            FROM pi1 JOIN p ON p.src = pi1.state GROUP BY p.dst),
+    pi3 AS (SELECT p.dst AS state, sum(pi * p.p) AS pi
+            FROM pi2 JOIN p ON p.src = pi2.state GROUP BY p.dst),
+    nout AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_out FROM counts GROUP BY src),
+    top AS (SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY p DESC, dst) AS rn
+                FROM p)
+            WHERE rn = 1)
+    SELECT pi3.state, round(pi3.pi, 6) AS stationary_p,
+           nout.n_out, top.dst AS top_next
+    FROM pi3
+    JOIN nout ON nout.src = pi3.state
+    JOIN top ON top.src = pi3.state
+    ORDER BY pi3.state
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of the user journey: transition
+    probabilities between event types (lead over each user's time-
+    ordered stream, row-normalized counts) and the stationary
+    distribution after 3 unrolled power steps from uniform — "where do
+    users spend their time in steady state". Also emits each state's
+    outgoing volume and argmax next state (deterministic dst tiebreak).
+
+    Scale: the O(events) work is ONE user_id-partitioned window pass +
+    one (src, dst) aggregate; everything after operates on the 5x5
+    probability matrix — the classic big-data-to-tiny-iterate shape
+    (same as embedding_pca, transition version). The tiny-side joins
+    broadcast; 5-term dot products round(6) at the end only."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", F.col("event_type").alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    pw = Window.partitionBy("src")
+    p = counts.select(
+        "src",
+        "dst",
+        (F.col("n").cast("double") / F.sum("n").over(pw)).alias("p"),
+        "n",
+    ).localCheckpoint(eager=True)
+    pmat = p.select(
+        F.col("src").alias("p_src"), F.col("dst").alias("p_dst"), "p"
+    )
+    pi = p.select(F.col("src").alias("state")).distinct().withColumn(
+        "pi", F.lit(0.2)
+    )
+    for _ in range(3):
+        pi = (
+            pi.join(F.broadcast(pmat), F.col("state") == F.col("p_src"))
+            .groupBy(F.col("p_dst"))
+            .agg(F.sum(F.col("pi") * F.col("p")).alias("pi"))
+            .select(F.col("p_dst").alias("state"), "pi")
+        )
+    nout = counts.groupBy("src").agg(F.sum("n").cast("long").alias("n_out")).select(
+        F.col("src").alias("n_src"), "n_out"
+    )
+    tw = Window.partitionBy("src").orderBy(F.col("p").desc(), "dst")
+    top = (
+        p.withColumn("rn", F.row_number().over(tw))
+        .filter(F.col("rn") == 1)
+        .select(F.col("src").alias("t_src"), F.col("dst").alias("top_next"))
+    )
+    return (
+        pi.join(F.broadcast(nout), F.col("state") == F.col("n_src"))
+        .join(F.broadcast(top), F.col("state") == F.col("t_src"))
+        .select("state", F.round("pi", 6).alias("stationary_p"), "n_out", "top_next")
+        .coalesce(1)
+        .sortWithinPartitions("state")
+    )
