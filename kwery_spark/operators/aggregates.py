@@ -821,3 +821,55 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("l_returnflag")
     )
+
+
+@register(
+    "agg_hll_rollup_merge",
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               count(DISTINCT o_custkey) AS exact_m
+        FROM orders GROUP BY month
+    )
+    SELECT CAST((SELECT count(*) FROM monthly) AS BIGINT) AS n_months,
+           CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT)
+               AS exact_total,
+           CAST((SELECT sum(exact_m) FROM monthly) AS BIGINT)
+               AS naive_sum_of_monthlies,
+           true AS union_within_5pct
+    """,
+)
+def agg_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-table MERGE pattern (hll_union_agg): per-month HLL
+    sketches of distinct customers are built once, then UNIONED into a
+    total-period cardinality without touching raw data again — how a
+    100 TB pipeline answers "distinct users last quarter" from a tiny
+    rolling sketch table instead of a quarter-long rescan. The output
+    pins why sketches are needed at all: the naive sum of monthly
+    distincts overcounts (customers active in several months), while
+    the sketch union lands within 5% of the true total (Spark-side
+    assertion; the oracle recomputes the exact values)."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.expr("hll_sketch_agg(o_custkey, 14)").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_m"),
+    )
+    merged = monthly.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("union_est"),
+        F.sum("exact_m").cast("long").alias("naive_sum_of_monthlies"),
+    )
+    exact_total = o.agg(F.countDistinct("o_custkey").alias("exact_total"))
+    return (
+        merged.join(F.broadcast(exact_total))
+        .select(
+            "n_months",
+            "exact_total",
+            "naive_sum_of_monthlies",
+            (
+                F.abs(F.col("union_est") - F.col("exact_total"))
+                / F.col("exact_total")
+                <= 0.05
+            ).alias("union_within_5pct"),
+        )
+    )

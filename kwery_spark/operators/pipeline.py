@@ -733,3 +733,69 @@ def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("doc_id")
     )
+
+
+@register(
+    "sample_train_test_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(0 AS BIGINT) AS n_leaked
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/test split by hashed id — the
+    foundational eval-hygiene op for any training pipeline. The split
+    is md5-derived (first byte < 0xe6 ≈ 230/256 ≈ 90% train), never
+    rand(): reruns, retries, and other engines assign every id
+    identically, which is what makes the split auditable. n_leaked is
+    a REAL anti-join check (train ∩ test by id), not a constant — it
+    must come back 0 for both splits, and the oracle pins it.
+
+    Scale: the split is a narrow map (hash + compare); the leak check
+    is a self-join on the id that the oracle verifies is empty. The id
+    checksum makes membership — not just sizes — part of the value
+    hash."""
+    docs = table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "e6", "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    train = tagged.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("t_id")
+    )
+    leaked = (
+        tagged.filter(F.col("split") == "test")
+        .join(train, F.col("doc_id") == F.col("t_id"), "inner")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "split",
+            "n_docs",
+            "id_checksum",
+            F.col("n").cast("long").alias("n_leaked"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("split")
+    )

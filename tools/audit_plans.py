@@ -61,6 +61,8 @@ DECLARED = {
     "embedding_pca": {"BNLJ"},       # crossJoin(broadcast(1-row mean/iterate/scatter))
     "pipeline_bpe_train": {"BNLJ"},  # crossJoin(broadcast(1-row winning pair/round))
     "pipeline_bpe_apply": {"BNLJ"},  # crossJoin(broadcast(1-row merge rule/round))
+    "agg_hll_rollup_merge": {"BNLJ"},  # crossJoin(broadcast(1-row exact total))
+    "sample_train_test_split": {"BNLJ"},  # crossJoin(broadcast(1-row leak count))
 }
 
 
