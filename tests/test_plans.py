@@ -282,3 +282,27 @@ def test_join_hint_forces_shuffled_hash(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_apply_rules_are_broadcast(spark, sf_dir):
+    # the three merge rules must ride as broadcasts (narrow maps over
+    # the word stream) — a shuffled rule join would be a regression
+    df = _q("pipeline_bpe_apply")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_forecast_single_series_shuffle(spark, sf_dir):
+    # daily rollup shuffles once; ranking window + final aggregate must
+    # reuse the event_type partitioning rather than re-exchange
+    df = _q("events_forecast_ses")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 3, inspect.formatted_plan(df)
+
+
+def test_partition_overwrite_readback_prunes(spark, sf_dir):
+    # the read-back of the partitioned table must scan partition dirs
+    # (partition column not in the data ReadSchema)
+    df = _q("sink_partition_overwrite")(spark, sf_dir)
+    cols = inspect.read_schema_columns(df)
+    assert "c_mktsegment" not in cols, cols

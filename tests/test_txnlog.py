@@ -122,3 +122,42 @@ def test_commit_records_are_auditable(spark, root):
     assert rec["base_version"] == 1
     assert rec["rows"] == 2  # audited count of id=0 from both appends
     assert len(rec["remove"]) == 2 and len(rec["add"]) == 1
+
+
+def test_random_commit_sequences_replay_correctly(spark, tmp_path):
+    """Property-style check over deterministic pseudo-random commit
+    sequences: after any interleaving of appends and replaces, log
+    replay must equal applying the same operations to a model set in
+    commit order, at EVERY historical version (time travel included)."""
+    import hashlib
+
+    for seed in ("a", "b"):
+        root = str(tmp_path / f"t_{seed}")
+        t = TxnLogTable(root)
+        model_history = []
+        model = set()
+        # deterministic op sequence derived from the seed (no RNG)
+        ops = [
+            ("append" if int(hashlib.md5(f"{seed}{i}".encode()).hexdigest(), 16) % 3
+             else "replace")
+            for i in range(6)
+        ]
+        for i, op in enumerate(ops):
+            lo, hi = i * 20, i * 20 + 10
+            batch = set(range(lo, hi))
+            if op == "append":
+                t.commit(spark, spark.range(lo, hi), "append")
+                model |= batch
+            else:
+                base = t.latest_version()
+                if base is None:
+                    t.commit(spark, spark.range(lo, hi), "append")
+                    model |= batch
+                else:
+                    kept = t.read(spark, base).filter("id % 2 = 0")
+                    t.commit(spark, kept, "replace", base_version=base)
+                    model = {x for x in model if x % 2 == 0}
+            model_history.append(set(model))
+        for v, expected in enumerate(model_history):
+            got = {r.id for r in t.read(spark, v).collect()}
+            assert got == expected, (seed, v)
