@@ -11,6 +11,9 @@ just exposes its registry.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,9 +30,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["q1_pricing_summary"](spark, SMOKE_SF_DIR)
 
 
+def _family(key: str) -> str:
+    head = key.split("_", 1)[0]
+    # q1..q22 are all the TPC-H suite — rotate them as one family.
+    return "tpch" if head[:1] == "q" and head[1:].isdigit() else head
+
+
+def _rotation_order(keys: list[str]) -> list[str]:
+    """Order keys so external verification coverage grows every round.
+
+    The driver samples the FIRST 50 entries of ``queries()`` for its
+    CORRECTNESS check; in registration order that window never moved, so
+    after 4 rounds only 81/227 keys had externally-produced rows. This
+    reorders deterministically: keys with no row in any committed
+    CORRECTNESS_r*.json come first, round-robin-interleaved across
+    operator families (windows, streaming, udf, sinks, tpch, ...) so one
+    sample window spans many families; already-verified keys follow in
+    registration order. Each round's new CORRECTNESS file advances the
+    rotation automatically. Falls back to registration order if the logs
+    are unreadable (fresh checkout).
+    """
+    seen: set[str] = set()
+    root = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                seen.update(json.load(f).keys())
+        except Exception:
+            continue
+    unseen = [k for k in keys if k not in seen]
+    fams: dict[str, list[str]] = {}
+    for k in unseen:
+        fams.setdefault(_family(k), []).append(k)
+    interleaved: list[str] = []
+    buckets = list(fams.values())
+    i = 0
+    while any(buckets):
+        for b in buckets:
+            if i < len(b):
+                interleaved.append(b[i])
+        i += 1
+        if i > max(len(b) for b in buckets):
+            break
+    return interleaved + [k for k in keys if k in seen]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    order = _rotation_order(list(registry.QUERIES))
+    return {k: registry.QUERIES[k] for k in order}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -253,27 +253,33 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON family: from_json with an explicit schema (the scale path —
-    parse once, then treat as a struct column), aggregated per event type.
-    get_json_object/json_tuple forms are exercised in tests (measured
-    equal once JIT-warm — parser choice is not the lever here).
+    """JSON family: parse each props string ONCE into a Spark 4 VARIANT
+    (binary semi-structured representation), then extract the typed field
+    with variant_get. Fresh-JVM comparison at sf3 (tools/exp_json.py,
+    best-of-3 after warm-up): variant 0.572 s < get_json_object 0.606 <
+    json_tuple 0.634 < from_json 0.705 — VARIANT is the fastest real
+    JSON parse Spark offers (a regexp field-grab measured 0.268 s but is
+    not a JSON parser — it mis-reads escaped/nested occurrences of the
+    key, so it is not used). The residual vs DuckDB (~0.03 s at sf3) is
+    JVM parse throughput vs yyjson, not plan shape; at cluster scale the
+    parse fans out with the scan.
 
     Parse parallelism: at bench SF the events file has 2 row groups, so
-    the scan yields 2 input partitions and the Jackson parse runs nearly
+    the scan yields 2 input partitions and the parse runs nearly
     single-threaded. When the scan is under-split like this, fan the
     pruned (event_type, props) columns out over the cores BEFORE parsing
     — a ~2 MB shuffle buys a 16-way parse (measured 0.36 s → 0.28 s at
-    sf0.1). At real scale the scan arrives already split and this rule
-    leaves the plan untouched. The split count comes from the parquet
-    footers (catalog.scan_splits) — metadata only, no RDD lineage
-    instantiated at plan-build time."""
+    sf0.1). At real scale the scan arrives already split (sf3: 25
+    splits → rule leaves the plan untouched). The split count comes from
+    the parquet footers (catalog.scan_splits) — metadata only, no RDD
+    lineage instantiated at plan-build time."""
     from kwery_spark.catalog import scan_splits
 
     ev = table(spark, sf_dir, "events").select("event_type", "props")
     target = max(8, spark.sparkContext.defaultParallelism // 2)
     if scan_splits(sf_dir, "events") < target // 2:
         ev = ev.repartition(target)
-    k = F.from_json(F.col("props"), "k INT").getField("k")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
