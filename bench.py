@@ -35,6 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from kwery_spark.session import get_spark
 
+# Per-query local-mode floor estimate (BASELINE.md probes: ~55 ms Arrow
+# materialization + ~60-76 ms per job, 2-9 jobs/query under AQE). Emitted
+# with every section so "floor-dominated vs execution-bound" is
+# machine-readable: spark_sec close to this is scheduling, not engine.
+EST_FLOOR_SEC = 0.15
+
 # Headline set = BASELINE.md's benchmark table keys.
 HEADLINE = [
     "q1_pricing_summary",
@@ -68,18 +74,29 @@ def _measure_spark(spark, queries, sf_dir: str) -> dict[str, float]:
     return results
 
 
-def _measure_duckdb(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
+def _measure_duckdb(
+    sf_dir: str, oracles: dict[str, str], prep_tables: bool = False
+) -> dict[str, float]:
     """DuckDB on the same parquet files, same 1-warm-up best-of-3
-    protocol, execute + full fetchall (its fast in-process path)."""
+    protocol, execute + full fetchall (its fast in-process path).
+
+    ``prep_tables`` (scaled sections, ADVICE r4): load each parquet file
+    into a native DuckDB table OUTSIDE the timed region — the equivalent
+    of the offline optimize_layout+ANALYZE prep Spark gets — so the
+    gate_2x comparison carries no storage-prep asymmetry. Measured at
+    sf3: native tables run the headline oracles ~6% faster than parquet
+    views (3.67 s vs 3.90 s), i.e. the r4 asymmetry flattered Spark's
+    ratio by that much and is now removed."""
     import duckdb
 
     con = duckdb.connect()
+    kind = "TABLE" if prep_tables else "VIEW"
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE {kind} {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     results: dict[str, float] = {}
     for key in HEADLINE:
@@ -137,7 +154,7 @@ def _scaled_sections(spark, queries, src_dir: str) -> dict[str, dict]:
         except Exception as e:  # corpus derivation must never sink the bench
             out[name] = {"error": f"{type(e).__name__}: {e}"}
             continue
-        base = _measure_duckdb(sf_dir, oracles)
+        base = _measure_duckdb(sf_dir, oracles, prep_tables=True)
         _prep(spark, sf_dir)
         res = _measure_spark(spark, queries, sf_dir)
         total = round(sum(res.values()), 4)
@@ -147,8 +164,16 @@ def _scaled_sections(spark, queries, src_dir: str) -> dict[str, dict]:
             "total": total,
             "baseline_queries": base,
             "baseline_total": btotal,
+            "per_query_ratio": {
+                k: round(res[k] / base[k], 2)
+                for k in res
+                if base.get(k)
+            },
+            "est_floor_sec": EST_FLOOR_SEC,
             "ratio_vs_baseline": round(total / btotal, 2) if btotal else None,
             "gate_2x": total <= 2 * btotal,
+            "duckdb_prep": "native-table load excluded from timing "
+            "(mirrors Spark optimize_layout+ANALYZE offline prep)",
         }
     return out
 
@@ -180,6 +205,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": results,
+        "est_floor_sec": EST_FLOOR_SEC,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Scale sections only on the real bench corpus (the sf0.01 smoke run

@@ -4,8 +4,9 @@ Three ways in (SURVEY.md §3):
   1. SQL strings      — ``Engine(sf_dir).sql("SELECT ...")`` over the
                         pre-registered corpus views
   2. DataFrame builder — ``engine.table("lineitem").filter(...).agg(...)``
-  3. Named operators   — ``engine.run("dedup_minhash")`` executes any of the
-                        113 registry keys
+  3. Named operators   — ``engine.run("dedup_minhash")`` executes any
+                        registered key (227 as of round 5 — the live count
+                        is ``len(engine.operators())``)
 
 The facade owns no execution machinery: it binds a SparkSession, registers
 the ten corpus tables as temp views once, and hands everything to

@@ -960,7 +960,9 @@ def events_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src, dst, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p, n
         FROM counts
     ),
-    pi0 AS (SELECT DISTINCT src AS state, 0.2 AS pi FROM counts),
+    pi0 AS (SELECT DISTINCT src AS state,
+                   1.0 / (SELECT count(DISTINCT src) FROM counts) AS pi
+            FROM counts),
     pi1 AS (SELECT p.dst AS state, sum(pi * p.p) AS pi
             FROM pi0 JOIN p ON p.src = pi0.state GROUP BY p.dst),
     pi2 AS (SELECT p.dst AS state, sum(pi * p.p) AS pi
@@ -1013,8 +1015,18 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmat = p.select(
         F.col("src").alias("p_src"), F.col("dst").alias("p_dst"), "p"
     )
-    pi = p.select(F.col("src").alias("state")).distinct().withColumn(
-        "pi", F.lit(0.2)
+    # Uniform start = 1/|states|, DERIVED (ADVICE r4: a hardcoded 0.2
+    # assumed exactly 5 event types; a regenerated corpus with a
+    # different type count would leave pi not summing to 1). One-row
+    # count aggregate broadcast into the cross join — same single
+    # double division in both engines, so parity is exact.
+    nstates = counts.select(F.countDistinct("src").alias("ns"))
+    pi = (
+        p.select(F.col("src").alias("state"))
+        .distinct()
+        .crossJoin(F.broadcast(nstates))
+        .withColumn("pi", F.lit(1.0) / F.col("ns"))
+        .drop("ns")
     )
     for _ in range(3):
         pi = (

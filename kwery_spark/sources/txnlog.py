@@ -178,9 +178,32 @@ class TxnLogTable:
 
 
 def _txn_root(sf_dir: str, name: str) -> str:
-    return os.path.join(
-        SCRATCH, "txnlog", name, os.path.basename(sf_dir.rstrip("/"))
-    )
+    """Per-process fixture root (ADVICE r4): the r4 root was keyed only by
+    sf basename, so two concurrent check sessions running the same key
+    rmtree'd each other's _log mid-protocol — the same cross-process race
+    class scans._stage_once fixed with flock. A pid suffix makes live
+    sessions disjoint (no lock needed: the fixture is private state, not
+    a shared stage); dead sessions' dirs are swept opportunistically —
+    a pid that fails os.kill(pid, 0) cannot be using its dir."""
+    parent = os.path.join(SCRATCH, "txnlog", name)
+    try:
+        for entry in os.listdir(parent):
+            pid_part = entry.rsplit("-pid", 1)
+            if len(pid_part) == 2 and pid_part[1].isdigit():
+                pid = int(pid_part[1])
+                if pid != os.getpid():
+                    try:
+                        os.kill(pid, 0)
+                    except ProcessLookupError:
+                        shutil.rmtree(
+                            os.path.join(parent, entry), ignore_errors=True
+                        )
+                    except PermissionError:
+                        pass  # pid alive under another uid — leave it
+    except FileNotFoundError:
+        pass
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(parent, f"{base}-pid{os.getpid()}")
 
 
 @register(

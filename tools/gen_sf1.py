@@ -9,10 +9,12 @@ against 10x the real work and the comparison measures execution, not
 scheduling latency.
 
 How: every SF-scaling table is replicated FACTOR times with keys
-shifted by replica_index * max(key) — foreign keys shift by the same
-constants, so replica i of lineitem references replica i of
-orders/part/supplier and every join's per-key group-size distribution
-is preserved exactly (no synthetic skew, no broken FKs). region/nation
+shifted by replica_index * (max(key)+1) — keys start at 0 in this
+corpus, so the +1 keeps replica key ranges disjoint (ADVICE r4: plain
+max(key) collided replica i's key 0 with replica i-1's max). Foreign
+keys shift by the same constants, so replica i of lineitem references
+replica i of orders/part/supplier and every join's per-key group-size
+distribution is preserved exactly (no synthetic skew, no broken FKs). region/nation
 are fixed-size by construction and copy as-is. Timestamps, prices, and
 text are untouched, so value distributions match the source corpus.
 Pure SQL over the source + range(FACTOR): bit-deterministic given the
@@ -105,7 +107,9 @@ def ensure_scaled(
 ) -> str:
     """Generate (or reuse, if the source fingerprint matches) a
     factor-x key-shifted corpus at ``out``. Returns ``out``."""
-    fp = f"{_src_fingerprint(src)}-x{factor}"
+    # v2: shift constants are max+1 (disjoint replica key ranges). The
+    # version tag invalidates corpora built by the max(key) generator.
+    fp = f"{_src_fingerprint(src)}-x{factor}-v2"
     meta_path = os.path.join(out, "_SF1_META.json")
     try:
         with open(meta_path) as f:
@@ -122,14 +126,14 @@ def ensure_scaled(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}/{t}.parquet')"
         )
     shifts = {
-        "C": con.execute("SELECT max(c_custkey) FROM customer").fetchone()[0],
-        "S": con.execute("SELECT max(s_suppkey) FROM supplier").fetchone()[0],
-        "P": con.execute("SELECT max(p_partkey) FROM part").fetchone()[0],
-        "O": con.execute("SELECT max(o_orderkey) FROM orders").fetchone()[0],
-        "E": con.execute("SELECT max(event_id) FROM events").fetchone()[0],
-        "U": con.execute("SELECT max(user_id) FROM events").fetchone()[0],
-        "D": con.execute("SELECT max(doc_id) FROM documents").fetchone()[0],
-        "V": con.execute("SELECT max(vec_id) FROM embeddings").fetchone()[0],
+        "C": con.execute("SELECT max(c_custkey) + 1 FROM customer").fetchone()[0],
+        "S": con.execute("SELECT max(s_suppkey) + 1 FROM supplier").fetchone()[0],
+        "P": con.execute("SELECT max(p_partkey) + 1 FROM part").fetchone()[0],
+        "O": con.execute("SELECT max(o_orderkey) + 1 FROM orders").fetchone()[0],
+        "E": con.execute("SELECT max(event_id) + 1 FROM events").fetchone()[0],
+        "U": con.execute("SELECT max(user_id) + 1 FROM events").fetchone()[0],
+        "D": con.execute("SELECT max(doc_id) + 1 FROM documents").fetchone()[0],
+        "V": con.execute("SELECT max(vec_id) + 1 FROM embeddings").fetchone()[0],
         "F": factor,
     }
     for t, sql in _SCALED.items():
