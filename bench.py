@@ -120,6 +120,13 @@ def _prep(spark, sf_dir: str) -> None:
 
     optimize_layout(spark, sf_dir)
     analyze_tables(spark, sf_dir)
+    # Step 3 of the offline maintenance: orders+lineitem hash-bucketed on
+    # orderkey (catalog.build_bucketed) so the fact-chain joins in q3/q5
+    # run exchange-free. Same values, different physical layout; cached
+    # across processes via the metastore + corpus fingerprint.
+    from kwery_spark.catalog import build_bucketed
+
+    build_bucketed(spark, sf_dir)
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     # Scale shuffle parallelism with the data, exactly as a cluster
@@ -148,7 +155,7 @@ def _scaled_sections(spark, queries, src_dir: str) -> dict[str, dict]:
 
     oracles = em.oracle_sql()
     out: dict[str, dict] = {}
-    for name, factor in (("sf1", 10), ("sf3", 30)):
+    for name, factor in (("sf1", 10), ("sf3", 30), ("sf10", 100)):
         try:
             sf_dir = ensure_scaled(src_dir, f"/root/repo/.data/{name}", factor)
         except Exception as e:  # corpus derivation must never sink the bench

@@ -8,6 +8,7 @@ filters and prune columns into the vectorized parquet reader per query.
 from __future__ import annotations
 
 import os
+import shutil
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -345,3 +346,174 @@ def cbo_session(spark: SparkSession):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+# ---------------------------------------------------------------------------
+# Bucketed physical layout (offline table maintenance, bench prep step 3).
+#
+# orders and lineitem share their hottest join key (orderkey): the TPC-H-
+# shaped fact chain joins them in q3/q4/q5/q9/q10/q12/q18/q21 and several
+# extension keys. Hash-bucketing BOTH tables on that key with the SAME
+# bucket count makes every orders⋈lineitem equi-join (and every
+# groupBy(orderkey) aggregation) exchange-free: Spark's scan reports the
+# bucket spec as its output partitioning, so the sort-merge join needs no
+# shuffle on either side. This is the standard warehouse layout decision
+# (Hive/Spark bucketing, Iceberg bucket partition transforms) and it is
+# exactly the prep that matters at 100 TB, where re-shuffling the fact
+# table per query is the dominant cost. Like optimize_layout, it is
+# declared offline maintenance: values are bit-identical to the raw
+# corpus, nothing query-specific is precomputed, and only sessions that
+# explicitly ran build_bucketed (the bench) route through it — the
+# correctness gate keeps reading raw files with the default planner.
+# ---------------------------------------------------------------------------
+
+_BUCKETED_TABLES = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+
+
+def _bucketed_db_name(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return f"kwery_bkt_{base}_{_corpus_fingerprint(sf_dir)}"
+
+
+def build_bucketed(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders + lineitem as managed bucketed tables (hash(orderkey)
+    into N buckets, one file per bucket, sorted within) and ANALYZE them.
+    Idempotent across processes: the db name embeds the corpus
+    fingerprint, so a regenerated corpus is never served stale buckets,
+    and a completed build is detected via row stats on the last table.
+    Stale fingerprint siblings for the same corpus basename are dropped
+    CASCADE first — unlike stats-only dbs these hold real data copies."""
+    db = _bucketed_db_name(sf_dir)
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    try:
+        if spark.catalog.tableExists(f"{db}.lineitem") and _has_row_stats(
+            spark, f"{db}.lineitem"
+        ):
+            return db
+    except Exception:
+        pass
+    for old in [d.name for d in spark.catalog.listDatabases()]:
+        if old.startswith(f"kwery_bkt_{base}_") and old != db:
+            spark.sql(f"DROP DATABASE IF EXISTS {old} CASCADE")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    # Bucket count scales with the corpus exactly like shuffle
+    # parallelism (bench.py _prep): at sf<=1 the default 8 avoids empty
+    # buckets; by sf3+ wider buckets keep per-task merge volume flat.
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    rows = _pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    n_buckets = int(min(32, max(8, rows // 500_000)))
+    for name, key in _BUCKETED_TABLES.items():
+        full = f"{db}.{name}"
+        if spark.catalog.tableExists(full) and _has_row_stats(spark, full):
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {full}")
+        # a build that died between location-create and metastore-commit
+        # leaves an orphaned dir DROP TABLE can't see — clear it, or the
+        # managed-table write refuses with LOCATION_ALREADY_EXISTS
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        # the conf echoes back as file:///path or file:/path depending on
+        # who resolved it — normalize both to a plain filesystem path
+        wh = wh.removeprefix("file://").removeprefix("file:")
+        if wh:
+            shutil.rmtree(os.path.join(wh, f"{db}.db", name), ignore_errors=True)
+        (
+            table(spark, sf_dir, name)
+            # pre-partition on the bucket hash so each task owns exactly
+            # one bucket -> one file per bucket (a multi-file bucket
+            # would re-sort at read time and fan task counts out)
+            .repartition(n_buckets, F.col(key))
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(full)
+        )
+        # same column-stats exclusions as analyze_tables: Spark 4.1's
+        # FilterEstimation throws scala.MatchError(TimestampNTZType) when
+        # NTZ columns carry stats under a predicate
+        atomic = [
+            f"`{f.name}`"
+            for f in spark.table(full).schema.fields
+            if f.dataType.typeName()
+            not in ("array", "map", "struct", "binary", "timestamp_ntz")
+        ]
+        spark.sql(
+            f"ANALYZE TABLE {full} COMPUTE STATISTICS FOR COLUMNS {', '.join(atomic)}"
+        )
+    return db
+
+
+def bucketed_db(spark: SparkSession, sf_dir: str) -> str | None:
+    """Name of the bucketed-layout database for ``sf_dir`` if a completed
+    build exists (this session or a prior one — the metastore and
+    warehouse persist), else None. Same probe discipline as stats_db:
+    never raises on a missing corpus."""
+    try:
+        db = _bucketed_db_name(sf_dir)
+        if spark.catalog.tableExists(f"{db}.lineitem"):
+            return db
+    except Exception:
+        pass
+    return None
+
+
+def cache_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Storage-parity prep (bench only): materialize every corpus table
+    into Spark's in-memory columnar cache, the engine-native storage
+    format — the exact counterpart of the DuckDB baseline's untimed
+    native-table load (bench.py _measure_duckdb prep_tables=True, ADVICE
+    r4). After this, BOTH engines answer timed queries from their own
+    in-memory columnar representation; per-run scan, decode of cached
+    batches, expression evaluation, joins and aggregation all remain
+    inside the timed region. Nothing query-specific is precomputed —
+    this is a storage-layer residency decision, not result reuse (the
+    stage-skipping trap documented in registry.py is about SHUFFLE
+    output reuse and still applies untouched: every timed run re-executes
+    all stages).
+
+    At 100 TB the same lever is tiered storage / OS page cache /
+    executor-local SSD cache (Databricks delta cache, Presto Alluxio):
+    hot tables served from memory-speed storage while cold data stays
+    on object storage. MEMORY_AND_DISK semantics make oversubscription
+    safe — partitions that don't fit spill, they don't OOM.
+
+    Caches the plan objects catalog.table() hands out (so every query
+    routed through the catalog hits the InMemoryRelation) plus the
+    bucketed tables if built.
+
+    MEASURED NEGATIVE at sf3 (fresh JVM, tools/bench_conf.py
+    spark.kwery.cacheTables=true, 2026-08-14): headline total 8.05 s
+    cached vs 5.76 s reading parquet — q5 0.83→1.98 s, win_row_number
+    0.92→1.61 s. Spark's vectorized parquet reader out-scans its own
+    in-memory cache format here, and the InMemoryRelation breaks the
+    bucketed tables' reported partitioning, reintroducing the fact-join
+    exchange. So bench.py does NOT use this prep; it exists as the
+    capability (tiered-storage residency) and as the recorded
+    experiment. The DuckDB-native-table baseline prep stands on its own
+    as parity for optimize_layout+ANALYZE+bucketing, all of which are
+    also offline storage/catalog prep."""
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.cache()
+        df.count()  # materialize outside the timed region
+    bdb = bucketed_db(spark, sf_dir)
+    if bdb is not None:
+        for name in _BUCKETED_TABLES:
+            spark.catalog.cacheTable(f"{bdb}.{name}")
+            spark.table(f"{bdb}.{name}").count()
+
+
+def uncache_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Release cache_tables state (bench moves between scale factors)."""
+    for name in TABLES:
+        try:
+            table(spark, sf_dir, name).unpersist()
+        except Exception:
+            pass
+    bdb = bucketed_db(spark, sf_dir)
+    if bdb is not None:
+        for name in _BUCKETED_TABLES:
+            try:
+                spark.catalog.uncacheTable(f"{bdb}.{name}")
+            except Exception:
+                pass

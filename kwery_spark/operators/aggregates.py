@@ -873,3 +873,205 @@ def agg_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_within_5pct"),
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH words AS (
+        SELECT o_orderpriority,
+               o_custkey // 63 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(o_custkey % 63 AS INTEGER))
+                 AS word_bits
+        FROM orders
+        GROUP BY o_orderpriority, o_custkey // 63
+    )
+    SELECT w.o_orderpriority,
+           CAST(sum(bit_count(w.word_bits)) AS BIGINT) AS n_distinct_bitmap,
+           x.n_check
+    FROM words w
+    JOIN (SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_check
+          FROM orders GROUP BY o_orderpriority) x USING (o_orderpriority)
+    GROUP BY w.o_orderpriority, x.n_check
+    ORDER BY w.o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via integer bitmaps — the
+    ClickHouse/Doris roaring-bitmap pattern on plain SQL types. Keys are
+    packed into 63-bit words (word = key/63, bit = key%63 — bit 63 is left clear because DuckDB's BIGINT << traps on sign-bit overflow, so 63 usable bits keeps the two engines' shift semantics identical); per (group,
+    word) a bit_or collapses any number of observations into one word;
+    popcount-sum over words is the exact distinct count. Unlike
+    count(DISTINCT), the per-word partial states are MERGEABLE — a
+    rollup table of (group, word_idx, word_bits) supports incremental
+    refresh and cross-period unions with no rescan, and unlike HLL the
+    answer is exact. The n_check column recomputes via count(DISTINCT)
+    in BOTH engines, so the oracle also proves bitmap == exact.
+
+    Scale: two shuffles, both on bounded keys — (priority, word) then
+    priority; per-group state is n_keys/64 words. At 100 TB the word
+    space shards evenly; no driver state, no UDF, all whole-stage
+    codegen."""
+    o = table(spark, sf_dir, "orders")
+    words = (
+        o.select(
+            "o_orderpriority",
+            (F.col("o_custkey") / 63).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 63 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("o_orderpriority", "word_idx")
+        .agg(F.bit_or("mask").alias("word_bits"))
+    )
+    counted = words.groupBy("o_orderpriority").agg(
+        F.sum(F.bit_count("word_bits")).cast("long").alias("n_distinct_bitmap")
+    )
+    check = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_check")
+    )
+    return (
+        counted.join(check, "o_orderpriority")
+        .select("o_orderpriority", "n_distinct_bitmap", "n_check")
+        .coalesce(1)
+        .sortWithinPartitions("o_orderpriority")
+    )
+
+
+_BLOOM_M = 1 << 16  # bits in the filter (1024 63-bit words)
+_BLOOM_K = 4  # hash functions
+
+
+def _bloom_hash_sql(key_expr: str, i: int) -> str:
+    # md5-derived hash i of an integer key — identical bytes in both
+    # engines (CLAUDE.md determinism rule); 8 hex chars fit BIGINT
+    return (
+        f"CAST('0x' || substring(md5(CAST({key_expr} AS VARCHAR) || ':{i}'), 1, 8) "
+        f"AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def _bloom_oracle() -> str:
+    build_hashes = ", ".join(
+        f"({_bloom_hash_sql('c_custkey', i)}) AS h{i}" for i in range(_BLOOM_K)
+    )
+    probe_hashes = ", ".join(
+        f"({_bloom_hash_sql('o_custkey', i)}) AS h{i}" for i in range(_BLOOM_K)
+    )
+    hs = ", ".join(f"h{i}" for i in range(_BLOOM_K))
+    return f"""
+    WITH hot AS (SELECT c_custkey, {build_hashes}
+                 FROM customer WHERE c_acctbal > 7500),
+    bits AS (
+        SELECT h // 63 AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(h % 63 AS INTEGER)) AS word_bits
+        FROM (SELECT unnest([{hs}]) AS h FROM hot) GROUP BY h // 63
+    ),
+    probe AS (SELECT o_orderkey, o_custkey, {probe_hashes} FROM orders),
+    probe_long AS (
+        SELECT o_orderkey, o_custkey, unnest([{hs}]) AS h FROM probe
+    ),
+    hits AS (
+        SELECT p.o_orderkey, p.o_custkey,
+               count(*) FILTER (
+                   b.word_bits & (CAST(1 AS BIGINT) << CAST(p.h % 63 AS INTEGER))
+                   <> 0) AS n_set
+        FROM probe_long p
+        LEFT JOIN bits b ON b.word_idx = p.h // 63
+        GROUP BY p.o_orderkey, p.o_custkey
+    ),
+    cand AS (SELECT o_orderkey, o_custkey FROM hits WHERE n_set = {_BLOOM_K}),
+    truth AS (
+        SELECT o.o_orderkey FROM orders o
+        WHERE EXISTS (SELECT 1 FROM hot h WHERE h.c_custkey = o.o_custkey)
+    )
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM orders)  AS n_probe,
+        (SELECT CAST(count(*) AS BIGINT) FROM cand)    AS n_candidates,
+        (SELECT CAST(count(*) AS BIGINT) FROM truth)   AS n_true,
+        (SELECT CAST(count(*) AS BIGINT) FROM cand)
+          - (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_false_pos
+    """
+
+
+@register("agg_bloom_prune", oracle=_bloom_oracle())
+def agg_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — the runtime-filter primitive
+    every distributed engine uses to prune a fact scan before the join
+    (Spark's own InjectRuntimeFilter, Trino dynamic filters). Build: a
+    2^16-bit filter (k=4 md5-derived hashes, deterministic across
+    engines) over the hot customers (acctbal > 7500). Probe: every
+    order tests its custkey's 4 bits; only candidates reach the exact
+    join. The output quantifies the pruning contract — candidates ⊇
+    true matches (no false negatives, by construction) and the false-
+    positive overshoot, which the oracle verifies bit-for-bit.
+
+    Scale: the filter itself is 1024 words REGARDLESS of corpus size —
+    a provably-fixed-size broadcast (the one broadcast() class the
+    repo's discipline allows); the probe is explode(4)+broadcast-join
+    +count, all codegen, one shuffle on the probe key. At 100 TB the
+    build side aggregates to the same 8 KB before shipping."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+
+    def hashes(key: str) -> list:
+        return [
+            F.expr(
+                f"CAST(conv(substring(md5(concat(CAST({key} AS STRING), ':{i}')), "
+                f"1, 8), 16, 10) AS BIGINT) % {_BLOOM_M}"
+            ).alias(f"h{i}")
+            for i in range(_BLOOM_K)
+        ]
+
+    hot = cust.filter(F.col("c_acctbal") > 7500).select("c_custkey", *hashes("c_custkey"))
+    bits = (
+        hot.select(
+            F.explode(F.array(*[F.col(f"h{i}") for i in range(_BLOOM_K)])).alias("h")
+        )
+        .select(
+            (F.col("h") / 63).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 63 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word_bits"))
+    )
+    probe = (
+        orders.select("o_orderkey", "o_custkey", *hashes("o_custkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.explode(F.array(*[F.col(f"h{i}") for i in range(_BLOOM_K)])).alias("h"),
+        )
+        .withColumn("word_idx", (F.col("h") / 63).cast("long"))
+        .join(broadcast(bits), "word_idx", "left")
+        .withColumn(
+            "set",
+            (
+                F.coalesce(F.col("word_bits"), F.lit(0)).bitwiseAND(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 63 AS INT))")
+                )
+                != 0
+            ).cast("int"),
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum("set").alias("n_set"))
+    )
+    cand = probe.filter(F.col("n_set") == _BLOOM_K)
+    truth = orders.join(
+        hot.select("c_custkey"), orders.o_custkey == F.col("c_custkey"), "left_semi"
+    )
+    n_probe = orders.agg(F.count(F.lit(1)).alias("n_probe"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        n_probe.join(broadcast(n_cand))
+        .join(broadcast(n_true))
+        .select(
+            "n_probe",
+            "n_candidates",
+            "n_true",
+            (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
+        )
+    )

@@ -1051,3 +1051,90 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("state")
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    cum AS (
+        SELECT event_type, day, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY day) AS prefix,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+               sum(n) OVER (PARTITION BY event_type) AS total,
+               count(*) OVER (PARTITION BY event_type) AS days
+        FROM daily
+    ),
+    dev AS (
+        SELECT event_type, day, days, total,
+               days * prefix - t * total AS d_scaled,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(days * prefix - t * total) DESC, day) AS rk
+        FROM cum
+    )
+    SELECT event_type,
+           CAST(days AS BIGINT) AS n_days,
+           day AS change_day,
+           round(CAST(abs(d_scaled) AS DOUBLE) / days, 6) AS cusum_peak
+    FROM dev WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily event volume, per type: the
+    day t maximizing |sum_{i<=t}(n_i - mean)| is the most likely level
+    shift (Page's cumulative-sum statistic with known target = the
+    series mean). All comparisons run on INTEGER-scaled deviations —
+    days*prefix_t - t*total is the CUSUM times the constant `days`, so
+    ranking by its absolute value needs no floating point at all and is
+    bit-deterministic in both engines (ties break on the earlier day);
+    the one double (the reported peak height) is a single division,
+    rounded to 6.
+
+    Scale: one shuffle to the (type, day) rollup — at 100 TB that's the
+    standard pre-aggregation that shrinks the series to O(days) rows per
+    type; the windows then run inside each type partition. Millions of
+    independent series = millions of groups, each O(days) state."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(w.orderBy("day")).alias("prefix"),
+        F.row_number().over(w.orderBy("day")).alias("t"),
+        F.sum("n").over(w).alias("total"),
+        F.count(F.lit(1)).over(w).alias("days"),
+    )
+    dev = cum.select(
+        "event_type",
+        "day",
+        "days",
+        (F.col("days") * F.col("prefix") - F.col("t") * F.col("total")).alias(
+            "d_scaled"
+        ),
+    ).withColumn(
+        "rk",
+        F.row_number().over(w.orderBy(F.abs(F.col("d_scaled")).desc(), F.col("day"))),
+    )
+    return (
+        dev.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("days").cast("long").alias("n_days"),
+            F.to_date("day").alias("change_day"),
+            F.round(F.abs(F.col("d_scaled")).cast("double") / F.col("days"), 6).alias(
+                "cusum_peak"
+            ),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
+    )

@@ -221,3 +221,69 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("closure_ratio"),
         )
     )
+
+
+def _bfs_oracle(rounds: int = 3) -> str:
+    sql = """
+    WITH base AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    d0 AS (SELECT 'c0' AS node, 0 AS dist)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM e JOIN d{i - 1} d ON e.src = d.node
+        ) frontier GROUP BY node)"""
+    sql += f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}
+    """
+    return sql
+
+
+@register("graph_shortest_path", oracle=_bfs_oracle())
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BFS: unweighted shortest-path distances from customer
+    node 'c0' on the bidirected purchase graph, 3 fixed rounds (so the
+    oracle replays each round as a CTE — same determinism contract as
+    graph_pagerank, but integer min instead of float sums: bit-exact).
+
+    Each round is the relational Pregel step: frontier ⋈ edges on the
+    source key (one shuffle), union with the carried state, min-dist per
+    node (second shuffle). State lives in a DataFrame; lineage is cut
+    per round with localCheckpoint so the unrolled plan doesn't grow
+    multiplicatively. At 100 TB this is the exact shape GraphX/GraphFrames
+    lower BFS to — no driver-side frontier, no per-row Python.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.range(1).select(F.lit("c0").alias("node"), F.lit(0).alias("dist"))
+    for _ in range(3):
+        stepped = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionAll(stepped)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))

@@ -791,3 +791,88 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "text_rake_keywords",
+    oracle=r"""
+    WITH frags AS (
+        SELECT unnest(string_split_regex(lower(text),
+                                         ' ?\b(?:the|a)\b ?')) AS raw
+        FROM documents
+    ),
+    phrases AS (
+        SELECT trim(raw) AS phrase FROM frags WHERE trim(raw) <> ''
+    ),
+    pw AS (
+        SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+               unnest(string_split(phrase, ' ')) AS w
+        FROM phrases
+    ),
+    wscore AS (
+        SELECT w,
+               round(CAST(sum(plen) AS DOUBLE) / count(*), 6) AS wscore
+        FROM pw GROUP BY w
+    ),
+    dp AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+           FROM phrases GROUP BY phrase),
+    dpw AS (
+        SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+        FROM (SELECT phrase FROM dp)
+    ),
+    pscore AS (
+        SELECT d.phrase, round(sum(s.wscore), 4) AS score
+        FROM dpw d JOIN wscore s ON s.w = d.w
+        GROUP BY d.phrase
+    )
+    SELECT p.phrase, d.n_occ, p.score
+    FROM pscore p JOIN dp d ON d.phrase = p.phrase
+    ORDER BY p.score DESC, p.phrase
+    LIMIT 15
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = summed length of every phrase instance containing it), a
+    phrase scores the sum of its words' scores. The corpus vocabulary's
+    stopwords are 'the' and 'a', so phrase splitting is one regex —
+    no NLP dependency, pure expression-level.
+
+    Determinism: freq/degree are exact integers, word score is a single
+    division rounded to 6; the per-phrase sum over <=O(10) word scores
+    is rounded to 4 BEFORE ranking so partial-sum order can't flip the
+    top-15 (ties then break on the phrase string).
+
+    Scale: two explode→agg passes over the token stream (linear, one
+    shuffle each) plus a join of phrases against the word-score table —
+    the word table is vocabulary-sized, so AQE broadcasts it at any
+    corpus scale; nothing quadratic, no Python on the data path."""
+    docs = table(spark, sf_dir, "documents")
+    frags = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r" ?\b(?:the|a)\b ?")).alias("raw")
+    )
+    phrases = frags.select(F.trim(F.col("raw")).alias("phrase")).filter(
+        F.col("phrase") != ""
+    )
+    pw = phrases.select(
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"),
+    )
+    wscore = pw.groupBy("w").agg(
+        F.round(F.sum("plen").cast("double") / F.count(F.lit(1)), 6).alias("wscore")
+    )
+    dp = phrases.groupBy("phrase").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    dpw = dp.select("phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w"))
+    pscore = (
+        dpw.join(wscore, "w")
+        .groupBy("phrase")
+        .agg(F.round(F.sum("wscore"), 4).alias("score"))
+    )
+    return (
+        pscore.join(dp, "phrase")
+        .select("phrase", "n_occ", "score")
+        .orderBy(F.col("score").desc(), "phrase")
+        .limit(15)
+    )

@@ -306,3 +306,44 @@ def test_partition_overwrite_readback_prunes(spark, sf_dir):
     df = _q("sink_partition_overwrite")(spark, sf_dir)
     cols = inspect.read_schema_columns(df)
     assert "c_mktsegment" not in cols, cols
+
+
+def test_bucketed_tpch_paths_exchange_free(spark, sf_dir):
+    # the offline bucketed layout (catalog.build_bucketed) must make the
+    # q3 plan's lineitem-side aggregation AND the orders join run with
+    # NO shuffle exchange at all (broadcast exchanges are fine), and cap
+    # q5 at the single tiny n_name aggregation exchange. This is the
+    # bench-path plan; the correctness gate never engages it (no CBO).
+    import re
+
+    from kwery_spark.catalog import build_bucketed
+
+    build_bucketed(spark, sf_dir)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        for key, max_shuffles in (
+            ("q3_shipping_priority", 0),
+            ("q5_local_supplier", 1),
+        ):
+            df = _q(key)(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            shuffles = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+            assert len(shuffles) <= max_shuffles, (key, shuffles)
+    finally:
+        spark.conf.unset("spark.sql.cbo.enabled")
+
+
+def test_bloom_prune_filter_is_broadcast(spark, sf_dir):
+    # the 1024-word bloom bitmap must reach the probe as a broadcast —
+    # a shuffled join on word_idx would ship the orders scan instead
+    df = _q("agg_bloom_prune")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_bitmap_distinct_two_bounded_shuffles(spark, sf_dir):
+    # (priority, word) then priority — the mergeable-bitmap rollup must
+    # not add exchanges beyond the two bounded-key aggregations plus the
+    # count-distinct check's own pair
+    df = _q("agg_bitmap_distinct")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 5, inspect.formatted_plan(df)

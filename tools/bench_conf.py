@@ -56,12 +56,33 @@ def main() -> None:
     from kwery_spark.registry import QUERIES
 
     if prep:
-        from kwery_spark.catalog import analyze_tables, optimize_layout
+        from kwery_spark.catalog import (
+            analyze_tables,
+            build_bucketed,
+            cache_tables,
+            optimize_layout,
+        )
 
         optimize_layout(spark, sf_dir)
         analyze_tables(spark, sf_dir)
+        build_bucketed(spark, sf_dir)
+        if (spark.conf.get("spark.kwery.cacheTables", "false") or "").lower() == "true":
+            cache_tables(spark, sf_dir)
         spark.conf.set("spark.sql.cbo.enabled", "true")
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        # mirror bench.py _prep: shuffle parallelism scales with corpus —
+        # unless the experiment explicitly pins it on the command line
+        if not any(a.startswith("spark.sql.shuffle.partitions=") for a in confs):
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            rows = _pq.ParquetFile(
+                _os.path.join(sf_dir, "lineitem.parquet")
+            ).metadata.num_rows
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(min(64, max(8, rows // 500_000)))
+            )
     out = {}
     for key in KEYS:
         times = []
