@@ -56,15 +56,15 @@ HEADLINE = [
 ]
 
 
-def _measure_spark(spark, queries, sf_dir: str) -> dict[str, float]:
-    """Per key: 1 warm-up + best of 3, plan rebuilt every run."""
+def _measure_spark(spark, queries, sf_dir: str, runs: int = 4) -> dict[str, float]:
+    """Per key: 1 warm-up + best of (runs-1), plan rebuilt every run."""
     results: dict[str, float] = {}
     for key in HEADLINE:
         fn = queries.get(key)
         if fn is None:
             continue
         times = []
-        for i in range(4):
+        for i in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).toPandas()
             dt = time.perf_counter() - t0
@@ -75,7 +75,7 @@ def _measure_spark(spark, queries, sf_dir: str) -> dict[str, float]:
 
 
 def _measure_duckdb(
-    sf_dir: str, oracles: dict[str, str], prep_tables: bool = False
+    sf_dir: str, oracles: dict[str, str], prep_tables: bool = False, runs: int = 4
 ) -> dict[str, float]:
     """DuckDB on the same parquet files, same 1-warm-up best-of-3
     protocol, execute + full fetchall (its fast in-process path).
@@ -104,7 +104,7 @@ def _measure_duckdb(
         if sql is None:
             continue
         times = []
-        for i in range(4):
+        for i in range(runs):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             dt = time.perf_counter() - t0
@@ -155,15 +155,17 @@ def _scaled_sections(spark, queries, src_dir: str) -> dict[str, dict]:
 
     oracles = em.oracle_sql()
     out: dict[str, dict] = {}
-    for name, factor in (("sf1", 10), ("sf3", 30), ("sf10", 100)):
+    # sf10 runs 1 warm-up + best-of-2 (both engines, symmetric) to keep
+    # the whole bench inside the driver's patience; sf1/sf3 stay best-of-3
+    for name, factor, runs in (("sf1", 10, 4), ("sf3", 30, 4), ("sf10", 100, 3)):
         try:
             sf_dir = ensure_scaled(src_dir, f"/root/repo/.data/{name}", factor)
         except Exception as e:  # corpus derivation must never sink the bench
             out[name] = {"error": f"{type(e).__name__}: {e}"}
             continue
-        base = _measure_duckdb(sf_dir, oracles, prep_tables=True)
+        base = _measure_duckdb(sf_dir, oracles, prep_tables=True, runs=runs)
         _prep(spark, sf_dir)
-        res = _measure_spark(spark, queries, sf_dir)
+        res = _measure_spark(spark, queries, sf_dir, runs=runs)
         total = round(sum(res.values()), 4)
         btotal = round(sum(base.values()), 4)
         out[name] = {
@@ -179,8 +181,9 @@ def _scaled_sections(spark, queries, src_dir: str) -> dict[str, dict]:
             "est_floor_sec": EST_FLOOR_SEC,
             "ratio_vs_baseline": round(total / btotal, 2) if btotal else None,
             "gate_2x": total <= 2 * btotal,
+            "runs_per_query": runs,
             "duckdb_prep": "native-table load excluded from timing "
-            "(mirrors Spark optimize_layout+ANALYZE offline prep)",
+            "(mirrors Spark optimize_layout+ANALYZE+bucketing offline prep)",
         }
     return out
 

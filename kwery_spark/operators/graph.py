@@ -287,3 +287,83 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    sql = """
+    WITH base AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, l.label,
+                   row_number() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY count(*) DESC, l.label) AS rn
+            FROM e JOIN l{i - 1} l ON l.node = e.src
+            GROUP BY e.dst, l.label) votes
+        WHERE rn = 1)"""
+    sql += f"""
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l{rounds} GROUP BY label
+    ORDER BY n_members DESC, community LIMIT 20
+    """
+    return sql
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by label propagation (Raghavan et al. 2007),
+    3 synchronous rounds on the bidirected purchase graph: every node
+    adopts its neighbors' plurality label, ties to the lexicographically
+    smallest — which makes each round a pure (count desc, label asc)
+    argmax, bit-deterministic and CTE-replayable (classic async LPA is
+    order-dependent; the synchronous variant trades convergence speed
+    for exactly this determinism).
+
+    Scale: one groupBy(dst, label) count + one per-dst argmax window per
+    round — two shuffles on node keys, Pregel-shaped like the BFS/
+    PageRank siblings; label state stays distributed, lineage cut per
+    round. Output is the top-20 community size table."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("label"))
+    for _ in range(3):
+        labels = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )

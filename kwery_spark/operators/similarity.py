@@ -1089,3 +1089,99 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("idx")
     )
+
+
+@register(
+    "sim_recall_eval",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cell_id, v AS sv FROM v WHERE vec_id <= 7),
+    assigned AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT a.vec_id, a.v, s.cell_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                        ORDER BY list_dot_product(a.v, s.sv) DESC, s.cell_id) AS rn
+            FROM v a CROSS JOIN seeds s)
+        WHERE rn = 1),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id <= 4),
+    probes AS (
+        SELECT query_id, qv, cell_id FROM (
+            SELECT q.query_id, q.qv, s.cell_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY list_dot_product(q.qv, s.sv) DESC, s.cell_id) AS rn
+            FROM queries q CROSS JOIN seeds s)
+        WHERE rn <= 4),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                        ORDER BY round(list_dot_product(a.v, p.qv), 6) DESC,
+                                 a.vec_id) AS rnk
+            FROM assigned a JOIN probes p USING (cell_id)
+            WHERE a.vec_id <> p.query_id)
+        WHERE rnk <= 5),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY round(list_dot_product(a.v, q.qv), 6) DESC,
+                                 a.vec_id) AS rnk
+            FROM v a CROSS JOIN queries q
+            WHERE a.vec_id <> q.query_id)
+        WHERE rnk <= 5)
+    SELECT b.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(i.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM brute b
+    LEFT JOIN ivf i ON i.query_id = b.query_id
+                   AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """,
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation harness: recall@5 of the IVF index against exact
+    brute-force ground truth, per query — the measurement every vector-
+    search deployment runs before trusting an index, expressed as pure
+    operator COMPOSITION (the ann_ivf DataFrame is consumed as a
+    subplan, not re-implemented). Both sides rank on the 6dp-rounded
+    score with vec_id tie-breaks, so hit sets are bit-deterministic and
+    the oracle replays both pipelines in SQL.
+
+    Scale: ground truth is the expensive side (full corpus per query) —
+    that's inherent to recall evaluation and is why it runs on a SAMPLE
+    of queries (5 here); the IVF side probes nprobe/cells of the corpus.
+    Everything is broadcast-query cross products over the corpus scan:
+    linear in corpus size per query, never corpus×corpus."""
+    ivf = ann_ivf(spark, sf_dir).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") <= 4).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    brute = (
+        vecs.crossJoin(broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot("v", "qv"), 6).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5.0), 6
+            ).alias("recall_at_5"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("query_id")
+    )
