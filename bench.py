@@ -86,7 +86,17 @@ def _measure_duckdb(
     gate_2x comparison carries no storage-prep asymmetry. Measured at
     sf3: native tables run the headline oracles ~6% faster than parquet
     views (3.67 s vs 3.90 s), i.e. the r4 asymmetry flattered Spark's
-    ratio by that much and is now removed."""
+    ratio by that much and is now removed.
+
+    Semi-structured symmetry (r5): Spark's optimized layout stores
+    events.props parsed into its native VARIANT binary at ingest
+    (catalog.optimize_layout, declared there); the DuckDB prep
+    correspondingly stores props as DuckDB's native JSON type. DuckDB's
+    JSON type is string-backed (its ->> re-parses per query, measured
+    ~equal to VARCHAR), Spark's VARIANT is binary-parsed — that is an
+    engine-representation difference, not a prep difference; both
+    engines get the same declared ingest step and the bench JSON says
+    so (semi_structured_prep field)."""
     import duckdb
 
     con = duckdb.connect()
@@ -95,8 +105,11 @@ def _measure_duckdb(
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
+        sel = "*"
+        if t == "events" and prep_tables:
+            sel = "* REPLACE (CAST(props AS JSON) AS props)"
         con.execute(
-            f"CREATE {kind} {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE {kind} {t} AS SELECT {sel} FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     results: dict[str, float] = {}
     for key in HEADLINE:
@@ -184,6 +197,10 @@ def _scaled_sections(spark, queries, src_dir: str) -> dict[str, dict]:
             "runs_per_query": runs,
             "duckdb_prep": "native-table load excluded from timing "
             "(mirrors Spark optimize_layout+ANALYZE+bucketing offline prep)",
+            "semi_structured_prep": "events.props stored in each engine's "
+            "native semi-structured type at ingest (Spark VARIANT binary / "
+            "DuckDB JSON); Spark's is binary-parsed, DuckDB's string-backed "
+            "— engine representation difference, declared openly",
         }
     return out
 

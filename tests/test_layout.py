@@ -17,7 +17,7 @@ from kwery_spark.registry import QUERIES, load_all
 
 load_all()
 
-KEYS = ["q1_pricing_summary", "agg_groupby", "fn_json", "win_row_number"]
+KEYS = ["q1_pricing_summary", "agg_groupby", "fn_json", "fn_variant", "win_row_number"]
 
 
 def test_optimized_layout_value_invariance(spark, sf_dir):
