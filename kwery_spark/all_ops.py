@@ -14,6 +14,7 @@ from kwery_spark.operators import (
     multimodal,
     pipeline,
     projection,
+    quality,
     reshape,
     setops,
     similarity,

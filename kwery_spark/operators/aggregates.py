@@ -1075,3 +1075,106 @@ def agg_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
         )
     )
+
+
+@register(
+    "agg_cms_estimate",
+    oracle="""
+    WITH seeds AS (SELECT CAST(s.range AS INTEGER) AS seed FROM range(4) s),
+    cells AS (
+        SELECT seed,
+               CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' ||
+                                       CAST(user_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 256 AS bucket,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events CROSS JOIN seeds
+        GROUP BY 1, 2
+    ),
+    qry AS (
+        SELECT CAST(q.range AS BIGINT) AS user_id, seed,
+               CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' ||
+                                       CAST(q.range AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 256 AS bucket
+        FROM range(10) q CROSS JOIN seeds
+    ),
+    est AS (
+        SELECT qry.user_id, min(cells.c) AS cms_est
+        FROM qry JOIN cells USING (seed, bucket)
+        GROUP BY qry.user_id
+    ),
+    exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM events WHERE user_id < 10 GROUP BY user_id
+    )
+    SELECT e.user_id, x.exact_cnt, e.cms_est,
+           e.cms_est - x.exact_cnt AS overcount,
+           e.cms_est >= x.exact_cnt AS never_undercounts
+    FROM est e JOIN exact x ON x.user_id = e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def agg_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 rows x w=256 buckets, md5-derived hashing)
+    of per-user event frequencies, queried for users 0-9 against their
+    exact counts. Emits the exact count, the CMS point estimate, the
+    overcount, and the sketch's one-sided guarantee (estimate never
+    undercounts) as a boolean the oracle re-derives — the sketch/approx
+    oracle pattern from the working notes, except here the hash is
+    md5-replayable so BOTH engines build bit-identical sketches.
+
+    Scale: the sketch build is the whole point at 100 TB — each event
+    expands to d=4 (seed, bucket) cells that partial-aggregate map-side
+    into at most d*w = 1024 groups, so the shuffle carries ~1 KB per
+    map task regardless of input size (this is why CMS beats exact
+    count-distinct-per-key at scale); the probe side is a 40-row
+    broadcast. min-over-d and the exact-count join touch 10 keys."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+    seeds = F.array(*[F.lit(i) for i in range(4)])
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("seed").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 256
+    )
+    cells = (
+        ev.select("user_id", F.explode(seeds).alias("seed"))
+        .select("seed", bucket.alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qry = (
+        spark.range(10)
+        .select(F.col("id").alias("user_id"))
+        .select("user_id", F.explode(seeds).alias("seed"))
+        .select("user_id", "seed", bucket.alias("bucket"))
+    )
+    est = (
+        cells.join(F.broadcast(qry), ["seed", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    exact = (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("user_id")
+    )

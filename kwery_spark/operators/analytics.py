@@ -1138,3 +1138,171 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("event_type")
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, event_id, event_type, ts,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS conv_ts
+        FROM events
+    ),
+    touches AS (
+        SELECT user_id, conv_ts, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id, conv_ts
+                                  ORDER BY ts, event_id) AS rn_asc,
+               row_number() OVER (PARTITION BY user_id, conv_ts
+                                  ORDER BY ts DESC, event_id DESC) AS rn_desc,
+               count(*) OVER (PARTITION BY user_id, conv_ts) AS n_touch
+        FROM conv
+        WHERE event_type <> 'purchase' AND conv_ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN rn_asc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch,
+           CAST(sum(CASE WHEN rn_desc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch,
+           round(sum(1.0 / n_touch), 6) AS linear_credit
+    FROM touches
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution (first-touch / last-touch /
+    linear) over the event stream: every non-purchase event is a
+    "touch" credited to that user's NEXT purchase; per conversion the
+    first and last touches take the positional credits and every touch
+    takes 1/n_touch linear credit. Reported per touching event_type.
+
+    Determinism: conversion assignment and both positional ranks order
+    by (ts, event_id) — event_id breaks ts ties exactly like the
+    oracle; linear credit is a sum of 1/n rationals rounded AFTER the
+    final aggregate, one division per touch.
+
+    Scale: everything is windowed per user_id — three window passes
+    over the same (user_id sort) exchange (Catalyst reuses one sort for
+    same-spec windows) and one 5-group aggregate. No joins, no pair
+    blowup; the conversion lookup is the reverse-cumulative-min trick
+    (min-over-following of a CASE), so no self-join against purchases.
+    At 100 TB this partitions by user exactly like sessionization."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    conv = ev.withColumn(
+        "conv_ts",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(wseq.rowsBetween(Window.currentRow, Window.unboundedFollowing)),
+    )
+    grp = Window.partitionBy("user_id", "conv_ts")
+    touches = (
+        conv.filter(
+            (F.col("event_type") != "purchase") & F.col("conv_ts").isNotNull()
+        )
+        .withColumn(
+            "rn_asc", F.row_number().over(grp.orderBy("ts", "event_id"))
+        )
+        .withColumn(
+            "rn_desc",
+            F.row_number().over(
+                grp.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        )
+        .withColumn(
+            "n_touch",
+            F.count(F.lit(1)).over(
+                grp.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    return (
+        touches.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("rn_asc") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("first_touch"),
+            F.sum(F.when(F.col("rn_desc") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("last_touch"),
+            F.round(F.sum(F.lit(1.0) / F.col("n_touch")), 6).alias(
+                "linear_credit"
+            ),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
+    )
+
+
+@register(
+    "events_entropy",
+    oracle="""
+    WITH per_type AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    pu AS (
+        SELECT user_id, entropy,
+               CASE WHEN entropy = 0 THEN 1 ELSE 0 END AS single_type
+        FROM (SELECT user_id,
+                     round(-sum((c * 1.0 / t) * ln(c * 1.0 / t)), 6) AS entropy
+              FROM (SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS t
+                    FROM per_type)
+              GROUP BY user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(entropy), 6) AS avg_entropy,
+           round(max(entropy), 6) AS max_entropy,
+           CAST(sum(single_type) AS BIGINT) AS n_single_type
+    FROM pu
+    """,
+)
+def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy (nats) of each user's
+    event-type distribution, then population stats — user count, mean
+    and max entropy, and how many users are single-type (entropy 0).
+    The standard engagement-diversity feature in churn models.
+
+    Determinism: per-user entropy is computed from integer counts with
+    ONE division per (user, type) term and rounded to 6dp BEFORE the
+    population aggregate, so the float summation order inside avg()
+    operates on identical inputs in both engines (same argument as the
+    LOCF/carry rule in the working notes).
+
+    Scale: two shuffles, both on user_id ((user,type) counts partial-
+    aggregate map-side, then a window-free per-user entropy via
+    groupBy(user) over a pre-joined total — here the total comes from
+    sum(c) in the same aggregate). Final stats are a 1-row global agg."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wtot = Window.partitionBy("user_id")
+    per_user = (
+        per_type.withColumn("t", F.sum("c").over(wtot))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c") * 1.0 / F.col("t"))
+                    * F.log(F.col("c") * 1.0 / F.col("t"))
+                ),
+                6,
+            ).alias("entropy")
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+        F.round(F.max("entropy"), 6).alias("max_entropy"),
+        F.sum(F.when(F.col("entropy") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_single_type"),
+    )

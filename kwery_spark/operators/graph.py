@@ -18,7 +18,7 @@ op deterministic and lets the oracle replay every round as a CTE.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 from kwery_spark.catalog import table
@@ -365,5 +365,106 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
         .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )
+
+
+@register(
+    "graph_common_neighbors",
+    oracle="""
+    WITH w AS (
+        SELECT o.o_custkey AS custkey, l.l_suppkey AS suppkey,
+               count(*) AS nl
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT custkey, suppkey FROM (
+            SELECT custkey, suppkey,
+                   row_number() OVER (PARTITION BY custkey
+                                      ORDER BY nl DESC, suppkey) AS rk
+            FROM w)
+        WHERE rk <= 10
+    ),
+    deg AS (SELECT suppkey, count(*) AS d FROM capped GROUP BY suppkey),
+    pairs AS (
+        SELECT a.suppkey AS s1, b.suppkey AS s2, count(*) AS common
+        FROM capped a JOIN capped b
+          ON a.custkey = b.custkey AND a.suppkey < b.suppkey
+        GROUP BY 1, 2
+    )
+    SELECT p.s1, p.s2, p.common,
+           round(p.common * 1.0 / (da.d + db.d - p.common), 6) AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.suppkey = p.s1
+    JOIN deg db ON db.suppkey = p.s2
+    ORDER BY p.common DESC, p.s1, p.s2
+    LIMIT 20
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the customer-supplier purchase graph: for
+    supplier pairs, the number of shared customers (common neighbors)
+    and the Jaccard overlap of their customer sets, top-20 pairs.
+
+    Scale: the pair generator is DEGREE-CAPPED — each customer
+    contributes only their top-10 suppliers by purchase volume
+    (deterministic tiebreak on suppkey), so pair fan-out is bounded at
+    C(10,2)=45 rows per customer regardless of corpus size: the classic
+    fragment-and-cap treatment that keeps common-neighbor joins linear
+    in the node count instead of quadratic in hub degree. Shuffles:
+    (cust,supp) weight agg, the cap window (both on custkey), the
+    pair count (on the pair key), and two small degree joins. The
+    top-20 is a TakeOrdered, not a global sort.
+
+    Determinism: counts are integral; jaccard is one division rounded
+    to 6dp; ordering ties broken by (s1, s2)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("nl"))
+    )
+    win = Window.partitionBy("custkey").orderBy(
+        F.col("nl").desc(), F.col("suppkey")
+    )
+    capped = (
+        w.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 10)
+        .select("custkey", "suppkey")
+    )
+    deg = capped.groupBy("suppkey").agg(F.count(F.lit(1)).alias("d"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (F.col("a.suppkey") < F.col("b.suppkey")),
+        )
+        .groupBy(
+            F.col("a.suppkey").alias("s1"), F.col("b.suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = deg.select(F.col("suppkey").alias("s1"), F.col("d").alias("d1"))
+    db = deg.select(F.col("suppkey").alias("s2"), F.col("d").alias("d2"))
+    return (
+        pairs.join(F.broadcast(da), "s1")
+        .join(F.broadcast(db), "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            F.round(
+                F.col("common") * 1.0 / (F.col("d1") + F.col("d2") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("common").desc(), "s1", "s2")
         .limit(20)
     )

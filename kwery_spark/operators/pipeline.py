@@ -799,3 +799,55 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("split")
     )
+
+
+@register(
+    "sample_reservoir_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk
+        FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM ranked
+    WHERE rk <= 50
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample: exactly 50 docs per language,
+    selected by md5(doc_id) rank — the deterministic equivalent of a
+    per-group reservoir sample (a uniform hash order IS a random order,
+    but reproducible across engines, re-runs and corpus growth, which
+    rand()-reservoirs are not). Emits per-language sample profiles.
+
+    Scale: one window shuffle on lang. A low-cardinality partition key
+    is the textbook skew risk; the md5 rank needs only a per-group
+    top-50, so at 100 TB this drops to the two-phase top-k trick
+    (partial top-50 per map task, then per-group merge) — Spark's sort
+    + row_number filter under AQE already prunes everything past the
+    window sort spill-side, and the filter keeps 50*|langs| rows."""
+    docs = table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    win = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 50)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("lang")
+    )

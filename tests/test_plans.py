@@ -347,3 +347,43 @@ def test_bitmap_distinct_two_bounded_shuffles(spark, sf_dir):
     # count-distinct check's own pair
     df = _q("agg_bitmap_distinct")(spark, sf_dir)
     assert inspect.shuffle_count(df) <= 5, inspect.formatted_plan(df)
+
+
+def test_profile_table_single_scan(spark, sf_dir):
+    # the 6-column profile must be ONE pass over orders (expand + two-phase
+    # aggregate), not a per-column rescan: exactly one parquet scan of orders
+    df = _q("profile_table")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    import re as _re
+
+    scan_ids = set(_re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, plan
+
+
+def test_dq_fk_check_broadcasts_dimension(spark, sf_dir):
+    # orders→customer referential check must broadcast the dimension keys
+    df = _q("dq_expectations")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_attribution_reuses_user_sort(spark, sf_dir):
+    # all window passes partition by user_id; Catalyst must not exceed the
+    # window exchanges + final 5-group aggregate (no join exchanges at all)
+    df = _q("events_attribution")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 4, inspect.formatted_plan(df)
+
+
+def test_cms_sketch_probe_is_broadcast(spark, sf_dir):
+    # the 40-row query side must broadcast against the 1024-cell sketch
+    df = _q("agg_cms_estimate")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_common_neighbors_no_cartesian(spark, sf_dir):
+    # the degree-capped pair join must stay an equi-join on custkey
+    df = _q("graph_common_neighbors")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert inspect.has_take_ordered(df), plan
