@@ -1178,3 +1178,169 @@ def agg_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("user_id")
     )
+
+
+@register(
+    "agg_hll_intersection",
+    oracle="""
+    WITH a AS (SELECT count(DISTINCT user_id) AS na FROM events
+               WHERE event_type = 'view'),
+         b AS (SELECT count(DISTINCT user_id) AS nb FROM events
+               WHERE event_type = 'purchase'),
+         i AS (SELECT count(*) AS exact_intersection FROM
+               (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+                INTERSECT
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+    SELECT CAST(a.na AS BIGINT) AS exact_a,
+           CAST(b.nb AS BIGINT) AS exact_b,
+           CAST(i.exact_intersection AS BIGINT) AS exact_intersection,
+           true AS est_within_15pct
+    FROM a, b, i
+    """,
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based set intersection via inclusion-exclusion:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B) from three HLL sketches — the
+    audience-overlap question ("users who viewed AND purchased") answered
+    from mergeable per-segment sketches instead of a raw-data INTERSECT.
+    Inclusion-exclusion on HLLs is noisier than plain union (errors add),
+    so the Spark-side guarantee is 15%; the oracle recomputes the exact
+    cardinalities and asserts the tolerance flag — the sketch-op oracle
+    pattern from the working notes.
+
+    Scale: sketches partial-aggregate map-side to ~2^14 registers per
+    segment regardless of input size; the exact INTERSECT twin (two
+    distincts + one equi-join, all on user_id) exists to pin the error
+    and would be the part a 100 TB deployment drops."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type")
+    va = F.when(F.col("event_type") == "view", F.col("user_id"))
+    pa = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    sk = ev.agg(
+        F.expr(
+            "hll_sketch_estimate(hll_sketch_agg("
+            "CASE WHEN event_type = 'view' THEN user_id END, 14))"
+        ).alias("est_a"),
+        F.expr(
+            "hll_sketch_estimate(hll_sketch_agg("
+            "CASE WHEN event_type = 'purchase' THEN user_id END, 14))"
+        ).alias("est_b"),
+        F.expr(
+            "hll_sketch_estimate(hll_sketch_agg("
+            "CASE WHEN event_type IN ('view','purchase') THEN user_id END, 14))"
+        ).alias("est_union"),
+        F.countDistinct(va).alias("exact_a"),
+        F.countDistinct(pa).alias("exact_b"),
+    )
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact_i = viewers.join(buyers, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_intersection")
+    )
+    return sk.join(F.broadcast(exact_i)).select(
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_intersection").cast("long").alias("exact_intersection"),
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+                - F.col("exact_intersection")
+            )
+            <= F.greatest(
+                F.lit(0.15) * F.col("exact_intersection"), F.lit(64.0)
+            )
+        ).alias("est_within_15pct"),
+    )
+
+
+@register(
+    "ml_ols_normal_equations",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(*) AS DECIMAL(38,8)) AS n,
+               CAST(sum(CAST(l_quantity  AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s1,
+               CAST(sum(CAST(l_discount  AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s2,
+               CAST(sum(CAST(l_quantity  AS DECIMAL(19,4))
+                      * CAST(l_quantity  AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS s11,
+               CAST(sum(CAST(l_quantity  AS DECIMAL(19,4))
+                      * CAST(l_discount  AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS s12,
+               CAST(sum(CAST(l_discount  AS DECIMAL(19,4))
+                      * CAST(l_discount  AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS s22,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS sy,
+               CAST(sum(CAST(l_quantity  AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS s1y,
+               CAST(sum(CAST(l_discount  AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DECIMAL(38,8)) AS s2y
+        FROM lineitem
+    ),
+    d AS (
+        SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+               CAST(s2 AS DOUBLE) AS s2, CAST(s11 AS DOUBLE) AS s11,
+               CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+               CAST(sy AS DOUBLE) AS sy, CAST(s1y AS DOUBLE) AS s1y,
+               CAST(s2y AS DOUBLE) AS s2y
+        FROM m
+    ),
+    k AS (
+        SELECT n,
+               (n*s11 - s1*s1)   AS a11, (n*s12 - s1*s2) AS a12,
+               (n*s22 - s2*s2)   AS a22,
+               (n*s1y - s1*sy)   AS b1,  (n*s2y - s2*sy) AS b2,
+               s1, s2, sy
+        FROM d
+    )
+    SELECT round((b1*a22 - b2*a12) / (a11*a22 - a12*a12), 6) AS beta_quantity,
+           round((b2*a11 - b1*a12) / (a11*a22 - a12*a12), 6) AS beta_discount,
+           round((sy - (b1*a22 - b2*a12) / (a11*a22 - a12*a12) * s1
+                     - (b2*a11 - b1*a12) / (a11*a22 - a12*a12) * s2) / n, 6)
+               AS beta_intercept
+    FROM k
+    """,
+)
+def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature OLS (extendedprice ~ quantity + discount + 1) solved
+    by normal equations: ONE distributed moment-aggregation pass collects
+    the 9 sufficient statistics, then the 2x2 centered system is solved
+    in closed form (Cramer) on the 1-row result — the canonical
+    big-data-to-tiny-solve shape for linear models at 100 TB (the same
+    X^T X accumulation embedding_pca uses, here with the explicit
+    normal-equation solve).
+
+    Determinism: every moment is summed as DECIMAL — quantity/discount/
+    extendedprice carry <=2 decimals so all products are exact in
+    DECIMAL(19,4)*DECIMAL(19,4) — making the aggregation order-
+    independent across engines (working-notes rule); the float Cramer
+    arithmetic then runs on bit-identical scalars and rounds to 6dp."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(19,4)")
+    dd = F.col("l_discount").cast("decimal(19,4)")
+    y = F.col("l_extendedprice").cast("decimal(19,4)")
+    m = li.agg(
+        F.count(F.lit(1)).cast("decimal(38,8)").alias("n"),
+        F.sum(q.cast("decimal(38,8)")).cast("decimal(38,8)").alias("s1"),
+        F.sum(dd.cast("decimal(38,8)")).cast("decimal(38,8)").alias("s2"),
+        F.sum(q * q).cast("decimal(38,8)").alias("s11"),
+        F.sum(q * dd).cast("decimal(38,8)").alias("s12"),
+        F.sum(dd * dd).cast("decimal(38,8)").alias("s22"),
+        F.sum(y).cast("decimal(38,8)").alias("sy"),
+        F.sum(q * y).cast("decimal(38,8)").alias("s1y"),
+        F.sum(dd * y).cast("decimal(38,8)").alias("s2y"),
+    )
+    d = m.select(*[F.col(c).cast("double").alias(c) for c in m.columns])
+    k = d.select(
+        "n", "s1", "s2", "sy",
+        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).alias("a11"),
+        (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).alias("a12"),
+        (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")).alias("a22"),
+        (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy")).alias("b1"),
+        (F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy")).alias("b2"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    bq = (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det
+    bd = (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / det
+    return k.select(
+        F.round(bq, 6).alias("beta_quantity"),
+        F.round(bd, 6).alias("beta_discount"),
+        F.round(
+            (F.col("sy") - bq * F.col("s1") - bd * F.col("s2")) / F.col("n"), 6
+        ).alias("beta_intercept"),
+    )

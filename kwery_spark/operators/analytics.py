@@ -1306,3 +1306,182 @@ def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_single_type"),
     )
+
+
+@register(
+    "events_seasonality",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type,
+               CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INTEGER)
+                   AS dow,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, sum(c) AS t FROM counts GROUP BY event_type
+    ),
+    shares AS (
+        SELECT c.event_type, c.dow,
+               round(c.c * 1.0 / t.t, 6) AS share
+        FROM counts c JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(CASE WHEN rk = 1 THEN dow END) AS INTEGER) AS peak_dow,
+           max(CASE WHEN rk = 1 THEN share END) AS peak_share,
+           round(max(share) - min(share), 6) AS dow_spread,
+           round(sum(abs(share - 1.0/7)), 6) AS l1_from_uniform
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY share DESC, dow) AS rk
+          FROM shares)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per event type: peak weekday, its traffic
+    share, the spread between busiest and quietest weekday, and total L1
+    distance from a uniform weekly profile (0 = no weekly seasonality).
+    The screening stat a pipeline computes before fitting any seasonal
+    model.
+
+    Determinism: shares are single divisions of integer counts rounded
+    to 6dp BEFORE the comparison/aggregate layer (round-before-carry
+    rule); peak ties break on dow via row_number in both engines. The
+    weekday index is days-since-epoch mod 7 (0 = Thursday) computed
+    identically in both engines — Spark's dayofweek is 1=Sunday while
+    DuckDB's is 0=Sunday, so neither builtin is used.
+
+    Scale: (type, dow) has <=7*|types| groups — counts partial-aggregate
+    map-side and everything after runs on a few dozen rows."""
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    counts = ev.groupBy(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("int")
+        .alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wt = Window.partitionBy("event_type")
+    shares = counts.withColumn(
+        "share", F.round(F.col("c") * 1.0 / F.sum("c").over(wt), 6)
+    )
+    ranked = shares.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("share").desc(), F.col("dow")
+            )
+        ),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("dow")))
+            .cast("int")
+            .alias("peak_dow"),
+            F.max(F.when(F.col("rk") == 1, F.col("share"))).alias("peak_share"),
+            F.round(F.max("share") - F.min("share"), 6).alias("dow_spread"),
+            F.round(F.sum(F.abs(F.col("share") - 1.0 / 7)), 6).alias(
+                "l1_from_uniform"
+            ),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
+    )
+
+
+@register(
+    "win_trend_slope",
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, event_id,
+               CAST(CAST(epoch_us(ts) // 60000000 AS BIGINT)
+                    AS DECIMAL(38,4)) AS x,
+               CAST(value AS DECIMAL(38,4)) AS y,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS seq
+        FROM events
+    ),
+    winsum AS (
+        SELECT user_id, event_id, seq,
+               count(*)  OVER w AS n,
+               sum(x)    OVER w AS sx,
+               sum(y)    OVER w AS sy,
+               sum(x*x)  OVER w AS sxx,
+               sum(x*y)  OVER w AS sxy
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY seq
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    slopes AS (
+        SELECT user_id,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS slope
+        FROM winsum
+        WHERE n = 7
+          AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+    )
+    SELECT user_id, max(slope) AS max_slope
+    FROM slopes
+    GROUP BY user_id
+    ORDER BY max_slope DESC, user_id
+    LIMIT 20
+    """,
+)
+def win_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling trend detection: per user, the OLS slope of `value` over
+    time within a trailing 7-event frame, reported as each user's
+    steepest upward burst (top-20 users). The windowed-regression
+    primitive behind "is this metric accelerating per entity".
+
+    Determinism: x (minutes since epoch, integer-valued) and y (2-dec
+    value) are summed as DECIMAL inside the frame — frame sums become
+    order-independent, so DuckDB's segment-tree window evaluation and
+    Spark's running accumulation agree bit-for-bit; the slope is then
+    double arithmetic on identical scalars, rounded to 6dp before the
+    max/ordering layer. Frames shorter than 7 are excluded (their
+    denominator could be 0 for a single point, and partial-frame slopes
+    are statistically meaningless anyway).
+
+    Scale: one window shuffle on user_id + one 1-row-per-user aggregate
+    + TakeOrdered(20). No joins."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) div 60000000").cast("decimal(38,4)").alias("x"),
+        F.col("value").cast("decimal(38,4)").alias("y"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("seq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("seq").rowsBetween(-6, 0)
+    ws = pts.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = F.round(
+        (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")),
+        6,
+    )
+    denom = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    return (
+        ws.filter((F.col("n") == 7) & (denom != 0))
+        .select("user_id", slope.alias("slope"))
+        .groupBy("user_id")
+        .agg(F.max("slope").alias("max_slope"))
+        .orderBy(F.col("max_slope").desc(), "user_id")
+        .limit(20)
+    )
