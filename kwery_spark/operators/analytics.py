@@ -1485,3 +1485,73 @@ def win_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("max_slope").desc(), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "events_conversion_lag",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    lags AS (
+        SELECT p.user_id,
+               (epoch_us(p.t_purchase) - epoch_us(v.t_view)) / 1000000.0
+                   AS lag_s
+        FROM p JOIN v USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converters,
+           round(avg(lag_s), 6) AS avg_lag_s,
+           round(quantile_cont(lag_s, 0.5), 6) AS median_lag_s,
+           round(quantile_cont(lag_s, 0.9), 6) AS p90_lag_s,
+           round(min(lag_s), 6) AS min_lag_s
+    FROM lags
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the lag from first view
+    to the first purchase AFTER it, summarized as converter count, mean,
+    exact interpolated median and p90, and the fastest conversion — the
+    funnel-velocity readout that sits next to events_funnel's counts.
+
+    Determinism: lags are exact integer microsecond differences divided
+    once (sub-second rule: epoch_us, never second-truncated casts);
+    percentile interpolation (a + (b-a)*f) runs on identical doubles in
+    both engines (Spark percentile == DuckDB quantile_cont, both
+    linear), and every output rounds to 6dp.
+
+    Scale: two user-keyed aggregates joined on user_id; the percentile
+    is a single-pass sort-based exact aggregate over one row per
+    converter (at 100 TB you'd swap in approx_percentile — the corpus
+    fits the exact form and the oracle needs exactness)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lags = p.join(v, "user_id").select(
+        (
+            (F.unix_micros("t_purchase") - F.unix_micros("t_view")) / 1000000.0
+        ).alias("lag_s")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converters"),
+        F.round(F.avg("lag_s"), 6).alias("avg_lag_s"),
+        F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("median_lag_s"),
+        F.round(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_lag_s"),
+        F.round(F.min("lag_s"), 6).alias("min_lag_s"),
+    )

@@ -728,3 +728,151 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS t
+        FROM documents
+    ),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.t, b.t))
+                / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.5
+    ),
+    mh AS (
+        SELECT doc_id, s.range AS seed,
+               min(CAST('0x' || substr(md5(CAST(s.range AS VARCHAR) || '#' || tok),
+                                       1, 12) AS BIGINT)) AS m
+        FROM toks, range(32) s, unnest(t) AS u(tok)
+        GROUP BY doc_id, s.range
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band_id,
+               md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY seed)) AS band_hash
+        FROM mh GROUP BY doc_id, seed // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band_id = b.band_id
+            AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b))
+                AS BIGINT) AS n_detected,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           round((SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b))
+                 * 1.0 / nullif((SELECT count(*) FROM truth), 0), 6) AS recall,
+           round((SELECT count(*) FROM cand JOIN truth USING (doc_a, doc_b))
+                 * 1.0 / nullif((SELECT count(*) FROM cand), 0), 6) AS precision
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation — the measurement half of a dedup
+    deployment: an UNDERSIZED MinHash-LSH (8 bands x 4 rows, so real
+    misses occur: P(detect | j=0.5) ≈ 0.40 per the banding formula)
+    is scored against exact lang-blocked Jaccard>=0.5 ground truth,
+    reporting candidate recall and precision. Complements dedup_minhash
+    (whose 32x4 configuration is effectively exact at j>=0.9) by
+    quantifying what a cheaper sketch trades away.
+
+    Both engines replay the identical md5-derived min-hashes (48-bit
+    hex prefixes), so the candidate sets are bit-identical and the
+    recall/precision numbers value-hash match — no tolerance games.
+
+    Scale: the LSH side is band-bucketed (linear); the exact ground
+    truth is the quadratic part and exists only because an eval needs
+    truth — it is lang-blocked here (bounded block sizes at gate SF)
+    and would run on a sampled block at 100 TB, exactly how production
+    dedup recall audits are done (the triangle_salted helper in
+    similarity.py is the drop-in if a block goes hot)."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    ta = toks.alias("a")
+    tb = toks.alias("b")
+    inter = F.size(F.array_intersect("a.t", "b.t"))
+    union = F.size("a.t") + F.size("b.t") - inter
+    truth = (
+        ta.join(
+            tb,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter / union >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    mh = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda s: F.array_min(
+            F.transform(
+                F.col("t"),
+                lambda tok: F.conv(
+                    F.substring(
+                        F.md5(F.concat(s.cast("string"), F.lit("#"), tok)), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ),
+    )
+    hashed = toks.select("doc_id", mh.alias("mh")).repartition("doc_id")
+    bands = hashed.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda j: F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.slice("mh", j * 4 + 1, 4),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_det = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_detected")
+    )
+    return (
+        n_truth.join(F.broadcast(n_det))
+        .join(F.broadcast(n_cand))
+        .select(
+            "n_truth",
+            "n_detected",
+            "n_candidates",
+            F.round(
+                F.col("n_detected") * 1.0 / F.nullif(F.col("n_truth"), F.lit(0)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_detected")
+                * 1.0
+                / F.nullif(F.col("n_candidates"), F.lit(0)),
+                6,
+            ).alias("precision"),
+        )
+    )

