@@ -600,3 +600,36 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "fn_edit_distance",
+    oracle="""
+    SELECT CAST(levenshtein(p_name, 'small ring') AS INTEGER) AS dist,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           min(p_name) AS example
+    FROM part
+    GROUP BY dist
+    ORDER BY dist
+    """,
+)
+def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance family: Levenshtein edit distance of every part
+    name to a probe string, reported as a distance histogram with an
+    example per bucket. Both engines implement unit-cost Levenshtein
+    (insert/delete/substitute = 1), so the integers match exactly.
+
+    Scale: the distance is a map-side scalar expression; the histogram
+    groups on a small integer key. This is the expression primitive the
+    fuzzy-matching operator (dedup_fuzzy_names) builds on."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(F.levenshtein("p_name", F.lit("small ring")).alias("dist"), "p_name")
+        .groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("p_name").alias("example"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("dist")
+    )

@@ -1555,3 +1555,58 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_lag_s"),
         F.round(F.min("lag_s"), 6).alias("min_lag_s"),
     )
+
+
+@register(
+    "events_wow_change",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    wow AS (
+        SELECT event_type, day, n,
+               lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS n_prev
+        FROM daily
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n,
+           CAST(n_prev AS BIGINT) AS n_prev_week,
+           round((n - n_prev) * 1.0 / n_prev, 6) AS wow_change
+    FROM wow
+    WHERE n_prev IS NOT NULL
+    ORDER BY event_type, day
+    """,
+)
+def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week reporting: daily event counts per type with the
+    same-weekday-last-week comparison (lag 7 over the daily series) and
+    the relative change — the period-over-period primitive every metrics
+    dashboard runs, expressed as one aggregate + one lag window.
+
+    Determinism: integer counts, one division, round 6. Day keys come
+    from a DATE cast (the corpus timestamps are µs; both engines
+    truncate to the day identically).
+
+    Scale: the daily rollup collapses volume map-side to |types|×|days|
+    rows; the lag window then runs on that tiny series. At 100 TB the
+    rollup is the only full-data pass."""
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        daily.withColumn("n_prev", F.lag("n", 7).over(w))
+        .filter(F.col("n_prev").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_prev").cast("long").alias("n_prev_week"),
+            F.round((F.col("n") - F.col("n_prev")) * 1.0 / F.col("n_prev"), 6).alias(
+                "wow_change"
+            ),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type", "day")
+    )

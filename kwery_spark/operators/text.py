@@ -876,3 +876,114 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "phrase")
         .limit(15)
     )
+
+
+@register(
+    "text_pmi_cooccurrence",
+    oracle="""
+    WITH n_docs AS (SELECT count(*) AS nd FROM documents),
+    doc_words AS (
+        SELECT DISTINCT doc_id, tok AS word
+        FROM documents, unnest(str_split(text, ' ')) AS u(tok)
+        WHERE len(tok) >= 3
+    ),
+    df AS (
+        SELECT word, count(*) AS d FROM doc_words GROUP BY word
+    ),
+    top AS (
+        SELECT word, d FROM (
+            SELECT word, d,
+                   row_number() OVER (ORDER BY d DESC, word) AS rk
+            FROM df)
+        WHERE rk <= 50
+    ),
+    present AS (
+        SELECT dw.doc_id, dw.word, t.d
+        FROM doc_words dw JOIN top t USING (word)
+    ),
+    pair_counts AS (
+        SELECT a.word AS word_a, b.word AS word_b,
+               a.d AS da, b.d AS db, count(*) AS dab
+        FROM present a JOIN present b
+          ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT word_a, word_b, CAST(dab AS BIGINT) AS n_cooccur,
+           round(ln(dab * 1.0 * nd / (da * 1.0 * db)), 6) AS pmi
+    FROM pair_counts, n_docs
+    WHERE dab >= 5
+    ORDER BY pmi DESC, word_a, word_b
+    LIMIT 30
+    """,
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over word co-occurrence: the top-50
+    document-frequency words (deterministic rank), pairwise co-occurrence
+    document counts, PMI = ln(P(a,b)/(P(a)P(b))) with document-level
+    probabilities, top-30 most-associated pairs. The collocation-mining
+    primitive behind phrase detection and topic seeding.
+
+    Scale: the pair space is VOCABULARY-CAPPED — only the broadcast
+    top-50 words survive into the per-doc self-join, so each doc
+    contributes at most C(50,2) pairs and the whole pair aggregate is
+    bounded by 1225 keys regardless of corpus size. Shuffles: doc-word
+    distinct, df aggregate, the doc-blocked pair count. Determinism:
+    integer counts, one ln of a single ratio, round 6, full ordering
+    tiebreak."""
+    docs = table(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.length("word") >= 3)
+        .distinct()
+    )
+    df_counts = dw.groupBy("word").agg(F.count(F.lit(1)).alias("d"))
+    top = (
+        df_counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("d").desc(), F.col("word"))
+            ),
+        )
+        .filter(F.col("rk") <= 50)
+        .drop("rk")
+    )
+    present = dw.join(F.broadcast(top), "word")
+    a = present.alias("a")
+    b = present.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(
+            F.col("a.word").alias("word_a"),
+            F.col("b.word").alias("word_b"),
+            F.col("a.d").alias("da"),
+            F.col("b.d").alias("db"),
+        )
+        .agg(F.count(F.lit(1)).alias("dab"))
+        .filter(F.col("dab") >= 5)
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        pairs.join(F.broadcast(nd))
+        .select(
+            "word_a",
+            "word_b",
+            F.col("dab").cast("long").alias("n_cooccur"),
+            F.round(
+                F.log(
+                    F.col("dab")
+                    * 1.0
+                    * F.col("nd")
+                    / (F.col("da") * 1.0 * F.col("db"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "word_a", "word_b")
+        .limit(30)
+    )
