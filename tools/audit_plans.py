@@ -63,6 +63,12 @@ DECLARED = {
     "pipeline_bpe_apply": {"BNLJ"},  # crossJoin(broadcast(1-row merge rule/round))
     "agg_hll_rollup_merge": {"BNLJ"},  # crossJoin(broadcast(1-row exact total))
     "sample_train_test_split": {"BNLJ"},  # crossJoin(broadcast(1-row leak count))
+    "agg_bloom_prune": {"BNLJ"},     # crossJoin(broadcast(1-row bloom bitmap words))
+    "events_markov_stationary": {"BNLJ"},  # crossJoin(broadcast(1-row type count))
+    "sim_recall_eval": {"BNLJ"},     # crossJoin(broadcast(3 query vectors / 1-row recall))
+    "agg_hll_intersection": {"BNLJ"},  # join(broadcast(1-row exact-intersection count))
+    "dedup_lsh_recall_eval": {"BNLJ"},  # join(broadcast(1-row truth/cand/detected counts))
+    "text_pmi_cooccurrence": {"BNLJ"},  # join(broadcast(1-row corpus doc count))
 }
 
 
