@@ -34,17 +34,23 @@ from kwery_spark.registry import register
     """,
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window aggregate per event type."""
+    """Tumbling 1-hour window aggregate per event type.
+
+    Batch form groups on date_trunc('hour') — for tumbling windows the
+    assignment is identical to F.window('1 hour').start, but skips the
+    per-row (start, end) struct construction and struct group key:
+    measured at sf10 (6M events, warm best-of-3) 0.609 s vs 0.759 s for
+    the struct form (the residual is the 6M-row hash aggregate itself,
+    which partial-aggregates map-side to 3.6k groups). The streaming
+    family (stream_watermark and friends) keeps the real F.window
+    operator — this key's batch twin only needs its semantics."""
     return (
         table(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            F.col("event_type"),
         )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
     )
 
 
