@@ -633,3 +633,49 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("dist")
     )
+
+
+@register(
+    "fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%.2f', o_totalprice) AS price_2dp,
+           printf('%08d', o_orderkey) AS key_padded,
+           printf('%x', o_orderkey) AS key_hex,
+           printf('order %d: %s', o_orderkey, o_orderstatus) AS summary,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS order_month,
+           concat(upper(substring(o_orderpriority, 1, 1)),
+                  lower(substring(o_orderpriority, 2, length(o_orderpriority) - 1)))
+               AS priority_title
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family: printf-style numeric/hex/padded
+    rendering (format_string, the JVM printf), date-pattern formatting
+    and manual title-casing. Dialect notes: Spark format_string is Java
+    printf, DuckDB printf is C printf — %.2f/%08d/%x/%d/%s behave
+    identically for these types; DuckDB strftime('%Y-%m') == Spark
+    date_format('yyyy-MM'); initcap is avoided because the two engines
+    disagree on non-letter word boundaries, manual first-letter casing
+    is exact."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.format_string("%.2f", "o_totalprice").alias("price_2dp"),
+        F.format_string("%08d", "o_orderkey").alias("key_padded"),
+        F.expr("format_string('%x', o_orderkey)").alias("key_hex"),
+        F.format_string("order %d: %s", "o_orderkey", "o_orderstatus").alias(
+            "summary"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.concat(
+            F.upper(F.substring("o_orderpriority", 1, 1)),
+            F.lower(
+                F.expr(
+                    "substring(o_orderpriority, 2, length(o_orderpriority) - 1)"
+                )
+            ),
+        ).alias("priority_title"),
+    )

@@ -1610,3 +1610,81 @@ def events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("event_type", "day")
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(n, 0.5) AS med_n
+        FROM daily GROUP BY event_type
+    ),
+    dev AS (
+        SELECT d.event_type, d.day, d.n,
+               abs(d.n - m.med_n) AS absdev, m.med_n
+        FROM daily d JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(absdev, 0.5) AS mad_n
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n,
+           round(d.med_n, 6) AS median_daily,
+           round(m.mad_n, 6) AS mad_daily,
+           round((d.n - d.med_n) / (1.4826 * m.mad_n), 6) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad_n > 0
+      AND abs((d.n - d.med_n) / (1.4826 * m.mad_n)) > 2.0
+    ORDER BY d.event_type, d.day
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on daily volumes: flag days whose
+    modified z-score — deviation from the per-type MEDIAN scaled by
+    1.4826x the median absolute deviation — exceeds 2 (a threshold that flags a handful of days at gate SF
+    while rejecting the bulk — discriminative at both tails). Unlike the
+    mean/stddev version (events_anomaly), a single extreme day cannot
+    drag the baseline, which is exactly why production alerting uses
+    MAD.
+
+    Determinism: daily counts are integers; both medians are exact
+    interpolated quantiles over integers (Spark percentile == DuckDB
+    quantile_cont); the z-score is computed from those exact scalars
+    and rounded at the edge. Zero-MAD series (constant volume) are
+    excluded exactly in both engines.
+
+    Scale: the daily rollup is the only full-data pass; medians and
+    deviations run on |types|x|days| rows."""
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med_n")
+    )
+    dev = daily.join(med, "event_type").withColumn(
+        "absdev", F.abs(F.col("n") - F.col("med_n"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad_n")
+    )
+    z = (F.col("n") - F.col("med_n")) / (1.4826 * F.col("mad_n"))
+    return (
+        dev.join(mad, "event_type")
+        .filter((F.col("mad_n") > 0) & (F.abs(z) > 2.0))
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.round("med_n", 6).alias("median_daily"),
+            F.round("mad_n", 6).alias("mad_daily"),
+            F.round(z, 6).alias("robust_z"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type", "day")
+    )

@@ -1191,3 +1191,52 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("query_id")
     )
+
+
+@register(
+    "sim_range_search",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0)
+    SELECT v.label,
+           CAST(count(*) AS BIGINT) AS n_in_range,
+           CAST(min(v.vec_id) AS BIGINT) AS closest_min_id,
+           round(max(round(list_dot_product(v.v, q.qv), 6)), 6) AS best_score
+    FROM v, q
+    WHERE round(list_dot_product(v.v, q.qv), 6) >= 0.2 AND v.vec_id <> 0
+    GROUP BY v.label
+    ORDER BY v.label
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search — the dual of top-k: ALL vectors
+    with cosine >= 0.2 to the query (vec_id 0), profiled per label. The
+    API a dedup/retrieval pipeline uses when it needs everything above a
+    similarity floor rather than a fixed k.
+
+    Determinism: scores round to 6dp BEFORE the threshold compare and
+    the max (round-before-compare, so an ulp straddle cannot flip
+    membership between engines — embeddings are unit-norm so dot ==
+    cosine, the same left-fold dot as sim_knn_bruteforce).
+
+    Scale: brute-force scan + broadcast 1-row query (declared BNLJ
+    pattern), aggregating to |labels| rows — no global sort at all,
+    unlike top-k. The IVF/LSH keys are the sub-linear variants of the
+    same predicate."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    score = F.round(dot("v", "qv"), 6)
+    return (
+        vecs.crossJoin(broadcast(q))
+        .select("vec_id", "label", score.alias("score"))
+        .filter((F.col("score") >= 0.2) & (F.col("vec_id") != 0))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in_range"),
+            F.min("vec_id").cast("long").alias("closest_min_id"),
+            F.round(F.max("score"), 6).alias("best_score"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("label")
+    )

@@ -987,3 +987,84 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "word_a", "word_b")
         .limit(30)
     )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, lang,
+               len(str_split(text, ' ')) AS n_words,
+               greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1)
+                   AS n_sents,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_vowel_groups
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang,
+               round(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                             - 84.6 * (n_vowel_groups * 1.0 / n_words), 6)
+                   AS flesch
+        FROM per_doc
+        WHERE n_words > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(flesch), 6) AS avg_flesch,
+           round(min(flesch), 6) AS min_flesch,
+           round(max(flesch), 6) AS max_flesch
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per language: words/sentence and a
+    vowel-group syllable proxy feed the classic 206.835 − 1.015·WPS −
+    84.6·SPW formula, aggregated per lang. The document-quality feature
+    complementary to text_quality's length/ratio gates.
+
+    Syllable counting needs a dictionary; contiguous-vowel-group
+    counting is the standard cheap proxy and is exactly replayable in
+    both engines (same regex, same lowercasing). Sentence count =
+    terminal-punctuation splits, floored at 1 so headline-style docs
+    divide cleanly.
+
+    Determinism: integer counts, two divisions per doc, round BEFORE
+    the per-lang aggregate (round-before-carry). Scale: map-side
+    regexes, one 5-group aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_sents = F.greatest(
+        F.size(F.split("text", r"[.!?]+")) - 1, F.lit(1)
+    )
+    n_vg = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    scored = (
+        docs.select(
+            "lang",
+            n_words.alias("n_words"),
+            n_sents.alias("n_sents"),
+            n_vg.alias("n_vowel_groups"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "lang",
+            F.round(
+                206.835
+                - 1.015 * (F.col("n_words") * 1.0 / F.col("n_sents"))
+                - 84.6 * (F.col("n_vowel_groups") * 1.0 / F.col("n_words")),
+                6,
+            ).alias("flesch"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("flesch"), 6).alias("avg_flesch"),
+            F.round(F.min("flesch"), 6).alias("min_flesch"),
+            F.round(F.max("flesch"), 6).alias("max_flesch"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("lang")
+    )
