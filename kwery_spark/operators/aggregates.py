@@ -1344,3 +1344,109 @@ def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - bq * F.col("s1") - bd * F.col("s2")) / F.col("n"), 6
         ).alias("beta_intercept"),
     )
+
+
+@register(
+    "agg_skew_twophase",
+    oracle="""
+    WITH salted AS (
+        SELECT l_returnflag,
+               CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4)
+                    AS BIGINT) % 16 AS salt,
+               l_quantity, l_extendedprice
+        FROM lineitem
+    ),
+    partial AS (
+        SELECT l_returnflag, salt,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(38,4))
+                   AS sq,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)))
+                    AS DECIMAL(38,4)) AS sp
+        FROM salted
+        GROUP BY l_returnflag, salt
+    ),
+    merged AS (
+        SELECT l_returnflag,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(sum(sq) AS DECIMAL(38,4)) AS sum_qty,
+               CAST(sum(sp) AS DECIMAL(38,4)) AS sum_price,
+               CAST(count(*) AS BIGINT) AS n_partials
+        FROM partial GROUP BY l_returnflag
+    ),
+    direct AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_direct,
+               CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DECIMAL(38,4))
+                   AS sq_direct
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT m.l_returnflag, m.n_rows, m.sum_qty, m.sum_price, m.n_partials,
+           m.n_rows = d.n_direct AND m.sum_qty = d.sq_direct AS matches_direct
+    FROM merged m JOIN direct d USING (l_returnflag)
+    ORDER BY m.l_returnflag
+    """,
+)
+def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: a hot group key (l_returnflag has
+    only 3 values — at 100 TB each group lands on ONE reducer) is salted
+    16 ways, partial aggregates run per (key, salt), and a second tiny
+    aggregate merges the partials — the aggregation twin of
+    join_skew_salted. The matches_direct flag proves in-query that the
+    decomposition is exact (DECIMAL partials make the re-aggregation
+    order-independent, so salted == direct bit-for-bit).
+
+    Spark's hash aggregate already does map-side partials, but the salt
+    matters when the DISTRIBUTION key must stay the group key (e.g.
+    pre-partitioned sinks) or under AQE-less engines; the operator
+    demonstrates the pattern with its correctness proof attached.
+
+    Scale: shuffle 1 carries 3x16 salted groups; shuffle 2 carries 3."""
+    li = table(spark, sf_dir, "lineitem")
+    salt = (
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 16
+    )
+    partial = (
+        li.select(
+            "l_returnflag",
+            salt.alias("salt"),
+            F.col("l_quantity").cast("decimal(19,4)").alias("q"),
+            F.col("l_extendedprice").cast("decimal(19,4)").alias("p"),
+        )
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").cast("decimal(38,4)").alias("sq"),
+            F.sum("p").cast("decimal(38,4)").alias("sp"),
+        )
+    )
+    merged = partial.groupBy("l_returnflag").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum("sq").cast("decimal(38,4)").alias("sum_qty"),
+        F.sum("sp").cast("decimal(38,4)").alias("sum_price"),
+        F.count(F.lit(1)).cast("long").alias("n_partials"),
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_direct"),
+        F.sum(F.col("l_quantity").cast("decimal(19,4)"))
+        .cast("decimal(38,4)")
+        .alias("sq_direct"),
+    )
+    return (
+        merged.join(F.broadcast(direct), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "sum_qty",
+            "sum_price",
+            "n_partials",
+            (
+                (F.col("n_rows") == F.col("n_direct"))
+                & (F.col("sum_qty") == F.col("sq_direct"))
+            ).alias("matches_direct"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag")
+    )

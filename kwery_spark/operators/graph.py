@@ -468,3 +468,61 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("common").desc(), "s1", "s2")
         .limit(20)
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH base AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    deg AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src)
+    SELECT CASE WHEN substring(node, 1, 1) = 'c' THEN 'customer'
+                ELSE 'supplier' END AS side,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg
+    GROUP BY 1, 2
+    ORDER BY side, degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the bidirected customer↔supplier purchase
+    graph, split by node side — the first diagnostic run on any graph
+    (skew detection: a heavy-tailed side means the downstream pair/
+    message operators need salting). Same edge derivation as
+    graph_pagerank.
+
+    Scale: edge build is one equi-join + distinct; degrees are one
+    count per node; the histogram collapses to |distinct degrees| rows.
+    All shuffles keyed on node or (side, degree)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        deg.groupBy(
+            F.when(F.substring("node", 1, 1) == "c", "customer")
+            .otherwise("supplier")
+            .alias("side"),
+            "degree",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select("side", F.col("degree").cast("long").alias("degree"), "n_nodes")
+        .coalesce(1)
+        .sortWithinPartitions("side", "degree")
+    )

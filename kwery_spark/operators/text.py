@@ -1068,3 +1068,110 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("lang")
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH wc AS (
+        SELECT tok AS word, count(*) AS cnt
+        FROM documents, unnest(str_split(text, ' ')) AS u(tok)
+        WHERE tok <> ''
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT word, cnt,
+               row_number() OVER (ORDER BY cnt DESC, word) AS rank
+        FROM wc
+    ),
+    pts AS (
+        SELECT CAST(round(ln(rank), 9) AS DECIMAL(25,9)) AS x,
+               CAST(round(ln(cnt), 9) AS DECIMAL(25,9)) AS y,
+               word, cnt, rank
+        FROM ranked WHERE rank <= 100
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+                             AS DECIMAL(25,9))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                             AS DECIMAL(25,9))) AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_words,
+           (SELECT word FROM pts WHERE rank = 1) AS top_word,
+           CAST((SELECT cnt FROM pts WHERE rank = 1) AS BIGINT) AS top_count,
+           round((m.n * m.sxy - m.sx * m.sy)
+                 / (m.n * m.sxx - m.sx * m.sx), 6) AS zipf_slope,
+           round((m.sy - (m.n * m.sxy - m.sx * m.sy)
+                         / (m.n * m.sxx - m.sx * m.sx) * m.sx) / m.n, 6)
+               AS zipf_intercept
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: the top-100 words by
+    frequency, log-log regressed (ln freq ~ ln rank) into the Zipf
+    exponent — the standard sanity check that a text corpus has natural
+    rank-frequency structure (natural language sits near slope -1;
+    templated/synthetic text flattens).
+
+    Determinism: ranks break ties by word; each log point and each
+    product term is rounded to 9dp and summed as DECIMAL (the same
+    order-independence treatment as ml_ols_normal_equations — the
+    doubles being rounded are computed identically in both engines,
+    rounding just pins the sum order); the closed-form slope then runs
+    on identical scalars and rounds to 6dp.
+
+    Scale: word counts partial-aggregate map-side; the global top-100
+    rank is a tiny sort; the regression runs on 100 rows."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = wc.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("word"))),
+    ).filter(F.col("rank") <= 100)
+    dec = "decimal(25,9)"
+    pts = ranked.select(
+        "word",
+        "cnt",
+        "rank",
+        F.round(F.log("rank"), 9).cast(dec).alias("x"),
+        F.round(F.log("cnt"), 9).cast(dec).alias("y"),
+    )
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.round(xd * xd, 9).cast(dec)).cast("double").alias("sxx"),
+        F.sum(F.round(xd * yd, 9).cast(dec)).cast("double").alias("sxy"),
+    )
+    top = pts.filter(F.col("rank") == 1).select(
+        F.col("word").alias("top_word"), F.col("cnt").cast("long").alias("top_count")
+    )
+    n_words = pts.agg(F.count(F.lit(1)).alias("n_words"))
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        m.join(F.broadcast(top))
+        .join(F.broadcast(n_words))
+        .select(
+            F.col("n_words").cast("long"),
+            "top_word",
+            "top_count",
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+                "zipf_intercept"
+            ),
+        )
+    )
