@@ -387,3 +387,32 @@ def test_common_neighbors_no_cartesian(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert inspect.has_take_ordered(df), plan
+
+
+def test_skew_twophase_bounded_shuffles(spark, sf_dir):
+    # (flag, salt) partials then flag merge + the direct-agg proof side:
+    # all exchanges carry bounded-cardinality keys
+    df = _q("agg_skew_twophase")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 4, inspect.formatted_plan(df)
+
+
+def test_phash_dedup_no_pair_join(spark, sf_dir):
+    # signature clustering must be a groupBy, never a self-join
+    df = _q("mm_phash_dedup")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_snapshot_diff_keyed_joins(spark, sf_dir):
+    # the version diff is anti/inner joins on the primary key — no
+    # cartesian anywhere
+    df = _q("warehouse_snapshot_diff")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zipf_regression_is_tiny_after_rank(spark, sf_dir):
+    # word counts partial-aggregate; the top-100 rank + moments run on
+    # vocabulary-sized data (single window over the wc aggregate)
+    df = _q("text_zipf_fit")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 6, inspect.formatted_plan(df)
