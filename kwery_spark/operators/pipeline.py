@@ -914,3 +914,83 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quality_pass_rate"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens_per_doc"),
     )
+
+
+@register(
+    "sink_training_shards",
+    oracle="""
+    WITH sharded AS (
+        SELECT doc_id, lang, n_chars,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 8 AS shard
+        FROM documents
+        WHERE n_chars >= 100
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of a curation pipeline: export the quality-gated
+    corpus as hash-balanced JSONL training shards plus a per-shard
+    manifest. Shard assignment is md5(doc_id) % 8 — deterministic,
+    uniform, and reproducible across reruns and engines (the md5-hash
+    discipline every sampling/split key here uses); the data lands as
+    real JSON-lines files partitioned by shard (one directory per
+    shard, Spark's native distributed text write), and the returned
+    manifest is computed by READING THE SHARDS BACK — so the oracle
+    cross-checks the written artifact, not just the plan.
+
+    Scale: the write is one shuffle on the shard key (8 writer groups;
+    a production export raises the modulus to its target shard count);
+    the manifest is one aggregate over the read-back. No driver-side
+    data; the JSONL roundtrip exercises schema-carrying text I/O."""
+    import os as _os
+
+    from kwery_spark.sources.scans import _scratch
+
+    out = _scratch(
+        "training_shards",
+        f"{_os.path.basename(sf_dir.rstrip('/'))}_pid{_os.getpid()}",
+    )
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    sharded = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "text",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 8
+        ).alias("shard"),
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").json(out)
+    back = spark.read.json(out)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "total_chars",
+            "min_doc",
+            "max_doc",
+            "n_langs",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("shard")
+    )
