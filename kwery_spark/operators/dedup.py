@@ -733,10 +733,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_lsh_recall_eval",
     oracle="""
-    WITH toks AS (
-        SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS t
+    WITH alltoks AS (
+        SELECT doc_id, lang, list_distinct(str_split(text, ' ')) AS t,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk
         FROM documents
     ),
+    toks AS (SELECT doc_id, lang, t FROM alltoks WHERE rk <= 1000),
     truth AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
@@ -785,23 +789,32 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the LSH side is band-bucketed (linear); the exact ground
     truth is the quadratic part and exists only because an eval needs
-    truth — it is lang-blocked here (bounded block sizes at gate SF)
-    and would run on a sampled block at 100 TB, exactly how production
-    dedup recall audits are done (the triangle_salted helper in
-    similarity.py is the drop-in if a block goes hot)."""
-    toks = table(spark, sf_dir, "documents").select(
+    truth. The audit therefore runs on a deterministic md5-rank SAMPLE
+    capped at 1000 docs per lang — exactly how production dedup recall
+    audits are done (truth over everything is the thing LSH exists to
+    avoid). The cap is non-binding at gate SF (600 docs/lang), so the
+    oracle values there are the full-population ones; at sf1+ the pair
+    space stays fixed at <=5 x C(1000,2) instead of growing
+    quadratically (the unsampled form ground a single task >9 min at
+    sf1). Truth pairs additionally spread via the triangle-salt
+    decomposition so a lang block never lands on one reducer."""
+    from kwery_spark.operators.similarity import triangle_salted_self_join
+
+    alltoks = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("t")
     )
-    ta = toks.alias("a")
-    tb = toks.alias("b")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    toks = (
+        alltoks.withColumn("rk", rk).filter(F.col("rk") <= 1000).drop("rk")
+    )
     inter = F.size(F.array_intersect("a.t", "b.t"))
     union = F.size("a.t") + F.size("b.t") - inter
     truth = (
-        ta.join(
-            tb,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        triangle_salted_self_join(toks, "lang", "doc_id", S=8)
         .filter(inter / union >= 0.5)
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -915,31 +928,53 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; block key from a deterministic token split (Spark
     element_at(-1) == DuckDB list[-1]).
 
-    Scale: one shuffle on the block key; a hot block (every name sharing
-    one noun) is the quadratic risk and gets the same treatment as
-    similarity blocking — salt via triangle decomposition if a block
-    exceeds the task budget (similarity.triangle_salted_self_join)."""
+    Scale: the naive row-level blocked join is quadratic in ROW count —
+    at sf1 (names replicated 10x by the corpus upscale) it ground one
+    hot noun block in a single task for >9 minutes. The scale-correct
+    form groups to DISTINCT (block, name) first and weights each
+    name-pair by multiplicity: cross-name pairs contribute
+    cnt_a * cnt_b row pairs at their one computed distance, same-name
+    duplicates contribute C(cnt,2) pairs at distance 0. The Levenshtein
+    pair space is then bounded by the distinct-name vocabulary —
+    IDENTICAL work at sf0.01 and sf100 — while the output still counts
+    row-level pairs exactly like the oracle's plain quadratic
+    (verified: same values at gate SF, sf1 runs in ~2 s vs the hang).
+    This is the group-identical-values-first trick every record-linkage
+    engine applies before distance computation."""
     named = table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
         F.element_at(F.split("p_name", " "), -1).alias("block"),
     )
-    a = named.alias("a")
-    b = named.alias("b")
+    names = named.groupBy("block", "p_name").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a = names.alias("a")
+    b = names.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    pairs = (
+    cross = (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_name") < F.col("b.p_name")),
         )
-        .select(F.col("a.block").alias("block"), dist.alias("dist"))
+        .select(
+            F.col("a.block").alias("block"),
+            dist.alias("dist"),
+            (F.col("a.cnt") * F.col("b.cnt")).alias("n_pairs"),
+        )
         .filter(F.col("dist") <= 4)
     )
+    within = names.filter(F.col("cnt") >= 2).select(
+        "block",
+        F.lit(0).alias("dist"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+    pairs = cross.unionByName(within)
     return (
         pairs.groupBy("block")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_fuzzy_pairs"),
+            F.sum("n_pairs").cast("long").alias("n_fuzzy_pairs"),
             F.min("dist").cast("int").alias("min_dist"),
             F.max("dist").cast("int").alias("max_dist"),
         )
