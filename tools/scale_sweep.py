@@ -1,0 +1,95 @@
+"""Scale sweep: execute every registry key against an upscaled corpus
+with a per-key watchdog, so quadratic-in-rows operators surface as
+TIMEOUT rows instead of silent multi-minute hangs (two were found and
+fixed this way in round 5 — dedup_fuzzy_names and dedup_lsh_recall_eval
+ran >9 min at sf1 before their rewrites).
+
+Usage: python tools/scale_sweep.py [--sf /root/repo/.data/sf1]
+                                   [--budget 60] [--json OUT] [key ...]
+
+Each key runs under a Spark job group; a timer cancels the group at the
+budget and the key is recorded as TIMEOUT (the session survives —
+cancellation is the supported per-query kill, no process restart).
+Output: one line per key + optional JSON {key: {sec, rows|status}}.
+A TIMEOUT is not automatically a defect — it is a flag to either fix
+the operator's pair/shuffle structure or document why the budget does
+not apply (e.g. deliberately exhaustive eval keys).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import threading
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/repo/.data/sf1"
+    budget = 60.0
+    out_json = None
+    keys: list[str] = []
+    while args:
+        a = args.pop(0)
+        if a == "--sf":
+            sf_dir = args.pop(0)
+        elif a == "--budget":
+            budget = float(args.pop(0))
+        elif a == "--json":
+            out_json = args.pop(0)
+        else:
+            keys.append(a)
+
+    from kwery_spark.session import get_spark
+
+    spark = get_spark("scale-sweep")
+    sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    import kwery_spark.all_ops  # noqa: F401
+    from kwery_spark.registry import QUERIES
+
+    if not keys:
+        keys = list(QUERIES)
+    results: dict[str, dict] = {}
+    n_bad = 0
+    for key in keys:
+        group = f"sweep-{key}"
+        sc.setJobGroup(group, key, interruptOnCancel=True)
+        cancelled = threading.Event()
+
+        def _kill() -> None:
+            cancelled.set()
+            sc.cancelJobGroup(group)
+
+        timer = threading.Timer(budget, _kill)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            n = QUERIES[key](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            results[key] = {"sec": round(dt, 2), "rows": n}
+            print(f"[ok  ] {key}: {dt:.2f}s rows={n}", flush=True)
+        except Exception as e:  # cancellation surfaces as a Py4J error
+            dt = time.perf_counter() - t0
+            status = "TIMEOUT" if cancelled.is_set() else "ERR"
+            results[key] = {"sec": round(dt, 2), "status": status,
+                            "err": repr(e)[:200]}
+            n_bad += 1
+            print(f"[{status}] {key}: {dt:.2f}s", flush=True)
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
+    total_bad = sum(1 for v in results.values() if "status" in v)
+    print(f"\n{len(results) - total_bad}/{len(results)} within budget "
+          f"({budget:.0f}s each)", flush=True)
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {out_json}")
+
+
+if __name__ == "__main__":
+    main()
