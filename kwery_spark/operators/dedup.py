@@ -65,40 +65,45 @@ _JACCARD_ORACLE = """
 """
 
 
-@register("dedup_minhash", oracle=_JACCARD_ORACLE)
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection via MinHash + LSH banding, verified with exact
-    Jaccard on candidates only.
+def _near_dup_content_graph(spark: SparkSession, sf_dir: str):
+    """Shared content-level near-dup machinery: documents grouped by
+    identical token set (ckey, rep = min doc_id, cnt), and the verified
+    rep-level Jaccard>=0.9 pair graph from 256-hash MinHash LSH (32
+    bands x 8 rows). Both dedup_minhash (pair expansion) and
+    dedup_clusters (connected components) consume this; the LSH pair
+    space is bounded by DISTINCT contents, never raw row count.
+    Returns (keyed, groups, rep_pairs)."""
+    raw = table(spark, sf_dir, "documents").select(
 
-    Pipeline (all built-in expressions):
-      token set → 128 seeded xxhash64 min-hashes (HOF, no UDF)
-      → 32 bands × 4 rows, band hash = xxhash64(slice)
-      → candidate pairs from self-equi-join on (band_id, band_hash)
-      → exact token-set Jaccard ≥ 0.9 verification (re-join tokens by key).
-
-    The oracle is the full exact-Jaccard pair set: with these parameters
-    P(miss | j≥0.9) ≤ 32·(1-0.9⁴)³² ≈ 4e-15, so LSH+verify = exact set.
-    """
-    docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    # 128 min-hashes per doc: min over tokens of xxhash64(seed, token)
+    keyed = raw.select(
+        "doc_id",
+        "toks",
+        F.md5(F.concat_ws(" ", F.array_sort("toks"))).alias("ckey"),
+    )
+    groups = keyed.groupBy("ckey").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
+    )
+    reps = groups.join(
+        keyed.select(F.col("doc_id").alias("rep"), "toks"), "rep"
+    )
+    # 256 min-hashes per representative: min over tokens of xxhash64(seed, tok)
     minhashes = F.transform(
-        F.sequence(F.lit(0), F.lit(127)),
+        F.sequence(F.lit(0), F.lit(255)),
         lambda i: F.array_min(F.transform(F.col("toks"), lambda t: F.xxhash64(i, t))),
     )
-    # Exchange barrier: stops CollapseProject from inlining the 128-hash
-    # signature build into every band slice (32× recompute per row) and
-    # lets ReuseExchange share one signature pass across both sides of
-    # the candidate self-join (see dedup_ngram_jaccard).
-    hashed = docs.select("doc_id", "toks", minhashes.alias("mh")).repartition("doc_id")
-    # band j = rows [4j+1 .. 4j+4]; one row per (doc, band)
+    # Exchange barrier: stops CollapseProject from inlining the signature
+    # build into every band slice and lets ReuseExchange share one
+    # signature pass across both sides of the candidate self-join
+    hashed = reps.select("rep", "toks", minhashes.alias("mh")).repartition("rep")
+    # band j = rows [8j+1 .. 8j+8]; one row per (rep, band)
     bands = hashed.select(
-        "doc_id",
+        "rep",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(31)),
-                lambda j: F.xxhash64(F.slice("mh", j * 4 + 1, 4)),
+                lambda j: F.xxhash64(F.slice("mh", j * 8 + 1, 8)),
             )
         ).alias("band_id", "band_hash"),
     )
@@ -108,24 +113,71 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (token arrays re-joined by key —
-    # at scale this keeps the band shuffle narrow)
-    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    ta = reps.select(F.col("rep").alias("rep_a"), F.col("toks").alias("toks_a"))
+    tb = reps.select(F.col("rep").alias("rep_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+    rep_pairs = (
+        cand.join(ta, "rep_a")
+        .join(tb, "rep_b")
+        .select("rep_a", "rep_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.9)
-        .select("doc_a", "doc_b", "jaccard")
     )
+    return keyed, groups, rep_pairs
+
+
+@register("dedup_minhash", oracle=_JACCARD_ORACLE)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup doc pairs (Jaccard >= 0.9) via the shared content-level
+    MinHash-LSH graph (_near_dup_content_graph — design, parameters and
+    the r5 scale history documented there), expanded back to doc pairs:
+    cross-content pairs fan out |A|x|B| at their verified jaccard,
+    same-content groups emit their C(k,2) internal pairs at jaccard 1.0.
+    Expansion joins are linear in the true output; the oracle is the
+    full exact-Jaccard pair set (P(LSH miss | j>=0.9) ~ 1.5e-8/pair)."""
+    keyed, groups, rep_pairs = _near_dup_content_graph(spark, sf_dir)
+    # expansion: cross-content pairs fan out over both member sets
+    ka = keyed.select(F.col("ckey").alias("ckey_a"), F.col("doc_id").alias("da"))
+    kb = keyed.select(F.col("ckey").alias("ckey_b"), F.col("doc_id").alias("db"))
+    rep2key = groups.select("rep", "ckey")
+    cross = (
+        rep_pairs.join(
+            rep2key.select(F.col("rep").alias("rep_a"), F.col("ckey").alias("ckey_a")),
+            "rep_a",
+        )
+        .join(
+            rep2key.select(F.col("rep").alias("rep_b"), F.col("ckey").alias("ckey_b")),
+            "rep_b",
+        )
+        .join(ka, "ckey_a")
+        .join(kb, "ckey_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    kc = keyed.select("ckey", "doc_id")
+    within = (
+        kc.alias("x")
+        .join(
+            kc.alias("y"),
+            (F.col("x.ckey") == F.col("y.ckey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
 
 
 @register(
@@ -163,17 +215,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     implements. tests/test_llm_ops.py additionally asserts high-Jaccard
     pairs land at low Hamming distance.
 
-    Scale: signature build is embarrassingly parallel; the pair search
-    blocks on the top-16 signature bits (prefix bucketing) so the
-    quadratic term stays per-bucket."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(F.split("text", " ")),
-            lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast(
-                "long"
-            ),
-        ).alias("th"),
+    Scale: the signature depends only on the token SET, so it is
+    computed once per DISTINCT content (the same contraction
+    dedup_minhash uses — the r5 sweep showed the doc-level form's
+    prefix buckets inflating 10x under the upscale's content
+    duplication, timing out at sf1); the pair search blocks on the
+    top-16 signature bits (prefix bucketing) so the quadratic term
+    stays per-bucket, and doc pairs are expanded from content pairs
+    linearly in the true output (cross-content at the rep Hamming
+    distance, same-content members at Hamming 0)."""
+    raw = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    keyed = raw.select(
+        "doc_id", F.md5(F.concat_ws(" ", F.array_sort("toks"))).alias("ckey")
+    )
+    groups = keyed.groupBy("ckey").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
+    )
+    docs = (
+        groups.join(
+            raw.select(F.col("doc_id").alias("rep"), "toks"), "rep"
+        )
+        .select(
+            "rep",
+            "ckey",
+            F.transform(
+                F.col("toks"),
+                lambda t: F.conv(
+                    F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10
+                ).cast("long"),
+            ).alias("th"),
+        )
     )
     # Signature fold, bit 59 → 0: each bit is the sign of the ±1 vote sum
     # over token hashes. Expressed in SQL because the Python shiftright API
@@ -187,26 +260,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ) > 0 THEN 1L ELSE 0L END),
             0L, (acc, x) -> shiftleft(acc, 1) | x)
     """
-    sig = docs.select("doc_id", F.expr(simhash_expr).alias("simhash"))
-    # prefix-bucketed pair search: same top-16 bits → candidate pair
+    sig = docs.select("rep", "ckey", F.expr(simhash_expr).alias("simhash"))
+    # prefix-bucketed pair search over content representatives
     bucketed = sig.withColumn("bucket", F.shiftrightunsigned("simhash", 44))
-    pairs = (
+    rep_pairs = (
         bucketed.alias("a")
         .join(
             bucketed.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ckey").alias("ckey_a"),
+            F.col("b.ckey").alias("ckey_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= 8)
     )
-    return pairs
+    ka = keyed.select(F.col("ckey").alias("ckey_a"), F.col("doc_id").alias("da"))
+    kb = keyed.select(F.col("ckey").alias("ckey_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ka, "ckey_a")
+        .join(kb, "ckey_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    kc = keyed.select("ckey", "doc_id")
+    within = (
+        kc.alias("x")
+        .join(
+            kc.alias("y"),
+            (F.col("x.ckey") == F.col("y.ckey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 @register(
@@ -396,14 +494,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage. Convergence is O(diameter) rounds; near-dup clusters are
     near-cliques, so 2-3 rounds in practice.
     """
-    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    keyed, groups, rep_pairs = _near_dup_content_graph(spark, sf_dir)
+    # CC runs on the CONTENT graph (one node per distinct token set, the
+    # rep doc_id as its label), not the doc graph: identical-content
+    # members are Jaccard-1 near-dup cliques whose edges carry no
+    # component information beyond membership, so contracting them first
+    # shrinks the sf1 edge set from 96.7M doc pairs to ~1M rep pairs
+    # (r5 sweep: doc-level CC exhausted executor memory at sf1; the
+    # contracted form converges in seconds). Docs inherit their
+    # content's component afterwards; the component label (min reachable
+    # rep) IS the min reachable doc_id because each rep is its content's
+    # min member.
+    pairs = rep_pairs.select(
+        F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
+    )
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
+    multi = groups.filter(F.col("cnt") >= 2).select("rep")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(multi.select(F.col("rep").alias("node")))
+        .distinct()
+    )
     labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
     )
     edges = edges.localCheckpoint(eager=True)
     for _ in range(50):  # hard bound; fixpoint reached in O(diameter)
@@ -429,7 +544,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated.select("node", "component")
         if n_changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), "component")
+    # expand: every member of a participating content gets its content's
+    # component; reps of multi-member contents participate even without
+    # cross-content edges (their internal clique is the component)
+    rep_labels = labels.select(F.col("node").alias("rep"), "component")
+    return (
+        groups.join(rep_labels, "rep")
+        .join(keyed.select("ckey", "doc_id"), "ckey")
+        .select("doc_id", "component")
+    )
 
 
 @register(

