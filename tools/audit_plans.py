@@ -69,6 +69,9 @@ DECLARED = {
     "agg_hll_intersection": {"BNLJ"},  # join(broadcast(1-row exact-intersection count))
     "dedup_lsh_recall_eval": {"BNLJ"},  # join(broadcast(1-row truth/cand/detected counts))
     "text_pmi_cooccurrence": {"BNLJ"},  # join(broadcast(1-row corpus doc count))
+    "sim_range_search": {"BNLJ"},    # crossJoin(broadcast(1-row query vector))
+    "text_zipf_fit": {"BNLJ"},       # join(broadcast(1-row top word / n_words))
+    "warehouse_snapshot_diff": {"BNLJ"},  # join(broadcast(1-row add/remove counts))
 }
 
 
