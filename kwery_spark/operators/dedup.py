@@ -354,11 +354,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
+    # contract identical (lang, text) contents first (content-cardinality
+    # rule, r5 sweep: the doc-level form timed out at sf10 where every
+    # content has 100 copies); grams/signatures/verification all run per
+    # representative and doc pairs expand linearly in the true output.
+    keyed = docs.select(
+        "doc_id", "lang", F.md5(F.concat_ws("\x1f", "lang", "text")).alias("ckey")
+    )
+    cgroups = keyed.groupBy("lang", "ckey").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
+    )
     # first barrier: materialize the gram arrays so the 64-seed minhash
     # transform reads a column instead of re-running split+concat per
     # seed (CollapseProject would inline it); also shared by the exact
     # verify joins below via ReuseExchange
-    g = docs.select("doc_id", "lang", grams.alias("g")).repartition("doc_id")
+    g = (
+        cgroups.join(
+            docs.select(F.col("doc_id").alias("rep"), "text"), "rep"
+        )
+        .select("rep", "ckey", "lang", grams.alias("g"))
+        .repartition("rep")
+    )
     # 64 min-hashes over the bigram set; band j = rows [2j+1, 2j+2]
     minhashes = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
@@ -369,9 +385,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 46 s → 3 s at sf0.001); the shuffle materializes the signatures once
     # and ReuseExchange shares it across both sides of the candidate
     # self-join.
-    hashed = g.select("doc_id", "lang", minhashes.alias("mh")).repartition("doc_id")
+    hashed = g.select("rep", "lang", minhashes.alias("mh")).repartition("rep")
     bands = hashed.select(
-        "doc_id",
+        "rep",
         "lang",
         F.posexplode(
             F.transform(
@@ -387,21 +403,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.rep").alias("rep_a"), F.col("b.rep").alias("rep_b"))
         .distinct()
     )
-    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
-    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    ga = g.select(F.col("rep").alias("rep_a"), F.col("ckey").alias("ckey_a"),
+                  F.col("g").alias("g_a"))
+    gb = g.select(F.col("rep").alias("rep_b"), F.col("ckey").alias("ckey_b"),
+                  F.col("g").alias("g_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size("g_a") + F.size("g_b") - inter
-    return (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .select("doc_a", "doc_b", (inter / union).alias("bigram_jaccard"))
+    rep_pairs = (
+        cand.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .select(
+            "ckey_a", "ckey_b", (inter / union).alias("bigram_jaccard")
+        )
         .filter(F.col("bigram_jaccard") >= 0.75)
     )
+    ka = keyed.select(F.col("ckey").alias("ckey_a"), F.col("doc_id").alias("da"))
+    kb = keyed.select(F.col("ckey").alias("ckey_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ka, "ckey_a")
+        .join(kb, "ckey_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "bigram_jaccard",
+        )
+    )
+    # identical-content member pairs: bigram_jaccard = |g|/|g| = exactly
+    # 1.0 in both engines; contents with EMPTY gram sets are excluded —
+    # 0/0 is undefined in the oracle's division too
+    nonempty = g.filter(F.size("g") >= 1).select("ckey")
+    kc = keyed.join(nonempty, "ckey").select("ckey", "doc_id")
+    within = (
+        kc.alias("x")
+        .join(
+            kc.alias("y"),
+            (F.col("x.ckey") == F.col("y.ckey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("bigram_jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 @register(
@@ -445,15 +495,62 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    return (
-        triangle_salted_self_join(emb, "label", "vec_id", S=8)
+    # contract identical vectors first (the corpus upscale replicates
+    # vectors verbatim, so the exact pair space must be bounded by
+    # DISTINCT vectors — the r5 content-cardinality rule; at sf10 the
+    # uncontracted form timed out on 100x-duplicated blocks). The dot of
+    # any member pair equals the dot of the reps because the arrays are
+    # identical, so expansion preserves exact oracle values.
+    keyed = emb.withColumn("ckey", F.md5(F.to_json(F.struct("label", "v"))))
+    groups = keyed.groupBy("label", "ckey").agg(
+        F.min("vec_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
+    )
+    reps = groups.join(
+        keyed.select(F.col("vec_id").alias("rep"), "v"), "rep"
+    ).select("label", "ckey", "rep", "v")
+    rep_pairs = (
+        triangle_salted_self_join(reps, "label", "rep", S=8)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.ckey").alias("ckey_a"),
+            F.col("b.ckey").alias("ckey_b"),
             F.round(dot("a.v", "b.v"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.35)
     )
+    ka = keyed.select(F.col("ckey").alias("ckey_a"), F.col("vec_id").alias("ia"))
+    kb = keyed.select(F.col("ckey").alias("ckey_b"), F.col("vec_id").alias("ib"))
+    cross = (
+        rep_pairs.join(ka, "ckey_a")
+        .join(kb, "ckey_b")
+        .select(
+            F.least("ia", "ib").alias("vec_a"),
+            F.greatest("ia", "ib").alias("vec_b"),
+            "cosine",
+        )
+    )
+    # identical-vector member pairs: cosine = dot(v, v), computed (not
+    # assumed 1.0 — the float self-dot of a unit vector is ~1 ± ulp and
+    # the oracle computes the same fold)
+    self_cos = groups.filter(F.col("cnt") >= 2).join(
+        keyed.select(F.col("vec_id").alias("rep"), "v"), "rep"
+    ).select(F.col("ckey").alias("sckey"), F.round(dot("v", "v"), 6).alias("cosine"))
+    kc = keyed.select("ckey", "vec_id")
+    within = (
+        kc.alias("x")
+        .join(
+            kc.alias("y"),
+            (F.col("x.ckey") == F.col("y.ckey"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .join(self_cos, F.col("x.ckey") == F.col("sckey"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            "cosine",
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+    return cross.unionByName(within)
 
 
 @register(
@@ -645,8 +742,28 @@ def dedup_substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-dedup trick for exactly that reason. Pairs sharing ≥3 capped
     spans are substring-duplication candidates. At 100 TB: one explode,
     one DF-count shuffle, one equi-join on gram — no all-pairs step
-    anywhere; the 32-doc cap bounds any bucket at C(32,2) pairs."""
+    anywhere; the 32-doc cap bounds any bucket at C(32,2) pairs.
+
+    Content contraction (r5 sweep): gram document-frequency is counted
+    over DISTINCT contents, not raw rows — a corpus upscale that copies
+    every doc 100x inflates row-level df by 100 and pushed EVERY gram
+    past the [2,32] cap, silently emptying the result at sf10
+    (rows=0). Distinct-content df measures true cross-document reuse
+    (copies are dedup_exact's finding, not substring reuse), keeps the
+    cap meaningful at any duplication factor, and coincides exactly
+    with the oracle's row-level form at gate SF where contents are
+    unique. Cross-content rep pairs expand |A|x|B| to doc pairs with
+    the same shared-span count; identical-content pairs are not emitted
+    (they share everything by definition — that is exact duplication,
+    a different operator's output)."""
     docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("ckey")
+    )
+    groups = keyed.groupBy("ckey").agg(F.min("doc_id").alias("rep"))
+    reps = groups.join(
+        docs.select(F.col("doc_id").alias("rep"), "text"), "rep"
+    )
     toks = F.split("text", " ")
     n = F.size(toks)
     grams16 = F.when(
@@ -657,7 +774,7 @@ def dedup_substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = (
-        docs.select("doc_id", F.explode(grams16).alias("g"))
+        reps.select("rep", "ckey", F.explode(grams16).alias("g"))
         .distinct()
     )
     capped = (
@@ -666,14 +783,29 @@ def dedup_substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= 32))
         .select("g")
     )
-    ga = g.join(capped, "g").select(F.col("doc_id").alias("doc_a"), "g")
-    gb = g.select(F.col("doc_id").alias("doc_b"), "g")
-    return (
+    ga = g.join(capped, "g").select(
+        F.col("rep").alias("rep_a"), F.col("ckey").alias("ckey_a"), "g"
+    )
+    gb = g.select(
+        F.col("rep").alias("rep_b"), F.col("ckey").alias("ckey_b"), "g"
+    )
+    rep_pairs = (
         ga.join(gb, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .groupBy("ckey_a", "ckey_b")
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
         .filter(F.col("n_shared_spans") >= 3)
+    )
+    ka = keyed.select(F.col("ckey").alias("ckey_a"), F.col("doc_id").alias("da"))
+    kb = keyed.select(F.col("ckey").alias("ckey_b"), F.col("doc_id").alias("db"))
+    return (
+        rep_pairs.join(ka, "ckey_a")
+        .join(kb, "ckey_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_shared_spans",
+        )
     )
 
 

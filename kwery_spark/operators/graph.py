@@ -27,6 +27,30 @@ from kwery_spark.registry import register
 _D = 0.85  # damping
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Disk-backed lineage truncation for iterative state. localCheckpoint
+    pins partitions in executor memory — fine for the per-round rank/label
+    frames, but the sf10 purchase graph's ~100M-edge set exhausted the
+    local heap through exactly that pinning (r5 sweep: pagerank OOM at
+    sf10). checkpoint() writes to the scratch checkpoint dir instead —
+    the same durable-storage checkpoint a cluster deployment uses — at
+    the cost of a re-read per iteration. Applied to the LARGE immutable
+    frames (edge sets); small per-round frames keep localCheckpoint."""
+    import os
+
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        base = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".scratch",
+            "checkpoints",
+        )
+        os.makedirs(base, exist_ok=True)
+        sc.setCheckpointDir(base)
+    return df.checkpoint(eager=True)
+
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     sql = """
     WITH base AS (
@@ -71,16 +95,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
+    edges = _ckpt(
         base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # pre-join outdeg onto edges once: each iteration then only joins rank
-    ew = edges.join(deg, "src").localCheckpoint(eager=True)
+    ew = _ckpt(edges.join(deg, "src"))
     pr = nodes.crossJoin(broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
@@ -284,10 +307,9 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
+    edges = _ckpt(
         base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     dist = spark.range(1).select(F.lit("c0").alias("node"), F.lit(0).alias("dist"))
     for _ in range(3):
@@ -354,10 +376,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
+    edges = _ckpt(
         base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
 
