@@ -5,8 +5,10 @@ Three ways in (SURVEY.md §3):
                         pre-registered corpus views
   2. DataFrame builder — ``engine.table("lineitem").filter(...).agg(...)``
   3. Named operators   — ``engine.run("dedup_minhash")`` executes any
-                        registered key (227 as of round 5 — the live count
-                        is ``len(engine.operators())``)
+                        registered key (263 as of round 6 — the live count
+                        is ``len(engine.operators())``; this docstring
+                        number is CI-asserted against the registry in
+                        tests/test_doc_counts.py, so it cannot rot)
 
 The facade owns no execution machinery: it binds a SparkSession, registers
 the ten corpus tables as temp views once, and hands everything to

@@ -939,16 +939,13 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df_counts = dw.groupBy("word").agg(F.count(F.lit(1)).alias("d"))
-    top = (
-        df_counts.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("d").desc(), F.col("word"))
-            ),
-        )
-        .filter(F.col("rk") <= 50)
-        .drop("rk")
-    )
+    # global top-K via orderBy+limit → TakeOrderedAndProject: per-partition
+    # 50-entry heaps merged on one tiny reduce — NOT a single-partition
+    # row_number window, which would funnel the whole (open, at 100 TB:
+    # hundreds of millions of tokens) vocabulary through one task.
+    # Ordering (d desc, word) matches the oracle's row_number tiebreak,
+    # so the selected top-50 set is identical.
+    top = df_counts.orderBy(F.col("d").desc(), "word").limit(50)
     present = dw.join(F.broadcast(top), "word")
     a = present.alias("a")
     b = present.alias("b")
@@ -1134,10 +1131,18 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ranked = wc.withColumn(
+    # Two-step global top-K: orderBy+limit first (TakeOrderedAndProject —
+    # distributed per-partition heaps, no single-partition vocab sort),
+    # THEN rank the surviving ≤100 rows with a no-partition window. The
+    # window input is bounded at 100 rows by construction (declared +
+    # measured in tools/audit_plans.py GLOBAL_WIN bound), and because the
+    # limit's ordering equals the window's ordering, ranks 1..100 within
+    # the limited set equal the global ranks.
+    top100 = wc.orderBy(F.col("cnt").desc(), "word").limit(100)
+    ranked = top100.withColumn(
         "rank",
         F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("word"))),
-    ).filter(F.col("rank") <= 100)
+    )
     dec = "decimal(25,9)"
     pts = ranked.select(
         "word",

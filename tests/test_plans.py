@@ -416,3 +416,18 @@ def test_zipf_regression_is_tiny_after_rank(spark, sf_dir):
     # vocabulary-sized data (single window over the wc aggregate)
     df = _q("text_zipf_fit")(spark, sf_dir)
     assert inspect.shuffle_count(df) <= 6, inspect.formatted_plan(df)
+
+
+def test_vocab_topk_windows_are_take_ordered(spark, sf_dir):
+    # r6 (VERDICT r5 #1): the vocabulary top-K in pmi/zipf must be a
+    # distributed TakeOrderedAndProject, never a single-partition
+    # row_number window over the full (open at 100 TB) vocabulary.
+    pmi = _q("text_pmi_cooccurrence")(spark, sf_dir)
+    plan = inspect.formatted_plan(pmi)
+    assert inspect.has_take_ordered(pmi), plan
+    assert "Window" not in plan, plan  # pmi needs NO window at all
+    zipf = _q("text_zipf_fit")(spark, sf_dir)
+    zplan = inspect.formatted_plan(zipf)
+    assert inspect.has_take_ordered(zipf), zplan
+    # zipf's residual rank window runs AFTER the limit(100) — its input
+    # is structurally capped (GLOBAL_WIN bound in tools/audit_plans.py)

@@ -7,6 +7,10 @@ Flags:
               theta/cross joins and broadcast-query kNN shapes)
   PY_ROW      BatchEvalPython (row-at-a-time Python UDF; acceptable only
               in the declared udf_python demo)
+  GLOBAL_WIN  WindowExec with an empty partitionSpec (Spark moves ALL rows
+              to a single partition to evaluate it; acceptable only where
+              the window input is bounded by construction — e.g. ranked
+              over a prior orderBy+limit top-K — and declared)
 
 (WholeStageCodegen coverage needs the executed plan under AQE, so it is
 asserted per-key in tests/test_plans.py rather than swept here.)
@@ -70,7 +74,11 @@ DECLARED = {
     "dedup_lsh_recall_eval": {"BNLJ"},  # join(broadcast(1-row truth/cand/detected counts))
     "text_pmi_cooccurrence": {"BNLJ"},  # join(broadcast(1-row corpus doc count))
     "sim_range_search": {"BNLJ"},    # crossJoin(broadcast(1-row query vector))
-    "text_zipf_fit": {"BNLJ"},       # join(broadcast(1-row top word / n_words))
+    "text_zipf_fit": {"BNLJ", "GLOBAL_WIN"},  # join(broadcast(1-row top word /
+                                     # n_words)); rank window runs AFTER an
+                                     # orderBy+limit(100) TakeOrderedAndProject,
+                                     # so its input is <=100 rows by construction
+                                     # (measured below via GLOBAL_WIN bound)
     "warehouse_snapshot_diff": {"BNLJ"},  # join(broadcast(1-row add/remove counts))
 }
 
@@ -81,6 +89,15 @@ DECLARED = {
 # codebook); 1024 leaves parameter headroom while a data-dependent side
 # (any table that grows with SF) blows through it immediately.
 BNLJ_BUILD_ROW_BOUND = 1024
+
+# Max rows a declared empty-partitionSpec window may actually consume.
+# Every declared site ranks the survivors of a prior orderBy+limit top-K
+# (TakeOrderedAndProject), so the input is K rows by construction; 1024
+# leaves headroom while an undeclared full-vocabulary window (input grows
+# with corpus size) blows through it immediately.
+GLOBAL_WIN_INPUT_ROW_BOUND = 1024
+
+_WINDOW_EXECS = ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec")
 
 
 def plan_of(df) -> str:
@@ -139,6 +156,69 @@ def bnlj_build_rows(df) -> list[int]:
     return rows
 
 
+def _global_window_nodes(df) -> list:
+    """WindowExec-family nodes with an EMPTY partitionSpec in the current
+    physical plan (pre- or post-execution — AQE's executedPlan() returns
+    whatever plan is current). An empty partitionSpec means Spark funnels
+    every input row through one task to evaluate the window."""
+    out = []
+    for name, node in _walk(df._jdf.queryExecution().executedPlan()):
+        if name in _WINDOW_EXECS and node.partitionSpec().isEmpty():
+            out.append(node)
+    return out
+
+
+def global_win_input_rows(df) -> list[int]:
+    """Execute ``df`` and return, for every empty-partitionSpec window
+    node, the measured ``numOutputRows`` of the nearest descendant that
+    carries the metric (WindowExec itself has none in Spark 4.x; the
+    first metered node below it — typically the GlobalLimit / scan
+    feeding the window — is the row count the single window task must
+    process)."""
+    from collections import deque
+
+    df.collect()
+    rows: list[int] = []
+    for win in _global_window_nodes(df):
+        queue = deque()
+        ch = win.children()
+        for i in range(ch.size()):
+            queue.append(ch.apply(i))
+        while queue:
+            n = queue.popleft()
+            nn = n.getClass().getSimpleName()
+            if nn == "AdaptiveSparkPlanExec":
+                queue.append(n.executedPlan())
+                continue
+            if nn.endswith("QueryStageExec"):
+                queue.append(n.plan())
+                continue
+            if nn == "ReusedExchangeExec":
+                queue.append(n.child())
+                continue
+            if nn in (
+                "TakeOrderedAndProjectExec",
+                "GlobalLimitExec",
+                "LocalLimitExec",
+                "CollectLimitExec",
+            ):
+                # A limit node structurally caps the window's input at
+                # limit() rows regardless of corpus size — record the cap
+                # itself (the metered nodes BELOW the limit would report
+                # the full pre-limit cardinality, which is exactly what
+                # the limit protects the window from).
+                rows.append(int(n.limit()))
+                break
+            m = n.metrics()
+            if m.contains("numOutputRows"):
+                rows.append(int(m.apply("numOutputRows").value()))
+                break
+            cc = n.children()
+            for i in range(cc.size()):
+                queue.append(cc.apply(i))
+    return rows
+
+
 def audit(key: str, df) -> list[str]:
     plan = plan_of(df)
     flags = []
@@ -148,6 +228,8 @@ def audit(key: str, df) -> list[str]:
         flags.append("BNLJ")
     if "BatchEvalPython" in plan:
         flags.append("PY_ROW")
+    if _global_window_nodes(df):
+        flags.append("GLOBAL_WIN")
     return flags
 
 
@@ -185,24 +267,38 @@ def main() -> None:
             print(f"[FLAG] {key}: {','.join(undeclared)}")
             bad += 1
         elif flags:
-            if "BNLJ" in flags and not args.no_bounds:
-                try:
-                    sides = bnlj_build_rows(df)
-                except Exception as e:
-                    print(f"[ERR ] {key}: bound check: {type(e).__name__}: {str(e)[:100]}")
-                    bad += 1
-                    continue
-                oversized = [r for r in sides if r > BNLJ_BUILD_ROW_BOUND]
-                if oversized:
-                    print(
-                        f"[FLAG] {key}: BNLJ_OVERSIZE build side rows={oversized} "
-                        f"(bound {BNLJ_BUILD_ROW_BOUND})"
-                    )
-                    bad += 1
-                else:
-                    print(f"[ok* ] {key}: declared {','.join(flags)}, build rows={sides}")
-            else:
+            if args.no_bounds or not ({"BNLJ", "GLOBAL_WIN"} & set(flags)):
                 print(f"[ok* ] {key}: declared {','.join(flags)}")
+                continue
+            notes, oversize = [], []
+            try:
+                if "BNLJ" in flags:
+                    sides = bnlj_build_rows(df)
+                    notes.append(f"build rows={sides}")
+                    oversize += [
+                        f"BNLJ_OVERSIZE build side rows={r} (bound {BNLJ_BUILD_ROW_BOUND})"
+                        for r in sides
+                        if r > BNLJ_BUILD_ROW_BOUND
+                    ]
+                if "GLOBAL_WIN" in flags:
+                    win_rows = global_win_input_rows(df)
+                    notes.append(f"global-window rows={win_rows}")
+                    oversize += [
+                        f"GLOBAL_WIN_OVERSIZE window input rows={r} "
+                        f"(bound {GLOBAL_WIN_INPUT_ROW_BOUND})"
+                        for r in win_rows
+                        if r > GLOBAL_WIN_INPUT_ROW_BOUND
+                    ]
+            except Exception as e:
+                print(f"[ERR ] {key}: bound check: {type(e).__name__}: {str(e)[:100]}")
+                bad += 1
+                continue
+            if oversize:
+                for msg in oversize:
+                    print(f"[FLAG] {key}: {msg}")
+                bad += 1
+            else:
+                print(f"[ok* ] {key}: declared {','.join(flags)}, {', '.join(notes)}")
         else:
             print(f"[ok  ] {key}")
     print(f"\n{bad} undeclared-flag keys")
