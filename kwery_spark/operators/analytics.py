@@ -1166,7 +1166,9 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS first_touch,
            CAST(sum(CASE WHEN rn_desc = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS last_touch,
-           round(sum(1.0 / n_touch), 6) AS linear_credit
+           round(CAST(sum(CAST(round(CAST(1.0 AS DOUBLE) / n_touch, 9)
+                              AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS linear_credit
     FROM touches
     GROUP BY event_type
     ORDER BY event_type
@@ -1181,8 +1183,8 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: conversion assignment and both positional ranks order
     by (ts, event_id) — event_id breaks ts ties exactly like the
-    oracle; linear credit is a sum of 1/n rationals rounded AFTER the
-    final aggregate, one division per touch.
+    oracle; each touch's 1/n linear credit is rounded to 9dp and summed
+    as DECIMAL (order-independent), then the exact sum rounds to 6dp.
 
     Scale: everything is windowed per user_id — three window passes
     over the same (user_id sort) exchange (Catalyst reuses one sort for
@@ -1232,9 +1234,18 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("rn_desc") == 1, 1).otherwise(0))
             .cast("long")
             .alias("last_touch"),
-            F.round(F.sum(F.lit(1.0) / F.col("n_touch")), 6).alias(
-                "linear_credit"
-            ),
+            # each touch's 1/n credit is rounded to a fixed 9dp scale and
+            # summed as DECIMAL so the aggregate is order-independent
+            # (ADVICE r5: raw double summation order differs between
+            # engines and can flip the 6dp hash near a rounding boundary)
+            F.round(
+                F.sum(
+                    F.round(F.lit(1.0) / F.col("n_touch"), 9).cast(
+                        "decimal(28,9)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("linear_credit"),
         )
         .coalesce(1)
         .sortWithinPartitions("event_type")

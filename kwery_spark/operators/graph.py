@@ -37,14 +37,38 @@ def _ckpt(df: DataFrame) -> DataFrame:
     the cost of a re-read per iteration. Applied to the LARGE immutable
     frames (edge sets); small per-round frames keep localCheckpoint."""
     import os
+    import shutil
 
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
-        base = os.path.join(
+        root = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
             ".scratch",
             "checkpoints",
         )
+        os.makedirs(root, exist_ok=True)
+        # Reliable checkpoints are only auto-cleaned while the context
+        # lives (cleanCheckpoints GC hook, set in session.py); whatever a
+        # dead session left behind stays forever (ADVICE r5: GB-scale
+        # leakage across gate/bench/sweep runs). Same dead-pid discipline
+        # as the warehouse fixtures: each process checkpoints under
+        # pid<pid>/, and any sibling whose pid fails kill(pid, 0) is swept
+        # here. Legacy bare-UUID dirs (pre-r6 layout) can't be attributed
+        # to a live process and are swept too.
+        for entry in os.listdir(root):
+            stale = False
+            if entry.startswith("pid") and entry[3:].isdigit():
+                pid = int(entry[3:])
+                if pid != os.getpid():
+                    try:
+                        os.kill(pid, 0)
+                    except OSError:
+                        stale = True
+            else:
+                stale = True  # pre-r6 bare UUID dir: owner unknowable
+            if stale:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        base = os.path.join(root, f"pid{os.getpid()}")
         os.makedirs(base, exist_ok=True)
         sc.setCheckpointDir(base)
     return df.checkpoint(eager=True)
@@ -489,8 +513,11 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("suppkey").alias("s1"), F.col("d").alias("d1"))
     db = deg.select(F.col("suppkey").alias("s2"), F.col("d").alias("d2"))
     return (
-        pairs.join(F.broadcast(da), "s1")
-        .join(F.broadcast(db), "s2")
+        # degree table grows with supplier count (linear in SF) — leave
+        # the build-side choice to AQE rather than an explicit broadcast
+        # hint (ADVICE r5); at gate SFs it still auto-broadcasts.
+        pairs.join(da, "s1")
+        .join(db, "s2")
         .select(
             "s1",
             "s2",

@@ -94,7 +94,19 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
         return c.cast("string")
 
-    cols = [(f.name, f.dataType.simpleString()) for f in o.schema.fields]
+    # pinned to the 6 columns the oracle profiles (ADVICE r5): deriving
+    # the list from the live schema would silently emit extra rows if a
+    # regenerated corpus ever grew a column, failing the gate confusingly
+    profiled = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    types = {f.name: f.dataType.simpleString() for f in o.schema.fields}
+    cols = [(name, types[name]) for name in profiled]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, typ in cols:
         aggs += [
@@ -213,8 +225,13 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey_unique"
         ),
     )
+    # no explicit broadcast hint: customer grows linearly with SF, so the
+    # build-side choice belongs to AQE/autoBroadcastJoinThreshold (ADVICE
+    # r5 — explicit broadcast() is reserved for provably-fixed-size sides).
+    # At gate SFs the key column is well under threshold and AQE still
+    # broadcasts it; at cluster scale it degrades gracefully to a shuffle.
     fk_oc = o.join(
-        F.broadcast(c.select("c_custkey")),
+        c.select("c_custkey"),
         F.col("c_custkey") == F.col("o_custkey"),
         "left_anti",
     ).agg(F.count(F.lit(1)).alias("fk_orders_customer"))

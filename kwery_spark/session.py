@@ -53,6 +53,10 @@ def builder(app_name: str = "kwery-spark", cpus: int | None = None) -> SparkSess
         # a cluster reading HDFS keep the 3s default; on object storage
         # (no locality either) 0 is also the right cluster setting.
         .config("spark.locality.wait", "0")
+        # Reliable checkpoints (graph.py _ckpt iterative edge sets) are
+        # deleted when their RDD is GC'd instead of leaking until the
+        # pid-sweep in _ckpt catches the dead session (ADVICE r5).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # Arrow for any toPandas()/collect of results and for pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Dims (region/nation/customer at small SF) should broadcast; the

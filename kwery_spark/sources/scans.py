@@ -29,6 +29,32 @@ def _scratch(*parts: str) -> str:
     return path
 
 
+def sweep_dead_pid_dirs(parent: str) -> None:
+    """Remove sibling ``*_pidN`` scratch dirs whose owning process is
+    dead (kill(pid, 0) discipline — the shared fixture-hygiene pattern
+    of txnlog/warehouse). Call before writing a new pid-suffixed dir so
+    exports from crashed or finished sessions don't accumulate."""
+    import shutil
+
+    try:
+        entries = os.listdir(parent)
+    except FileNotFoundError:
+        return
+    for entry in entries:
+        pid_part = entry.rsplit("_pid", 1)
+        if len(pid_part) != 2 or not pid_part[1].isdigit():
+            continue
+        pid = int(pid_part[1])
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        except PermissionError:
+            pass
+
+
 def _corpus_fingerprint(sf_dir: str, name: str) -> str:
     """Cheap content fingerprint of a source table: size + mtime of its
     parquet file(s). Staged-fixture markers embed this, so a regenerated

@@ -361,10 +361,14 @@ def test_profile_table_single_scan(spark, sf_dir):
 
 
 def test_dq_fk_check_broadcasts_dimension(spark, sf_dir):
-    # orders→customer referential check must broadcast the dimension keys
+    # orders→customer referential check: at gate SF the pruned dimension
+    # key column sits under autoBroadcastJoinThreshold and AQE broadcasts
+    # it WITHOUT an explicit hint (the hint was dropped in r6 because
+    # customer grows with SF — ADVICE r5); no cartesian anywhere.
     df = _q("dq_expectations")(spark, sf_dir)
     plan = inspect.formatted_plan(df)
     assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_attribution_reuses_user_sort(spark, sf_dir):
