@@ -152,3 +152,45 @@ def test_scratch_writing_keys_are_rerun_idempotent(spark, sf_dir):
         first = sorted(map(tuple, QUERIES[key](spark, sf_dir).collect()))
         second = sorted(map(tuple, QUERIES[key](spark, sf_dir).collect()))
         assert first == second, f"{key} not idempotent across re-runs"
+
+
+def test_contraction_rewrite_plan_shapes(spark, sf_dir):
+    """Plan-shape locks for the r5 content-contraction rewrites (VERDICT
+    r5 item 8). Each pair-generating key must (a) contain no cartesian,
+    (b) aggregate to DISTINCT content (a `Keys: [ckey]`-style contraction
+    aggregate) BEFORE any self-join, and (c) block its pair join on a
+    bounded content-derived key (LSH band / simhash bucket / salt cell),
+    never on raw doc identity alone."""
+    import re
+
+    from kwery_spark.plans import inspect
+
+    def keylines(key: str) -> tuple[str, list[str]]:
+        plan = inspect.formatted_plan(QUERIES[key](spark, sf_dir))
+        lines = [
+            re.sub(r"#\d+L?", "", ln.strip())
+            for ln in plan.splitlines()
+            if re.match(r"(Left keys|Right keys|Keys)", ln.strip())
+        ]
+        return plan, lines
+
+    # (content-contraction agg key, pair-join blocking key) per rewrite
+    expect = {
+        "dedup_minhash": ("Keys [1]: [ckey]", "band_id, band_hash"),
+        "dedup_simhash": ("Keys [1]: [ckey]", "[bucket]"),
+        "dedup_clusters": ("Keys [1]: [ckey]", None),  # runs on contracted graph
+        "dedup_ngram_jaccard": (None, "band_hash"),  # contraction asserted below
+        "dedup_embedding": (None, "gi"),
+        "sim_threshold_pairs": (None, "gi"),
+    }
+    for key, (agg, block) in expect.items():
+        plan, lines = keylines(key)
+        assert "CartesianProduct" not in plan, f"{key}: cartesian appeared"
+        if agg is not None:
+            assert any(agg in ln for ln in lines), (
+                f"{key}: contraction aggregate missing: {lines}"
+            )
+        if block is not None:
+            assert any(
+                block in ln for ln in lines if ln.startswith(("Left", "Right"))
+            ), f"{key}: pair join not blocked on {block}: {lines}"
