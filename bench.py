@@ -56,10 +56,29 @@ HEADLINE = [
 ]
 
 
-def _measure_spark(spark, queries, sf_dir: str, runs: int = 4) -> dict[str, float]:
+# LLM-pipeline keys measured in the scaled sections (r6, VERDICT r5
+# item 7): the flagship curation family gets Spark-vs-baseline timing
+# alongside the relational headline set. dedup_decontaminate stands in
+# for the dedup family: dedup_minhash's ORACLE recomputes exact Jaccard
+# truth — content-quadratic SQL that DuckDB cannot finish at sf1
+# (>3 min, measured r6), so it cannot be a timed baseline; the
+# decontamination equi-join is the same family with a scalable oracle
+# (3.3 s at sf1). Kept out of the sf10 section — the pair-generating
+# keys run minutes there (SCALESWEEP) and would blow the driver's
+# bench patience for no extra signal.
+LLM_KEYS = [
+    "dedup_decontaminate",
+    "text_bm25",
+    "pipeline_curate",
+]
+
+
+def _measure_spark(
+    spark, queries, sf_dir: str, runs: int = 4, keys: list[str] | None = None
+) -> dict[str, float]:
     """Per key: 1 warm-up + best of (runs-1), plan rebuilt every run."""
     results: dict[str, float] = {}
-    for key in HEADLINE:
+    for key in keys if keys is not None else HEADLINE:
         fn = queries.get(key)
         if fn is None:
             continue
@@ -75,7 +94,11 @@ def _measure_spark(spark, queries, sf_dir: str, runs: int = 4) -> dict[str, floa
 
 
 def _measure_duckdb(
-    sf_dir: str, oracles: dict[str, str], prep_tables: bool = False, runs: int = 4
+    sf_dir: str,
+    oracles: dict[str, str],
+    prep_tables: bool = False,
+    runs: int = 4,
+    keys: list[str] | None = None,
 ) -> dict[str, float]:
     """DuckDB on the same parquet files, same 1-warm-up best-of-3
     protocol, execute + full fetchall (its fast in-process path).
@@ -112,7 +135,7 @@ def _measure_duckdb(
             f"CREATE {kind} {t} AS SELECT {sel} FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     results: dict[str, float] = {}
-    for key in HEADLINE:
+    for key in keys if keys is not None else HEADLINE:
         sql = oracles.get(key)
         if sql is None:
             continue
@@ -154,6 +177,24 @@ def _prep(spark, sf_dir: str) -> None:
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(min(64, max(8, rows // 500_000)))
     )
+    # Broadcast threshold scales with the corpus (measured fresh-JVM, r6):
+    # at sf10 lifting the session's stat-less 1 MB guard to 32 MB turns
+    # the 300k-key customer semi-join side into a planner-time broadcast
+    # and halves q3 (2.5 s -> 1.15 s) — AQE's runtime SMJ->BHJ conversion
+    # was measured NOT to recover this, it still pays the map-side shuffle
+    # write. At sf1 the same 32 MB REGRESSES q3 (0.60 -> 1.06 s): the
+    # whole fact side is small there, so the broadcast build costs more
+    # than the shuffle it saves. ANALYZE stats are in place either way,
+    # so the estimates the planner compares against are real sizes.
+    if rows >= 15_000_000:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+        )
+    # Split size matched to the v3 layout's 16 MB row groups: each split
+    # holds exactly one row group, so no empty splits (the session-wide
+    # 2 MB default generated ~650 no-op tasks per sf10 lineitem scan) and
+    # no split ever decodes a partial row group.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
 
 
 def _scaled_sections(spark, queries, src_dir: str) -> dict[str, dict]:
@@ -176,12 +217,32 @@ def _scaled_sections(spark, queries, src_dir: str) -> dict[str, dict]:
         except Exception as e:  # corpus derivation must never sink the bench
             out[name] = {"error": f"{type(e).__name__}: {e}"}
             continue
+        # Section hygiene: drop the previous scale's cached relations and
+        # broadcast refs before measuring the next one — without this the
+        # session's accumulated sf1/sf3 state GC-throttles the sf10
+        # section (q5 measured 1.6 s fresh-JVM vs 3.7 s late-session, r6).
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
         base = _measure_duckdb(sf_dir, oracles, prep_tables=True, runs=runs)
         _prep(spark, sf_dir)
         res = _measure_spark(spark, queries, sf_dir, runs=runs)
         total = round(sum(res.values()), 4)
         btotal = round(sum(base.values()), 4)
+        llm: dict[str, dict] = {}
+        if name in ("sf1", "sf3"):
+            lbase = _measure_duckdb(
+                sf_dir, oracles, prep_tables=True, runs=runs, keys=LLM_KEYS
+            )
+            lres = _measure_spark(spark, queries, sf_dir, runs=runs, keys=LLM_KEYS)
+            llm = {
+                "llm_queries": lres,
+                "llm_baseline_queries": lbase,
+                "llm_per_query_ratio": {
+                    k: round(lres[k] / lbase[k], 2) for k in lres if lbase.get(k)
+                },
+            }
         out[name] = {
+            **llm,
             "queries": res,
             "total": total,
             "baseline_queries": base,

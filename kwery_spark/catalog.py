@@ -147,11 +147,16 @@ def optimize_layout(spark: SparkSession, sf_dir: str) -> str:
     embeds a layout version so an encoding change rebuilds stale dirs."""
     out = os.path.join(_SCRATCH, "optimized", os.path.basename(sf_dir.rstrip("/")))
     os.makedirs(out, exist_ok=True)
-    marker = os.path.join(out, "_OPTIMIZED_v2_" + _corpus_fingerprint(sf_dir))
+    marker = os.path.join(out, "_OPTIMIZED_v4_" + _corpus_fingerprint(sf_dir))
     if not os.path.exists(marker):
+        import shutil
+
         for entry in os.listdir(out):
+            path = os.path.join(out, entry)
             if entry.startswith("_OPTIMIZED_"):
-                os.remove(os.path.join(out, entry))
+                os.remove(path)
+            elif entry.endswith(".parquet"):  # stale prior-version layout
+                shutil.rmtree(path, ignore_errors=True)
         for name in TABLES:
             raw = table(spark, sf_dir, name)  # raw path: _OPTIMIZED not set yet
             if name == "events":
@@ -159,9 +164,22 @@ def optimize_layout(spark: SparkSession, sf_dir: str) -> str:
 
                 raw = raw.withColumn("props", F.parse_json("props"))
             rows = raw.count()
-            n_files = min(16, max(1, rows // 12_500))
-            raw.repartition(n_files).write.mode("overwrite").parquet(
-                os.path.join(out, f"{name}.parquet")
+            # v3 (r6): file count scales to the full core count (v2's cap
+            # of 16 left half this box's cores idle on the decode of a
+            # one-row-group 83 MB file at sf10), and row groups are capped
+            # at 16 MB so every file splits into multiple independently
+            # decodable units — with maxPartitionBytes matched to the same
+            # 16 MB in the bench prep, splits coincide with row groups
+            # (no empty splits, no partial-row-group stragglers). On a
+            # real cluster this is exactly the target-file-size reasoning
+            # of Delta OPTIMIZE / Iceberg rewrite_data_files.
+            n_files = min(32, max(1, rows // 12_500))
+            (
+                raw.repartition(n_files)
+                .write.mode("overwrite")
+                .option("parquet.block.size", 16 * 1024 * 1024)
+                .option("compression", "none")
+                .parquet(os.path.join(out, f"{name}.parquet"))
             )
         with open(marker, "w") as f:
             f.write("ok")

@@ -278,7 +278,13 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     read path ran 0.37-0.43 s — slower than plain stored variant here,
     because the 5-field shred forces the non-vectorized variant
     reassembly reader while the plain binary column stays on the
-    vectorized path.
+    vectorized path. Re-measured at sf10 (r6, VERDICT item 5, fresh JVM
+    per arm, tools/exp_json.py): stored variant 0.328 s < shredded
+    0.478 s < string+get_json_object 1.79 s < string+from_json('k INT')
+    2.36 s — the rejection holds at a scan-dominated SF and the pruned-
+    schema from_json arm is 7x off; representation knobs are exhausted,
+    the residual ~4x vs DuckDB (0.055-0.068 s) is variant_get binary
+    extraction throughput vs yyjson on a single box.
 
     Parse parallelism: at bench SF the events file has 2 row groups, so
     the scan yields 2 input partitions and the parse runs nearly

@@ -64,7 +64,11 @@ def builder(app_name: str = "kwery-spark", cpus: int | None = None) -> SparkSess
         # side is provably small regardless of SF (region/nation: fixed 5/25
         # rows) and rely on AQE elsewhere.
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs driver + all 32 executor threads in ONE heap;
+        # 16g sizes it for the sf10 bench decade (60M-row lineitem, 24 MB
+        # broadcast builds) — r6: with 8g the multi-scale bench session
+        # slowed q5's sf10 section 2.3x through GC pressure alone.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.warehouse.dir", f"file://{_REPO_ROOT}/spark-warehouse")

@@ -1,12 +1,13 @@
 """Config experiment harness: run a subset of headline keys under conf
 overrides given as KEY=VALUE args, fresh JVM per invocation.
 
-Usage: python tools/bench_conf.py [--sf DIR] [--prep] k=v ...
+Usage: python tools/bench_conf.py [--sf DIR] [--prep] [--keys a,b] k=v ...
 
 --sf DIR   bench against DIR instead of /root/testdata/sf0.1
 --prep     run the bench.py offline prep first (optimize_layout +
            analyze_tables + CBO confs) so the experiment measures the
            same storage/catalog state as the real bench
+--keys     comma-separated subset of the headline keys (faster A/Bs)
 """
 
 from __future__ import annotations
@@ -38,12 +39,15 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     prep = False
     confs = []
+    keys = KEYS
     while args:
         a = args.pop(0)
         if a == "--sf":
             sf_dir = args.pop(0)
         elif a == "--prep":
             prep = True
+        elif a == "--keys":
+            keys = args.pop(0).split(",")
         else:
             confs.append(a)
     b = builder("bench-conf")
@@ -72,19 +76,32 @@ def main() -> None:
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
         # mirror bench.py _prep: shuffle parallelism scales with corpus —
         # unless the experiment explicitly pins it on the command line
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        rows = _pq.ParquetFile(
+            _os.path.join(sf_dir, "lineitem.parquet")
+        ).metadata.num_rows
         if not any(a.startswith("spark.sql.shuffle.partitions=") for a in confs):
-            import os as _os
-
-            import pyarrow.parquet as _pq
-
-            rows = _pq.ParquetFile(
-                _os.path.join(sf_dir, "lineitem.parquet")
-            ).metadata.num_rows
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(min(64, max(8, rows // 500_000)))
             )
+        if not any(a.startswith("spark.sql.files.maxPartitionBytes=") for a in confs):
+            # mirror bench.py _prep: one split per 16 MB v3 row group
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024)
+            )
+        if not any(
+            a.startswith("spark.sql.autoBroadcastJoinThreshold=") for a in confs
+        ) and rows >= 15_000_000:
+            # mirror bench.py _prep: stats exist post-ANALYZE; the 32 MB
+            # lift is corpus-scaled (wins at sf3+/regresses sf1, r6)
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+            )
     out = {}
-    for key in KEYS:
+    for key in keys:
         times = []
         for i in range(4):
             t0 = time.perf_counter()
