@@ -1236,3 +1236,137 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("block")
     )
+
+
+@register(
+    "dedup_boilerplate_segments",
+    oracle="""
+    WITH d AS (
+        SELECT lang, md5(text) AS chash, text
+        FROM documents
+    ),
+    contents AS (
+        SELECT lang, chash, min(text) AS text, count(*) AS copies
+        FROM d GROUP BY lang, chash
+    ),
+    c2 AS (
+        SELECT lang, chash, copies,
+               str_split(text, ' ') AS toks,
+               len(str_split(text, ' ')) AS n
+        FROM contents
+    ),
+    seg AS (
+        SELECT lang, chash,
+               unnest(list_transform(range(1, n - 6, 8),
+                      s -> md5(array_to_string(list_slice(toks, s, s + 7), ' '))))
+                   AS seg_hash
+        FROM c2 WHERE n >= 8
+    ),
+    df AS (
+        SELECT lang, seg_hash, count(DISTINCT chash) AS ncontent
+        FROM seg GROUP BY lang, seg_hash
+    ),
+    occ AS (
+        SELECT s.lang, s.chash,
+               count(*) AS n_seg,
+               count(*) FILTER (WHERE f.ncontent >= 3) AS n_boiler
+        FROM seg s JOIN df f
+          ON s.lang = f.lang AND s.seg_hash = f.seg_hash
+        GROUP BY 1, 2
+    )
+    SELECT c2.lang,
+           CAST(sum(c2.copies) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(o.n_seg, 0) * c2.copies) AS BIGINT) AS n_segments,
+           CAST(sum(coalesce(o.n_boiler, 0) * c2.copies) AS BIGINT)
+               AS n_boiler_segments,
+           round(CAST(sum(coalesce(o.n_boiler, 0) * c2.copies) AS DOUBLE)
+                 / nullif(sum(coalesce(o.n_seg, 0) * c2.copies), 0), 6)
+               AS boiler_share,
+           CAST(sum((c2.n - 8 * coalesce(o.n_boiler, 0)) * c2.copies) AS BIGINT)
+               AS tokens_kept
+    FROM c2 LEFT JOIN occ o ON o.lang = c2.lang AND o.chash = c2.chash
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-segment boilerplate accounting (the C4/RefinedWeb
+    "dedupe repeated lines" transformation, adapted to this corpus's
+    unpunctuated text): each document is cut into non-overlapping
+    8-token segments; a segment whose normalized hash appears in >= 3
+    DISTINCT contents of the same language is boilerplate (nav bars,
+    license headers, templated intros), and the per-language rollup
+    reports how many segments/tokens a removal pass would keep. This is
+    the transform-side complement of dedup_substring_grams (which finds
+    document PAIRS sharing spans; this one quantifies the removable
+    mass without ever forming pairs).
+
+    Scale: content-contracted end to end (the r5 content-cardinality
+    rule) — segments explode over DISTINCT (lang, content), document
+    frequency counts distinct contents, and raw-document weights
+    re-enter only as the `copies` multiplier in the final bounded
+    per-lang rollup, so a 100x-duplicated corpus does 1x the segment
+    work. Shuffles: the content contraction, the (lang, seg_hash)
+    df aggregate, one equi-join back on (lang, seg_hash) — linear,
+    no pair space anywhere. Determinism: integer counts, one division
+    rounded to 6dp."""
+    docs = table(spark, sf_dir, "documents").select("lang", "text")
+    keyed = docs.select("lang", F.md5("text").alias("chash"), "text")
+    contents = keyed.groupBy("lang", "chash").agg(
+        F.count(F.lit(1)).alias("copies"),
+        # all texts within a chash group are identical; min() is the
+        # deterministic way to carry one through the aggregate
+        F.min("text").alias("text"),
+    )
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    c2 = contents.select("lang", "chash", "copies", toks.alias("toks"), n.alias("n"))
+    # sequence(1, n-7, 8) with n < 8 would generate a DESCENDING range
+    # (CLAUDE.md sequence guard) — emit no segments instead
+    seg_hashes = F.when(
+        F.col("n") >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 7, F.lit(8)),
+            lambda s: F.md5(F.array_join(F.slice("toks", s, 8), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg = c2.select(
+        "lang", "chash", F.explode(seg_hashes).alias("seg_hash")
+    )
+    df_counts = (
+        seg.distinct()
+        .groupBy("lang", "seg_hash")
+        .agg(F.count(F.lit(1)).alias("ncontent"))
+    )
+    occ = (
+        seg.join(df_counts, ["lang", "seg_hash"])
+        .groupBy("lang", "chash")
+        .agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.count(F.when(F.col("ncontent") >= 3, 1)).alias("n_boiler"),
+        )
+    )
+    boiler_w = F.coalesce(F.col("n_boiler"), F.lit(0)) * F.col("copies")
+    seg_w = F.coalesce(F.col("n_seg"), F.lit(0)) * F.col("copies")
+    return (
+        c2.join(occ, ["lang", "chash"], "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("copies").cast("long").alias("n_docs"),
+            F.sum(seg_w).cast("long").alias("n_segments"),
+            F.sum(boiler_w).cast("long").alias("n_boiler_segments"),
+            F.round(
+                F.sum(boiler_w).cast("double")
+                / F.nullif(F.sum(seg_w), F.lit(0)),
+                6,
+            ).alias("boiler_share"),
+            F.sum(
+                (F.col("n") - 8 * F.coalesce(F.col("n_boiler"), F.lit(0)))
+                * F.col("copies")
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("lang")
+    )
