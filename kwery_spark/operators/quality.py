@@ -263,3 +263,125 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("rule")
     )
+
+
+@register(
+    "dq_drift_psi",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderpriority AS prio,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'ref'
+                    ELSE 'cur' END AS slice,
+               least(9, greatest(0,
+                   CAST(floor(o_totalprice / 50000.0) AS INTEGER))) AS bucket
+        FROM orders
+    ),
+    c AS (
+        SELECT prio, bucket,
+               sum(CASE WHEN slice = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN slice = 'cur' THEN 1 ELSE 0 END) AS n_cur
+        FROM b GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT prio, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+        FROM c GROUP BY 1
+    ),
+    con AS (
+        SELECT c.prio, c.bucket,
+               CAST(round(
+                   ((c.n_cur + 1.0) / (t.t_cur + 10.0)
+                    - (c.n_ref + 1.0) / (t.t_ref + 10.0))
+                   * ln(((c.n_cur + 1.0) / (t.t_cur + 10.0))
+                        / ((c.n_ref + 1.0) / (t.t_ref + 10.0))), 9)
+                   AS DECIMAL(25,9)) AS contrib
+        FROM c JOIN tot t USING (prio)
+    ),
+    ranked AS (
+        SELECT prio, bucket, contrib,
+               row_number() OVER (PARTITION BY prio
+                                  ORDER BY contrib DESC, bucket) AS rk
+        FROM con
+    )
+    SELECT t.prio AS o_orderpriority,
+           CAST(t.t_ref AS BIGINT) AS n_ref,
+           CAST(t.t_cur AS BIGINT) AS n_cur,
+           round(CAST((SELECT sum(contrib) FROM con
+                       WHERE con.prio = t.prio) AS DOUBLE), 6) AS psi,
+           CAST((SELECT bucket FROM ranked
+                 WHERE ranked.prio = t.prio AND rk = 1) AS BIGINT)
+               AS worst_bucket
+    FROM tot t
+    ORDER BY 1
+    """,
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference and a current time
+    slice of orders (split at 1998-01-01), per order priority: the
+    standard distribution-drift monitor every production feature/score
+    pipeline runs. o_totalprice is bucketed on FIXED 50k-wide edges
+    (quantile edges would make bucket membership itself data-dependent
+    and flaky near boundaries); shares are Laplace-smoothed
+    ((n+1)/(N+10)) so empty buckets contribute finite PSI; each
+    bucket's (pc-pr)*ln(pc/pr) contribution is rounded to 9dp and
+    summed as DECIMAL (order-independent, the repo's standard
+    treatment), then rounded to 6dp. worst_bucket = argmax contribution
+    (bucket-id tiebreak, deterministic).
+
+    Scale: ONE scan of orders partially aggregated map-side into the
+    bounded (priority x slice x 10-bucket) grid; everything downstream
+    (totals, contributions, argmax window) runs on <=50 rows. The
+    window partitions by priority — no global window."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(0), F.floor(F.col("o_totalprice") / 50000.0).cast("int")
+        ),
+    )
+    is_ref = F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    c = (
+        o.select(
+            F.col("o_orderpriority").alias("prio"),
+            bucket.alias("bucket"),
+            F.when(is_ref, 1).otherwise(0).alias("ref"),
+        )
+        .groupBy("prio", "bucket")
+        .agg(
+            F.sum("ref").alias("n_ref"),
+            F.sum(1 - F.col("ref")).alias("n_cur"),
+        )
+    )
+    tot = c.groupBy("prio").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    pc = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 10.0)
+    pr = (F.col("n_ref") + 1.0) / (F.col("t_ref") + 10.0)
+    con = c.join(tot, "prio").select(
+        "prio",
+        "bucket",
+        F.round((pc - pr) * F.log(pc / pr), 9).cast("decimal(25,9)").alias("contrib"),
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("prio").orderBy(F.col("contrib").desc(), "bucket")
+    )
+    worst = con.withColumn("rk", rk).filter(F.col("rk") == 1).select(
+        "prio", F.col("bucket").alias("worst_bucket")
+    )
+    psi = con.groupBy("prio").agg(
+        F.round(F.sum("contrib").cast("double"), 6).alias("psi")
+    )
+    return (
+        tot.join(psi, "prio")
+        .join(worst, "prio")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            F.col("t_ref").cast("long").alias("n_ref"),
+            F.col("t_cur").cast("long").alias("n_cur"),
+            "psi",
+            F.col("worst_bucket").cast("long"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("o_orderpriority")
+    )
