@@ -1,10 +1,13 @@
-"""Data-quality operators: table profiling and expectation checks.
+"""Data-quality operators: table profiling, expectation checks, and
+distribution-drift monitoring.
 
-The two shapes every ingestion pipeline runs before anything else:
+The shapes every ingestion pipeline runs before anything else:
 ``profile_table`` (per-column null/distinct/min/max summary — the
-"describe" a warehouse materializes into its catalog) and
+"describe" a warehouse materializes into its catalog),
 ``dq_expectations`` (rule assertions with violation counts — the
-Great-Expectations/dbt-test shape, as one declarative plan).
+Great-Expectations/dbt-test shape, as one declarative plan), and
+``dq_drift_psi`` (Population Stability Index between time slices — the
+drift monitor production score/feature pipelines alert on).
 
 Scale notes: profiling is a single full-scan aggregate (the multi
 count-distinct expands rows by #profiled-columns before the partial
