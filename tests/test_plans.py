@@ -435,3 +435,34 @@ def test_vocab_topk_windows_are_take_ordered(spark, sf_dir):
     assert inspect.has_take_ordered(zipf), zplan
     # zipf's residual rank window runs AFTER the limit(100) — its input
     # is structurally capped (GLOBAL_WIN bound in tools/audit_plans.py)
+
+
+def test_boilerplate_segments_contracted_no_pairs(spark, sf_dir):
+    # r6: segment explode runs over DISTINCT (lang, content) — the plan
+    # must contain the content-contraction aggregate and no pair join
+    # of any kind (this op never forms doc x doc pairs)
+    df = _q("dedup_boilerplate_segments")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    import re
+
+    keys = [
+        re.sub(r"#\d+L?", "", ln.strip())
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Keys")
+    ]
+    assert any("chash" in k for k in keys), keys
+
+
+def test_drift_psi_window_is_partitioned(spark, sf_dir):
+    # r6: the argmax worst-bucket window partitions by priority — the
+    # GLOBAL_WIN audit class must not reappear here
+    df = _q("dq_drift_psi")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert "prio" in ln, ln
