@@ -190,7 +190,14 @@ def _prep(spark, sf_dir: str) -> None:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
         )
-    # Split size matched to the v3 layout's 16 MB row groups: each split
+    else:
+        # restore the small-SF guard so _prep is order-independent — the
+        # 32 MB setting measurably regresses sf1 and must not leak into a
+        # later small-corpus section of the same session
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024)
+        )
+    # Split size matched to the v4 layout's 16 MB row groups: each split
     # holds exactly one row group, so no empty splits (the session-wide
     # 2 MB default generated ~650 no-op tasks per sf10 lineitem scan) and
     # no split ever decodes a partial row group.

@@ -164,7 +164,7 @@ def optimize_layout(spark: SparkSession, sf_dir: str) -> str:
 
                 raw = raw.withColumn("props", F.parse_json("props"))
             rows = raw.count()
-            # v3 (r6): file count scales to the full core count (v2's cap
+            # v4 (r6): file count scales to the full core count (v2's cap
             # of 16 left half this box's cores idle on the decode of a
             # one-row-group 83 MB file at sf10), and row groups are capped
             # at 16 MB so every file splits into multiple independently

@@ -592,7 +592,8 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_exact",
     oracle="""
     SELECT o_orderpriority,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_dec,
            count(*) AS n_orders
     FROM orders
     GROUP BY o_orderpriority
@@ -602,14 +603,19 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact money aggregation: cast to DECIMAL(18,2) BEFORE summing, so
     the result is identical regardless of partitioning or summation order
     — the property float sums cannot give and the reason financial
-    pipelines aggregate decimals. (Both engines round the double->decimal
-    cast to nearest, and decimal addition is exact; the hash gate needs
-    no rounding at all, unlike every float aggregate in this repo.)"""
+    pipelines aggregate decimals. The SUM stays decimal (exact,
+    order-independent); only the FINAL projection casts to DOUBLE, because
+    decimal-typed output columns hash differently across the two engines'
+    pandas paths (DuckDB .df() narrows to float64, Spark toPandas() keeps
+    Decimal objects — r6 driver finding on agg_skew_twophase)."""
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_dec"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("total_dec"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -1381,7 +1387,10 @@ def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS sq_direct
         FROM lineitem GROUP BY l_returnflag
     )
-    SELECT m.l_returnflag, m.n_rows, m.sum_qty, m.sum_price, m.n_partials,
+    SELECT m.l_returnflag, m.n_rows,
+           round(CAST(m.sum_qty AS DOUBLE), 4) AS sum_qty,
+           round(CAST(m.sum_price AS DOUBLE), 4) AS sum_price,
+           m.n_partials,
            m.n_rows = d.n_direct AND m.sum_qty = d.sq_direct AS matches_direct
     FROM merged m JOIN direct d USING (l_returnflag)
     ORDER BY m.l_returnflag
@@ -1400,6 +1409,9 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     matters when the DISTRIBUTION key must stay the group key (e.g.
     pre-partitioned sinks) or under AQE-less engines; the operator
     demonstrates the pattern with its correctness proof attached.
+    The equality proof compares the DECIMALs; the OUTPUT projects them
+    to rounded DOUBLE (decimal output columns hash differently across
+    the two engines' pandas materialization paths — r6 driver finding).
 
     Scale: shuffle 1 carries 3x16 salted groups; shuffle 2 carries 3."""
     li = table(spark, sf_dir, "lineitem")
@@ -1439,8 +1451,8 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "n_rows",
-            "sum_qty",
-            "sum_price",
+            F.round(F.col("sum_qty").cast("double"), 4).alias("sum_qty"),
+            F.round(F.col("sum_price").cast("double"), 4).alias("sum_price"),
             "n_partials",
             (
                 (F.col("n_rows") == F.col("n_direct"))

@@ -62,8 +62,10 @@ def _ckpt(df: DataFrame) -> DataFrame:
                 if pid != os.getpid():
                     try:
                         os.kill(pid, 0)
-                    except OSError:
+                    except ProcessLookupError:
                         stale = True
+                    except PermissionError:
+                        pass  # alive but owned by another user — keep
             else:
                 stale = True  # pre-r6 bare UUID dir: owner unknowable
             if stale:

@@ -461,8 +461,11 @@ def test_drift_psi_window_is_partitioned(spark, sf_dir):
     df = _q("dq_drift_psi")(spark, sf_dir)
     plan = inspect.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
-    import re
-
-    for ln in plan.splitlines():
-        if "Window" in ln and "windowspecdefinition" in ln:
-            assert "prio" in ln, ln
+    # formatted plans put "Window" and its windowspecdefinition arguments
+    # on DIFFERENT lines, so requiring both on one line matched nothing
+    # and the assertion was vacuous (ADVICE r6) — match the spec line
+    # alone and require it to exist
+    win_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "prio" in ln, ln

@@ -75,13 +75,34 @@ def _norm_spark_type(t: str) -> str:
 
 
 def norm_cell(v):
-    if isinstance(v, float):
+    import datetime as _dt
+    import decimal as _decimal
+
+    import numpy as _np
+
+    if isinstance(v, _decimal.Decimal):
+        # The driver's hasher normalizes floats but NOT Decimal objects, so
+        # a DECIMAL-typed Spark output column hashes differently from the
+        # float64 DuckDB .df() produces for the same values (r6 driver
+        # finding: agg_skew_twophase values bit-identical yet hash-fail).
+        # Fail loudly so no registry key can ship a decimal output column.
+        raise TypeError(
+            "decimal.Decimal output cell — DECIMAL output columns diverge "
+            "between Spark toPandas() (Decimal) and DuckDB .df() (float64) "
+            "in the driver hasher; CAST the final projection to DOUBLE with "
+            "a matching round() in both engines"
+        )
+    if isinstance(v, (float, _np.floating)):
         if math.isnan(v):
             return "NaN"
         # round to 6 significant-ish digits so summation-order ulp noise
         # doesn't fail the compare (driver hashes similarly rounded values)
-        return float(f"{v:.6g}")
-    if isinstance(v, (list, dict)):
+        return float(f"{float(v):.6g}")
+    if isinstance(v, (bool, _np.bool_)):
+        return bool(v)
+    if isinstance(v, (int, _np.integer)):
+        return int(v)
+    if isinstance(v, (list, dict, _np.ndarray)):
         # The grading driver canonicalizes via pandas sort_values/factorize,
         # which raises `unhashable type: 'list'` on complex cells. Fail
         # identically here so driver-incompatible outputs can't pass
@@ -91,9 +112,24 @@ def norm_cell(v):
             "crashes the driver hasher; render to string (concat_ws/to_json) "
             "in the final projection"
         )
+    if v is None or v is getattr(__import__("pandas"), "NaT", None):
+        return None
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        # normalize date-kind cells across materialization paths: DuckDB
+        # .df() yields Timestamp('2020-01-01 00:00:00') for a DATE column
+        # while Spark toPandas() yields datetime.date(2020, 1, 1)
+        iso = v.isoformat()
+        if isinstance(v, _dt.datetime) and iso.endswith("T00:00:00"):
+            return iso[:10]
+        return iso
     return v
+
+
+def pandas_rows(pdf):
+    """Materialized rows exactly as the driver's pandas hasher sees them
+    (toPandas()/.df() dtypes — NOT collect()/fetchall(), whose Python
+    scalars hid the r6 Decimal-vs-float64 divergence)."""
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
 
 def norm_rows(cols, rows):
@@ -108,7 +144,7 @@ def check_key(spark, conn, key, qfn, oracle, sf_dir, rec=None) -> tuple[bool, st
     t0 = time.perf_counter()
     df = qfn(spark, sf_dir)
     spark_cols = df.columns
-    spark_rows = [tuple(r) for r in df.collect()]
+    spark_rows = pandas_rows(df.toPandas())
     t_spark = time.perf_counter() - t0
     rec.update(rows=len(spark_rows), spark_sec=round(t_spark, 3))
     if oracle is None:
@@ -119,7 +155,7 @@ def check_key(spark, conn, key, qfn, oracle, sf_dir, rec=None) -> tuple[bool, st
     rel = conn.sql(oracle)
     duck_cols = list(rel.columns)
     duck_types = {c: _norm_duck_type(str(t)) for c, t in zip(rel.columns, rel.types)}
-    duck_rows = rel.fetchall()
+    duck_rows = pandas_rows(rel.df())
     t_duck = time.perf_counter() - t0
     spark_types = {c: _norm_spark_type(t) for c, t in df.dtypes}
     problems = []
