@@ -55,9 +55,20 @@ def _rotation_order(keys: list[str]) -> list[str]:
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                rows = json.load(f)
         except Exception:
             continue
+        # a key counts as externally verified only once it has a GREEN
+        # driver row — a sampled-but-failed key (r6: agg_skew_twophase
+        # hash mismatch, since fixed) must rotate back into the window to
+        # re-earn its row rather than fall to the back of the order
+        for k, v in rows.items():
+            if not isinstance(v, dict) or (
+                v.get("hash_match")
+                and v.get("rows_match")
+                and v.get("schema_match")
+            ):
+                seen.add(k)
     unseen = [k for k in keys if k not in seen]
     fams: dict[str, list[str]] = {}
     for k in unseen:

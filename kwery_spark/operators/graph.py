@@ -223,10 +223,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold exactly.
 
     Scale: pair generation is blocked by the hour bucket (bounded
-    quadratic per block, the same discipline as the dedup family); the
-    wedge join and the closing-edge semi-join are plain equi-joins on
-    node keys — shuffle-partitionable to any cluster size. Output is a
-    single summary row.
+    quadratic per block, the same discipline as the dedup family).
+    Triangles close via ADJACENCY-LIST INTERSECTION (r7): each node's
+    sorted out-neighbor array (bounded ~sqrt(2m) by the orientation) is
+    joined to both endpoints of every oriented edge, and
+    |N+(a) ∩ N+(b)| sums in-task — the wedge set itself is NEVER
+    materialized or shuffled, which is what blew the 480 s sf10 budget
+    in r6 (the join-form shuffled every wedge ROW; billions at sf10).
+    n_wedges comes from the same identity the join computed the long
+    way: Σ_b indeg(b)·outdeg(b). Output is a single summary row; the
+    oracle keeps the explicit wedge join (exact at the gate SF) —
+    identical numbers, different physical strategy, which is the point.
     """
     purch = (
         table(spark, sf_dir, "events")
@@ -263,15 +270,38 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
-    o1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    o2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    wedges = o1.join(o2, "b").select("a", "b", "c")
-    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["a", "c"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    # materialize the oriented edge list once: three consumers below
+    # (adjacency build + two endpoint joins + degree products)
+    oriented = oriented.localCheckpoint(eager=True)
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    adj_a = adj.select(F.col("src").alias("src"), F.col("nbrs").alias("na"))
+    adj_b = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nb"))
+    # per oriented edge (a,b): |N+(a) ∩ N+(b)| closes that many
+    # triangles; edges whose dst has no out-edges (left join -> null)
+    # close none
+    tri = (
+        oriented.join(adj_a, "src")
+        .join(adj_b, "dst", "left")
+        .select(
+            F.when(
+                F.col("nb").isNull(), F.lit(0)
+            )
+            .otherwise(F.size(F.array_intersect("na", "nb")))
+            .alias("closed")
+        )
+        .agg(F.sum("closed").cast("long").alias("n_triangles"))
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    # wedge a->b->c counts = Σ_b indeg(b)·outdeg(b), the identity the
+    # o1⋈o2 join materialized row-by-row before r7
+    outd = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ind = oriented.groupBy("dst").agg(F.count(F.lit(1)).alias("id_"))
+    n_wedges = (
+        outd.join(ind, outd.src == ind.dst)
+        .agg(F.sum(F.col("od") * F.col("id_")).cast("long").alias("n_wedges"))
+    )
     return (
         tri.join(broadcast(n_edges))
         .join(broadcast(n_wedges))

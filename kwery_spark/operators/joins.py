@@ -632,3 +632,124 @@ def join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor("o_totalprice").cast("long")).alias("price_floor_sum"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS vts
+        FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+        SELECT p.event_id, p.user_id, p.pts, v.vts AS bts
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.vts <= p.pts
+    ),
+    f AS (
+        SELECT p.event_id, v.vts AS fts
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.vts >= p.pts
+    ),
+    chosen AS (
+        SELECT b.event_id, b.user_id, b.pts,
+               CASE
+                   WHEN bts IS NULL AND fts IS NULL THEN NULL
+                   WHEN fts IS NULL THEN bts
+                   WHEN bts IS NULL THEN fts
+                   WHEN epoch_us(pts) - epoch_us(bts)
+                        <= epoch_us(fts) - epoch_us(pts) THEN bts
+                   ELSE fts
+               END AS nts
+        FROM b JOIN f USING (event_id)
+    )
+    SELECT event_id, user_id, pts AS purchase_ts, nts AS nearest_view_ts,
+           CASE WHEN nts IS NULL THEN 'none'
+                WHEN nts <= pts THEN 'before' ELSE 'after' END AS direction,
+           CAST(abs(epoch_us(pts) - epoch_us(nts)) AS BIGINT) AS gap_us
+    FROM chosen
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-direction (nearest) as-of join: each purchase matched to the
+    CLOSEST view of the same user in either time direction — the
+    time-series workhorse behind sensor alignment and quote/trade
+    matching when "latest before" alone loses the fresher later sample.
+    Ties (equal gap, including an exactly-simultaneous view) resolve to
+    the backward match, deterministically in both engines.
+
+    Same union+window formulation as ``asof_join`` but BOTH running
+    extremes come out of one frame: tag views 0 / purchases 1, union,
+    and per user take last(view_ts) over the preceding frame (latest <=)
+    plus first(view_ts) over the following frame (earliest >) — one
+    shuffle on user_id, no join at all, versus DuckDB's two native ASOF
+    passes. A view at exactly the purchase's timestamp sorts BEFORE the
+    purchase (side 0 first), so the backward extreme sees it and wins
+    the tie with gap 0 — matching the oracle's <=/>= pair, where the
+    equal-gap CASE also picks the backward row. Only the matched
+    timestamp is emitted, so duplicate view timestamps per user cannot
+    make the pick nondeterministic. Gap arithmetic is unix_micros
+    (sub-second ts — never second-truncated casts)."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    tagged = purchases.select(
+        "user_id",
+        "event_id",
+        F.col("pts").alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("timestamp").alias("__v"),
+    ).unionByName(
+        views.select(
+            "user_id",
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("vts").alias("__t"),
+            F.lit(0).alias("__side"),
+            F.col("vts").alias("__v"),
+        )
+    )
+    base = Window.partitionBy("user_id").orderBy(
+        F.col("__t").asc(), F.col("__side").asc()
+    )
+    bts = F.last("__v", ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fts = F.first("__v", ignorenulls=True).over(
+        base.rowsBetween(0, Window.unboundedFollowing)
+    )
+    gap_b = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("bts"))
+    gap_f = F.unix_micros(F.col("fts")) - F.unix_micros(F.col("__t"))
+    nts = (
+        F.when(F.col("bts").isNull() & F.col("fts").isNull(), F.lit(None))
+        .when(F.col("fts").isNull(), F.col("bts"))
+        .when(F.col("bts").isNull(), F.col("fts"))
+        .when(gap_b <= gap_f, F.col("bts"))
+        .otherwise(F.col("fts"))
+    )
+    return (
+        tagged.withColumn("bts", bts)
+        .withColumn("fts", fts)
+        .filter(F.col("__side") == 1)
+        .withColumn("nts", nts)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("__t").alias("purchase_ts"),
+            F.col("nts").alias("nearest_view_ts"),
+            F.when(F.col("nts").isNull(), "none")
+            .when(F.col("nts") <= F.col("__t"), "before")
+            .otherwise("after")
+            .alias("direction"),
+            F.abs(
+                F.unix_micros(F.col("__t")) - F.unix_micros(F.col("nts"))
+            ).alias("gap_us"),
+        )
+    )

@@ -1180,3 +1180,182 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_minhash_containment",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               len(str_split(text, ' ')) AS n
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, n - 5 + 2),
+                       i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+                       AS g
+            FROM t WHERE n >= 5)
+    ),
+    agg AS (SELECT doc_id, list(g) AS gs, count(*) AS s FROM sh GROUP BY doc_id),
+    df AS (SELECT g FROM sh GROUP BY g HAVING count(*) BETWEEN 2 AND 32),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM sh a JOIN df USING (g) JOIN sh b USING (g)
+        WHERE a.doc_id < b.doc_id
+    ),
+    oriented AS (
+        SELECT CASE WHEN x.s <= y.s THEN da ELSE db END AS contained_doc_id,
+               CASE WHEN x.s <= y.s THEN db ELSE da END AS container_doc_id,
+               CASE WHEN x.s <= y.s THEN x.gs ELSE y.gs END AS g_small,
+               CASE WHEN x.s <= y.s THEN y.gs ELSE x.gs END AS g_big,
+               least(x.s, y.s) AS s_small,
+               len(list_intersect(x.gs, y.gs)) AS inter
+        FROM cand JOIN agg x ON x.doc_id = da JOIN agg y ON y.doc_id = db
+    ),
+    scored AS (
+        SELECT contained_doc_id, container_doc_id,
+               inter / s_small AS containment,
+               len(list_intersect(
+                   list_transform(
+                       list_slice(
+                           list_sort(list_transform(g_small, g -> [md5(g), g])),
+                           1, 32),
+                       p -> p[2]),
+                   g_big)) / least(32, s_small) AS est
+        FROM oriented
+    )
+    SELECT contained_doc_id, container_doc_id,
+           round(containment, 6) AS containment,
+           round(est, 6) AS est_containment,
+           abs(est - containment) <= 0.35 AS est_ok
+    FROM scored WHERE containment >= 0.5
+    """,
+)
+def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (doc-in-doc): C(A,B) = |A∩B| / |A|
+    over 5-token shingle sets, with A the smaller set — the measure that
+    catches a document quoted wholesale inside a larger one, which
+    symmetric Jaccard misses (J ≈ |A|/|B| can be arbitrarily small while
+    containment is 1.0). This is the C4/RefinedWeb complement to
+    dedup_boilerplate_segments: that op finds repeated SEGMENTS, this one
+    flags near-total inclusion between document pairs.
+
+    Alongside the exact containment, each pair carries a bottom-k sketch
+    estimate — the smaller doc's k=32 lexicographically-least shingles
+    by md5 (a deterministic KMV sample, replayed hash-for-hash in the
+    oracle), probed against the larger doc's full set; est = hits /
+    min(k, |A|). The est_ok tolerance band (±0.35 ≈ 2σ at k=32) is
+    asserted in BOTH engines, the sketch-op contract every approx
+    operator here follows. Exact and estimate are single divisions of
+    exact integers, so the 6dp rounds agree bit-for-bit.
+
+    Scale shape (same discipline as dedup_substring_grams): shingle
+    document-frequency is counted over DISTINCT contents and capped to
+    [2,32] docs, so the candidate equi-join on the shingle itself is
+    bounded per-bucket at C(32,2) and NO doc×doc pair space ever forms;
+    a corpus upscale that copies contents inflates neither the df counts
+    nor the rep-level pair work, and doc-level output expands linearly
+    via the content-key join. Identical-content pairs (containment 1.0
+    by definition) are exact-dup territory and are not emitted."""
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", F.md5("text").alias("ckey"))
+    groups = keyed.groupBy("ckey").agg(F.min("doc_id").alias("rep"))
+    reps = groups.join(docs.select(F.col("doc_id").alias("rep"), "text"), "rep")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 4),
+                lambda i: F.array_join(F.slice(toks, i, 5), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = reps.select(
+        "rep", "ckey", grams.alias("gs"), F.size(grams).alias("s")
+    ).filter(F.col("s") > 0)
+    # Exchange barrier: one shingle pass shared by the exploded df/cand
+    # legs and the pair-scoring join (same trick as dedup_minhash)
+    shingled = shingled.repartition("rep")
+    sh = shingled.select("rep", F.explode("gs").alias("g"))
+    capped = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter((F.col("d") >= 2) & (F.col("d") <= 32))
+        .select("g")
+    )
+    cand = (
+        sh.join(capped, "g")
+        .select(F.col("rep").alias("rep_a"), "g")
+        .join(sh.select(F.col("rep").alias("rep_b"), "g"), "g")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b")
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("rep").alias("rep_a"),
+        F.col("ckey").alias("ckey_a"),
+        F.col("gs").alias("gs_a"),
+        F.col("s").alias("s_a"),
+    )
+    sb = shingled.select(
+        F.col("rep").alias("rep_b"),
+        F.col("ckey").alias("ckey_b"),
+        F.col("gs").alias("gs_b"),
+        F.col("s").alias("s_b"),
+    )
+    a_small = F.col("s_a") <= F.col("s_b")
+    g_small = F.when(a_small, F.col("gs_a")).otherwise(F.col("gs_b"))
+    g_big = F.when(a_small, F.col("gs_b")).otherwise(F.col("gs_a"))
+    s_small = F.least("s_a", "s_b")
+    inter = F.size(F.array_intersect("gs_a", "gs_b"))
+    bottom = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    g_small, lambda g: F.struct(F.md5(g).alias("h"), g.alias("g"))
+                )
+            ),
+            1,
+            32,
+        ),
+        lambda p: p.getField("g"),
+    )
+    est = F.size(F.array_intersect(bottom, g_big)) / F.least(
+        F.lit(32), s_small
+    )
+    scored = (
+        cand.join(sa, "rep_a")
+        .join(sb, "rep_b")
+        .select(
+            F.when(a_small, F.col("ckey_a")).otherwise(F.col("ckey_b")).alias(
+                "ckey_small"
+            ),
+            F.when(a_small, F.col("ckey_b")).otherwise(F.col("ckey_a")).alias(
+                "ckey_big"
+            ),
+            (inter / s_small).alias("containment"),
+            est.alias("est"),
+        )
+        .filter(F.col("containment") >= 0.5)
+    )
+    ks = keyed.select(
+        F.col("ckey").alias("ckey_small"), F.col("doc_id").alias("contained_doc_id")
+    )
+    kb = keyed.select(
+        F.col("ckey").alias("ckey_big"), F.col("doc_id").alias("container_doc_id")
+    )
+    return (
+        scored.join(ks, "ckey_small")
+        .join(kb, "ckey_big")
+        .select(
+            "contained_doc_id",
+            "container_doc_id",
+            F.round("containment", 6).alias("containment"),
+            F.round("est", 6).alias("est_containment"),
+            (F.abs(F.col("est") - F.col("containment")) <= 0.35).alias("est_ok"),
+        )
+    )

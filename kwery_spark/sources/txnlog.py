@@ -365,3 +365,174 @@ def warehouse_merge_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("table_version", F.lit(version).cast("long"))
     )
+
+
+@register(
+    "stream_cdc_feed",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    v0 AS (SELECT * FROM c WHERE c_custkey % 3 <> 0),
+    ins1 AS (SELECT * FROM c WHERE c_custkey % 3 = 0),
+    bumped AS (
+        SELECT c_custkey,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS newbal,
+               c_acctbal AS oldbal
+        FROM c
+    ),
+    feed AS (
+        SELECT 0 AS commit_version, 'insert' AS change_type, c_acctbal AS bal
+        FROM v0
+        UNION ALL
+        SELECT 1, 'insert', c_acctbal FROM ins1
+        UNION ALL
+        SELECT 2, 'delete', oldbal FROM bumped WHERE newbal < 0
+        UNION ALL
+        SELECT 2, 'update_preimage', oldbal FROM bumped
+        WHERE newbal >= 0 AND newbal <> oldbal
+        UNION ALL
+        SELECT 2, 'update_postimage', newbal FROM bumped
+        WHERE newbal >= 0 AND newbal <> oldbal
+    )
+    SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(bal) AS BIGINT)) AS BIGINT) AS bal_floor_sum
+    FROM feed GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed derivation over the transaction-log table — the
+    readChangeFeed surface of Delta/Iceberg as an incremental batch:
+    given a committed version range, emit every row-level change
+    (insert / delete / update_preimage / update_postimage) between
+    consecutive snapshots, keyed by the table's primary key.
+
+    The fixture commits three versions of the customer table:
+      v0 append   two thirds of the rows (initial load)
+      v1 append   the remaining third
+      v2 replace  MERGE computed from v1: +100.0 balance for the
+                  BUILDING segment, then delete still-negative balances
+
+    Two feed paths, chosen per commit from the LOG RECORD (not by
+    diffing blindly):
+      * append commits — the change feed is exactly the files the
+        commit ADDed; they are read directly and tagged 'insert' with
+        ZERO join work (Delta CDF's cheap append-only path). At 100 TB
+        this is the difference between scanning one commit's files and
+        scanning two full snapshots.
+      * replace commits — the feed is a primary-key full-outer diff of
+        the adjacent snapshots (one hash shuffle on the key): left-only
+        rows are deletes, right-only inserts, both-sides-changed rows
+        emit a preimage/postimage pair (a production deployment stores
+        the CDF files at write time; deriving them by diff is the
+        time-travel fallback every format supports).
+
+    The feed is then aggregated per (commit_version, change_type) into
+    counts + a floor-sum balance checksum — order-independent and
+    exact (+100.0 on integral-cent doubles is exact; floor-before-sum
+    keeps the BIGINT checksum summation-order-free). The oracle
+    recomputes the same three versions and the same diff algebra from
+    the source table."""
+    root = _txn_root(sf_dir, "cdc_feed")
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxnLogTable(root)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t.commit(spark, cust.filter(F.col("c_custkey") % 3 != 0), "append")
+    t.commit(spark, cust.filter(F.col("c_custkey") % 3 == 0), "append")
+    base = t.latest_version()
+    snap = t.read(spark, base)
+    rewritten = snap.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")),
+    ).filter(F.col("c_acctbal") >= 0)
+    last = t.commit(spark, rewritten, "replace", base_version=base)
+
+    parts: list[DataFrame] = []
+    for v in range(last + 1):
+        entry = t._entry(v)
+        ver = F.lit(v).cast("long")
+        if entry["operation"] == "append":
+            added = spark.read.parquet(
+                *[os.path.join(root, d) for d in entry["add"]]
+            )
+            parts.append(
+                added.select(
+                    ver.alias("commit_version"),
+                    F.lit("insert").alias("change_type"),
+                    F.col("c_acctbal").alias("bal"),
+                )
+            )
+            continue
+        prev = t.read(spark, v - 1).select(
+            F.col("c_custkey").alias("pk"),
+            F.col("c_mktsegment").alias("pre_seg"),
+            F.col("c_acctbal").alias("pre_bal"),
+        )
+        cur = t.read(spark, v).select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("post_seg"),
+            F.col("c_acctbal").alias("post_bal"),
+        )
+        # ONE full-outer pass classifies every key; the per-row change
+        # entries explode from an array so the two snapshots are scanned
+        # and joined exactly once (four filter legs would replan the
+        # join four times — Catalyst does not share unpersisted subplans)
+        entry_arr = (
+            F.when(
+                F.col("ck").isNull(),
+                F.array(
+                    F.struct(
+                        F.lit("delete").alias("t"), F.col("pre_bal").alias("b")
+                    )
+                ),
+            )
+            .when(
+                F.col("pk").isNull(),
+                F.array(
+                    F.struct(
+                        F.lit("insert").alias("t"), F.col("post_bal").alias("b")
+                    )
+                ),
+            )
+            .when(
+                (F.col("pre_bal") != F.col("post_bal"))
+                | (F.col("pre_seg") != F.col("post_seg")),
+                F.array(
+                    F.struct(
+                        F.lit("update_preimage").alias("t"),
+                        F.col("pre_bal").alias("b"),
+                    ),
+                    F.struct(
+                        F.lit("update_postimage").alias("t"),
+                        F.col("post_bal").alias("b"),
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast("array<struct<t:string,b:double>>"))
+        )
+        diff = prev.join(cur, prev.pk == cur.ck, "full")
+        parts.append(
+            diff.select(F.explode(entry_arr).alias("e")).select(
+                ver.alias("commit_version"),
+                F.col("e.t").alias("change_type"),
+                F.col("e.b").alias("bal"),
+            )
+        )
+    feed = parts[0]
+    for p in parts[1:]:
+        feed = feed.unionByName(p)
+    return (
+        feed.groupBy("commit_version", "change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor("bal").cast("long")).alias("bal_floor_sum"),
+        )
+        # <= 4 change types x commits: single-digit row count
+        .coalesce(1)
+        .sortWithinPartitions("commit_version", "change_type")
+    )

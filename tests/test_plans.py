@@ -469,3 +469,41 @@ def test_drift_psi_window_is_partitioned(spark, sf_dir):
     assert win_lines, plan
     for ln in win_lines:
         assert "prio" in ln, ln
+
+
+def test_asof_nearest_single_shuffle_no_join(spark, sf_dir):
+    # r7: both-direction as-of is the union+window formulation — one
+    # shuffle on user_id, and NO join node anywhere (DuckDB pays two
+    # ASOF passes; we pay none)
+    df = _q("join_asof_nearest")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert inspect.shuffle_count(df) <= 1, plan
+
+
+def test_minhash_containment_contracted_no_pair_space(spark, sf_dir):
+    # r7: candidates come from the equi-join ON THE SHINGLE with a df
+    # cap — no cartesian/BNLJ pair space; the contraction groups on the
+    # content key before any shingle work
+    df = _q("text_minhash_containment")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    import re
+
+    keys = [
+        re.sub(r"#\d+L?", "", ln.strip())
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Keys")
+    ]
+    assert any("ckey" in k for k in keys), keys
+
+
+def test_cdc_feed_append_path_reads_only_added_files(spark, sf_dir):
+    # r7: append commits take the no-join fast path (read the ADDed
+    # files), so the whole feed plan contains exactly ONE join — the
+    # replace commit's primary-key full-outer diff
+    df = _q("stream_cdc_feed")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    joins = [ln for ln in plan.splitlines() if ln.startswith("Join type:")]
+    assert joins == ["Join type: FullOuter"], joins

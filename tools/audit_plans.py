@@ -97,6 +97,16 @@ BNLJ_BUILD_ROW_BOUND = 1024
 # with corpus size) blows through it immediately.
 GLOBAL_WIN_INPUT_ROW_BOUND = 1024
 
+# Max rows a coalesce(1) site may actually feed through its single task
+# (VERDICT r6 item 6 — the one audit blind spot left: every
+# `.coalesce(1).sortWithinPartitions(...)` final sort claims its input
+# is bounded by construction, but nothing measured it). The biggest
+# legitimate single-task outputs today are the multi-kilorow per-key
+# detail tables (win_* frames, events_sessionize ~10k at sf0.01); 50k
+# leaves headroom while anything proportional to fact-table row count
+# blows through immediately at the audit SF.
+COALESCE1_INPUT_ROW_BOUND = 50_000
+
 _WINDOW_EXECS = ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec")
 
 
@@ -219,6 +229,61 @@ def global_win_input_rows(df) -> list[int]:
     return rows
 
 
+def _coalesce1_nodes(df) -> list:
+    """CoalesceExec nodes that squeeze to ONE partition — the final-sort
+    `.coalesce(1).sortWithinPartitions(...)` idiom. Legitimate only when
+    the input is bounded by construction; the bound is measured, not
+    trusted (same discipline as BNLJ/GLOBAL_WIN)."""
+    return [
+        node
+        for name, node in _walk(df._jdf.queryExecution().executedPlan())
+        if name == "CoalesceExec" and int(node.numPartitions()) == 1
+    ]
+
+
+def coalesce1_input_rows(df) -> list[int]:
+    """Execute ``df`` and return the measured ``numOutputRows`` of the
+    nearest metered descendant under every coalesce(1) — the row count
+    its single task must absorb."""
+    from collections import deque
+
+    df.collect()
+    rows: list[int] = []
+    for co in _coalesce1_nodes(df):
+        queue = deque()
+        ch = co.children()
+        for i in range(ch.size()):
+            queue.append(ch.apply(i))
+        while queue:
+            n = queue.popleft()
+            nn = n.getClass().getSimpleName()
+            if nn == "AdaptiveSparkPlanExec":
+                queue.append(n.executedPlan())
+                continue
+            if nn.endswith("QueryStageExec"):
+                queue.append(n.plan())
+                continue
+            if nn == "ReusedExchangeExec":
+                queue.append(n.child())
+                continue
+            if nn in (
+                "TakeOrderedAndProjectExec",
+                "GlobalLimitExec",
+                "LocalLimitExec",
+                "CollectLimitExec",
+            ):
+                rows.append(int(n.limit()))
+                break
+            m = n.metrics()
+            if m.contains("numOutputRows"):
+                rows.append(int(m.apply("numOutputRows").value()))
+                break
+            cc = n.children()
+            for i in range(cc.size()):
+                queue.append(cc.apply(i))
+    return rows
+
+
 def audit(key: str, df) -> list[str]:
     plan = plan_of(df)
     flags = []
@@ -230,6 +295,8 @@ def audit(key: str, df) -> list[str]:
         flags.append("PY_ROW")
     if _global_window_nodes(df):
         flags.append("GLOBAL_WIN")
+    if _coalesce1_nodes(df):
+        flags.append("COALESCE1")
     return flags
 
 
@@ -262,12 +329,21 @@ def main() -> None:
             print(f"[{kind}] {key}: {type(e).__name__}: {str(e)[:120]}")
             bad += 1
             continue
-        undeclared = [f for f in flags if f not in DECLARED.get(key, set())]
+        # COALESCE1 is not whitelist-declared: EVERY site is measured
+        # against its row bound below (the idiom is fleet-wide; the claim
+        # "bounded by construction" is what gets verified)
+        undeclared = [
+            f
+            for f in flags
+            if f != "COALESCE1" and f not in DECLARED.get(key, set())
+        ]
         if undeclared:
             print(f"[FLAG] {key}: {','.join(undeclared)}")
             bad += 1
         elif flags:
-            if args.no_bounds or not ({"BNLJ", "GLOBAL_WIN"} & set(flags)):
+            if args.no_bounds or not (
+                {"BNLJ", "GLOBAL_WIN", "COALESCE1"} & set(flags)
+            ):
                 print(f"[ok* ] {key}: declared {','.join(flags)}")
                 continue
             notes, oversize = [], []
@@ -288,6 +364,15 @@ def main() -> None:
                         f"(bound {GLOBAL_WIN_INPUT_ROW_BOUND})"
                         for r in win_rows
                         if r > GLOBAL_WIN_INPUT_ROW_BOUND
+                    ]
+                if "COALESCE1" in flags:
+                    co_rows = coalesce1_input_rows(df)
+                    notes.append(f"coalesce1 rows={co_rows}")
+                    oversize += [
+                        f"COALESCE1_OVERSIZE single-task input rows={r} "
+                        f"(bound {COALESCE1_INPUT_ROW_BOUND})"
+                        for r in co_rows
+                        if r > COALESCE1_INPUT_ROW_BOUND
                     ]
             except Exception as e:
                 print(f"[ERR ] {key}: bound check: {type(e).__name__}: {str(e)[:100]}")
