@@ -170,150 +170,218 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     edges AS (SELECT u, v FROM ew WHERE w >= 2),
     deg AS (
-        SELECT node, count(*) AS d FROM (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
             SELECT u AS node FROM edges
             UNION ALL
             SELECT v AS node FROM edges
         ) ends GROUP BY node
     ),
-    oriented AS (
-        SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
-                    THEN e.u ELSE e.v END AS src,
-               CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
-                    THEN e.v ELSE e.u END AS dst
-        FROM edges e
-        JOIN deg du ON du.node = e.u
-        JOIN deg dv ON dv.node = e.v
-    ),
-    wedges AS (
-        SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
-        FROM oriented o1 JOIN oriented o2 ON o1.dst = o2.src
+    wedge AS (
+        SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
     ),
     tri AS (
-        SELECT count(*) AS n_triangles
-        FROM wedges w
-        WHERE EXISTS (SELECT 1 FROM oriented o
-                      WHERE o.src = w.a AND o.dst = w.c)
+        -- u < v < w triple with all three edges; each triangle once
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
     )
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges)  AS n_edges,
-           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
-           CAST(t.n_triangles AS BIGINT)                 AS n_triangles,
-           round(CAST(t.n_triangles AS DOUBLE)
-                 / (SELECT count(*) FROM wedges), 6)     AS closure_ratio
-    FROM tri t
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           w.n_wedges,
+           t.n_triangles,
+           round(3.0 * t.n_triangles / w.n_wedges, 6) AS closure_ratio
+    FROM tri t, wedge w
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed triangle counting with degree orientation (the
-    Cohen / "node-iterator++" MapReduce classic). Graph: users co-purchasing
-    in the same hour. Each undirected edge is oriented from the lower
-    (degree, id) endpoint to the higher, which (a) counts every triangle
-    exactly once and (b) bounds the wedge fan-out per node by its
-    out-degree in the orientation — O(m^1.5) total work on any graph,
-    versus unbounded hub fan-out for the naive neighbor join.
+    """Exact triangle census + global clustering coefficient of the
+    co-purchase graph (users co-purchasing in >=2 distinct hours; the
+    w>=2 threshold is the r5 co-occurrence denoise, applied identically
+    in the oracle). Outputs edge count, wedge count (standard undirected
+    paths-of-length-2, sum-over-nodes C(d,2)), triangle count, and
+    transitivity 3*T/W.
 
-    Edges require co-purchasing in >=2 DISTINCT hours (r5): a single
-    shared hour is coincidence at any realistic event rate, and the
-    weight threshold is also what keeps the graph sane under load — the
-    unweighted sf1 graph (10x events in the same time range) densified
-    to 24.4M edges / avg degree ~800 and the true wedge count exploded
-    past memory; w>=2 keeps 2.9M structural edges and the count
-    finishes. This is the standard co-occurrence denoising treatment,
-    not a sampling approximation — the oracle applies the same
-    threshold exactly.
+    r7 rewrite — CONTENT-CONTRACTED, the discipline every pair operator
+    here follows (CLAUDE-notes scale rule): the corpus upscale clones
+    user behavior, so users are grouped by their EXACT hour-set (md5 of
+    the sorted hours; 150k users -> 1.5k distinct sets at sf10) and all
+    graph arithmetic runs on set-representatives with multiplicities:
 
-    Scale: pair generation is blocked by the hour bucket (bounded
-    quadratic per block, the same discipline as the dedup family).
-    Triangles close via ADJACENCY-LIST INTERSECTION (r7): each node's
-    sorted out-neighbor array (bounded ~sqrt(2m) by the orientation) is
-    joined to both endpoints of every oriented edge, and
-    |N+(a) ∩ N+(b)| sums in-task — the wedge set itself is NEVER
-    materialized or shuffled, which is what blew the 480 s sf10 budget
-    in r6 (the join-form shuffled every wedge ROW; billions at sf10).
-    n_wedges comes from the same identity the join computed the long
-    way: Σ_b indeg(b)·outdeg(b). Output is a single summary row; the
-    oracle keeps the explicit wedge join (exact at the gate SF) —
-    identical numbers, different physical strategy, which is the point.
-    """
+      * every user pair within a group shares its whole hour-set, so a
+        group with |H|>=2 expands to an internal clique: C(m,2) edges;
+      * every cross pair between groups i,j shares exactly |Hi ∩ Hj|
+        hours — one rep-pair test (hour-blocked equi-join over 1.5k
+        reps) decides ALL mi*mj expanded edges at once;
+      * degrees are group-uniform: d_i = Σ_adj m_j + (m_i-1)[clique],
+        so wedges Σ_u C(d_u,2) = Σ_i m_i*C(d_i,2) — exact, analytic;
+      * triangles decompose by how many groups they touch:
+        3 groups — enumerate contracted triangles (u<v<w triple join on
+        the 28.7k-edge rep graph at sf10 — trivial) weighted mi*mj*mk;
+        2 groups — C(mi,2)*mj per clique-side of each rep edge;
+        1 group — C(mi,3) per clique group.
+
+    The r6 form materialized the per-hour user pair join (2.85 BILLION
+    rows at sf10 — the 480 s sweep TIMEOUT was edge GENERATION, not the
+    wedge work); the contracted form runs the same census in seconds and
+    its cost is bounded by CONTENT cardinality, exactly the property the
+    upscale is designed to punish. The oracle computes the same census
+    directly on the expanded graph — parity proves the expansion algebra.
+    (The pre-r7 output reported ORIENTED wedge counts — an id-dependent
+    quantity under degree-orientation tie-breaks; the standard undirected
+    definition reported now is permutation-invariant, which is what makes
+    the contraction exact.)"""
     purch = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .select("user_id", F.date_trunc("hour", "ts").alias("hr"))
         .distinct()
     )
-    a = purch.select(F.col("user_id").alias("ua"), "hr")
-    b = purch.select(F.col("user_id").alias("ub"), "hr")
-    edges = (
-        a.join(b, ["hr"])
-        .filter(F.col("ua") < F.col("ub"))
-        .groupBy(F.col("ua").alias("u"), F.col("ub").alias("v"))
+    groups = (
+        purch.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("hr")).alias("hs"))
+        .groupBy(
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("hs", lambda h: h.cast("string"))
+                )
+            ).alias("ck")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.first("hs").alias("hs"),
+        )
+        .select(
+            "ck",
+            "m",
+            "hs",
+            (F.size("hs") >= 2).cast("int").alias("clique"),
+        )
+    )
+    # one rep-level pass serves edge gen, degree agg, and the triple join
+    groups = groups.localCheckpoint(eager=True)
+    gh = groups.select("ck", "m", F.explode("hs").alias("hr"))
+    ga = gh.select(F.col("ck").alias("ca"), F.col("m").alias("ma"), "hr")
+    gb = gh.select(F.col("ck").alias("cb"), F.col("m").alias("mb"), "hr")
+    redges = (
+        ga.join(gb, "hr")
+        .filter(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "cb", "ma", "mb")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 2)
-        .select("u", "v")
+        .select("ca", "cb", "ma", "mb")
     )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
+    redges = redges.localCheckpoint(eager=True)
+    info = groups.select("ck", "m", "clique")
+    # expanded edge count: cross products + internal cliques
+    cross_e = redges.agg(
+        F.coalesce(F.sum(F.col("ma") * F.col("mb")), F.lit(0))
+        .cast("long")
+        .alias("ce")
     )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    fwd = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    intra_e = info.agg(
+        F.coalesce(
+            F.sum(F.col("clique") * F.col("m") * (F.col("m") - 1) / 2),
+            F.lit(0),
         )
+        .cast("long")
+        .alias("ie")
     )
-    # materialize the oriented edge list once: three consumers below
-    # (adjacency build + two endpoint joins + degree products)
-    oriented = oriented.localCheckpoint(eager=True)
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    # group-uniform degree: sum of adjacent multiplicities + own clique
+    adj_m = (
+        redges.select(F.col("ca").alias("ck"), F.col("mb").alias("am"))
+        .unionAll(
+            redges.select(F.col("cb").alias("ck"), F.col("ma").alias("am"))
+        )
+        .groupBy("ck")
+        .agg(F.sum("am").alias("s"))
     )
-    adj_a = adj.select(F.col("src").alias("src"), F.col("nbrs").alias("na"))
-    adj_b = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nb"))
-    # per oriented edge (a,b): |N+(a) ∩ N+(b)| closes that many
-    # triangles; edges whose dst has no out-edges (left join -> null)
-    # close none
-    tri = (
-        oriented.join(adj_a, "src")
-        .join(adj_b, "dst", "left")
-        .select(
-            F.when(
-                F.col("nb").isNull(), F.lit(0)
+    degs = info.join(adj_m, "ck", "left").select(
+        "ck",
+        "m",
+        "clique",
+        (
+            F.coalesce(F.col("s"), F.lit(0))
+            + (F.col("m") - 1) * F.col("clique")
+        ).alias("d"),
+    )
+    n_wedges = degs.agg(
+        F.sum(F.col("m") * F.col("d") * (F.col("d") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges")
+    )
+    # triangles: 3-group (contracted triple join), 2-group, 1-group terms
+    e12 = redges.select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+    e23 = redges.select(F.col("ca").alias("b"), F.col("cb").alias("c"))
+    e13 = redges.select(F.col("ca").alias("a"), F.col("cb").alias("c"))
+    m_of = lambda side: info.select(  # noqa: E731
+        F.col("ck").alias(side), F.col("m").alias(f"m_{side}")
+    )
+    t3 = (
+        e12.join(e23, "b")
+        .join(e13, ["a", "c"], "left_semi")
+        .join(m_of("a"), "a")
+        .join(m_of("b"), "b")
+        .join(m_of("c"), "c")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("m_a") * F.col("m_b") * F.col("m_c")), F.lit(0)
             )
-            .otherwise(F.size(F.array_intersect("na", "nb")))
-            .alias("closed")
+            .cast("long")
+            .alias("t3")
         )
-        .agg(F.sum("closed").cast("long").alias("n_triangles"))
     )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    # wedge a->b->c counts = Σ_b indeg(b)·outdeg(b), the identity the
-    # o1⋈o2 join materialized row-by-row before r7
-    outd = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    ind = oriented.groupBy("dst").agg(F.count(F.lit(1)).alias("id_"))
-    n_wedges = (
-        outd.join(ind, outd.src == ind.dst)
-        .agg(F.sum(F.col("od") * F.col("id_")).cast("long").alias("n_wedges"))
+    cl = info.select("ck", "clique")
+    t2 = (
+        redges.join(
+            cl.select(F.col("ck").alias("ca"), F.col("clique").alias("qa")),
+            "ca",
+        )
+        .join(
+            cl.select(F.col("ck").alias("cb"), F.col("clique").alias("qb")),
+            "cb",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("qa") * (F.col("ma") * (F.col("ma") - 1) / 2) * F.col("mb")
+                    + F.col("qb") * (F.col("mb") * (F.col("mb") - 1) / 2) * F.col("ma")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("t2")
+        )
+    )
+    t1 = info.agg(
+        F.coalesce(
+            F.sum(
+                F.col("clique")
+                * (F.col("m") * (F.col("m") - 1) * (F.col("m") - 2) / 6)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("t1")
     )
     return (
-        tri.join(broadcast(n_edges))
+        t3.join(broadcast(t2))
+        .join(broadcast(t1))
+        .join(broadcast(cross_e))
+        .join(broadcast(intra_e))
         .join(broadcast(n_wedges))
         .select(
-            "n_edges",
+            (F.col("ce") + F.col("ie")).alias("n_edges"),
             "n_wedges",
-            "n_triangles",
+            (F.col("t3") + F.col("t2") + F.col("t1")).alias("n_triangles"),
             F.round(
-                F.col("n_triangles").cast("double") / F.col("n_wedges"), 6
+                F.lit(3.0)
+                * (F.col("t3") + F.col("t2") + F.col("t1"))
+                / F.col("n_wedges"),
+                6,
             ).alias("closure_ratio"),
         )
     )
+
 
 
 def _bfs_oracle(rounds: int = 3) -> str:

@@ -507,3 +507,26 @@ def test_cdc_feed_append_path_reads_only_added_files(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     joins = [ln for ln in plan.splitlines() if ln.startswith("Join type:")]
     assert joins == ["Join type: FullOuter"], joins
+
+
+def test_triangle_count_is_content_contracted(spark, sf_dir):
+    # r7: all graph arithmetic runs on hour-set representatives — the
+    # plan must aggregate on the content key (md5 hour-set) before any
+    # pair join; the 2.85B-row per-hour USER pair join (r6 sf10 timeout)
+    # must not reappear
+    df = _q("graph_triangle_count")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    import re
+
+    keys = [
+        re.sub(r"#\d+L?", "", ln.strip())
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Keys")
+    ]
+    assert any("ck" in k for k in keys), keys
+    # user_id may appear only in the per-user hour-set build, never as a
+    # join key (the pair space is rep-level)
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join condition" in ln or "keys" in ln
+    ]
+    assert not any("user_id" in ln for ln in join_lines), join_lines
