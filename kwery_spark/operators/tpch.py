@@ -261,6 +261,24 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         ).select("o_orderkey", "o_custkey")
         cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        # c_nationkey = s_nationkey + r_name='ASIA' implies c_nationkey is
+        # one of the <=25 ASIA nation keys. nation is a spec-CONSTANT
+        # 25-row table at every SF (TPC-H), so evaluating the key list
+        # driver-side is a bounded-scalar collect (same class as the
+        # sanctioned dedup loop counter, never data-sized) and turns the
+        # residual into a literal In() pushed into the customer parquet
+        # scan — row groups skip and the broadcast build shrinks 5x.
+        # Measured sf10: 1.60 -> 0.98 s; the broadcast-JOIN form of the
+        # same pruning measured SLOWER (2.38 s) because it cannot push.
+        asia_keys = sorted(
+            r.n_nationkey
+            for r in nation.join(
+                region, nation.n_regionkey == region.r_regionkey
+            )
+            .select("n_nationkey")
+            .collect()
+        )
+        cust = cust.filter(F.col("c_nationkey").isin(asia_keys))
         return (
             li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(

@@ -329,6 +329,12 @@ def test_bucketed_tpch_paths_exchange_free(spark, sf_dir):
             plan = df._jdf.queryExecution().executedPlan().toString()
             shuffles = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
             assert len(shuffles) <= max_shuffles, (key, shuffles)
+            if key == "q5_local_supplier":
+                # the <=25-key ASIA literal derived from the constant
+                # nation table must reach the customer parquet scan as a
+                # pushed In() — the broadcast-join form of the same
+                # pruning measured 2.4x slower at sf10 (cannot push)
+                assert re.search(r"PushedFilters: \[[^\]]*In\(c_nationkey", plan), plan
     finally:
         spark.conf.unset("spark.sql.cbo.enabled")
 
