@@ -282,9 +282,15 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     per arm, tools/exp_json.py): stored variant 0.328 s < shredded
     0.478 s < string+get_json_object 1.79 s < string+from_json('k INT')
     2.36 s — the rejection holds at a scan-dominated SF and the pruned-
-    schema from_json arm is 7x off; representation knobs are exhausted,
-    the residual ~4x vs DuckDB (0.055-0.068 s) is variant_get binary
-    extraction throughput vs yyjson on a single box.
+    schema from_json arm is 7x off; representation knobs are exhausted.
+    r7 closed the final arm: a fully PRE-EXTRACTED typed int column
+    (props.k materialized at ingest, no variant involved) measured
+    0.30-0.35 s at sf10 — IDENTICAL to stored-variant extraction.
+    variant_get therefore contributes ~nothing at this SF; the residual
+    ~4x vs DuckDB (0.055-0.068 s) is the scan+hash-agg machinery floor
+    on a single box, which amortizes with executor count on a cluster.
+    fn_json is CLOSED: no representation or extraction change can move
+    it further.
 
     Parse parallelism: at bench SF the events file has 2 row groups, so
     the scan yields 2 input partitions and the parse runs nearly
