@@ -1699,3 +1699,134 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("event_type", "day")
     )
+
+
+_POISSON1_CDF_CASE = """CASE WHEN {u} < 0.36787944117144233 THEN 0
+         WHEN {u} < 0.7357588823428847 THEN 1
+         WHEN {u} < 0.9196986029286058 THEN 2
+         WHEN {u} < 0.9810118431238463 THEN 3
+         WHEN {u} < 0.9963401531726563 THEN 4
+         WHEN {u} < 0.9994058151824183 THEN 5
+         ELSE 6 END"""
+
+
+@register(
+    "events_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+        SELECT e.event_type, e.value, r.range AS b,
+               CAST('0x' || substring(md5(CAST(e.event_id AS VARCHAR) || '_'
+                        || CAST(r.range AS VARCHAR)), 1, 8) AS BIGINT)
+                   / 4294967296.0 AS u
+        FROM events e CROSS JOIN range(0, 32) r
+    ),
+    weighted AS (
+        SELECT event_type, b, value,
+               {_POISSON1_CDF_CASE.format(u="u")} AS c
+        FROM reps
+    ),
+    boot AS (
+        SELECT event_type, b,
+               CAST(sum(c * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(sum(c) AS BIGINT) AS mean_b
+        FROM weighted
+        GROUP BY event_type, b
+        HAVING sum(c) > 0
+    ),
+    ranked AS (
+        SELECT event_type, mean_b,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY mean_b, b) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS nb
+        FROM boot
+    ),
+    ci AS (
+        SELECT event_type,
+               CAST(max(nb) AS BIGINT) AS n_reps,
+               round(max(CASE WHEN rk = 2 THEN mean_b END), 6) AS ci_lo,
+               round(max(CASE WHEN rk = nb - 1 THEN mean_b END), 6) AS ci_hi
+        FROM ranked
+        GROUP BY event_type
+    ),
+    base AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*), 6) AS mean_obs
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT b.event_type, b.n_events, b.mean_obs, c.n_reps, c.ci_lo, c.ci_hi
+    FROM base b JOIN ci c ON b.event_type = c.event_type
+    ORDER BY b.event_type
+    """,
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value
+    per event_type — the distributed-bootstrap construction of Chamandy
+    et al. ("Estimating uncertainty for massive data streams", Google
+    2012): instead of resampling n rows with replacement (which needs a
+    global shuffle per replicate), each row independently enters
+    replicate b with a Poisson(1) count. 32 replicates; the CI is the
+    [2nd, 31st] of the 32 sorted replicate means (a ~93.75% interval).
+
+    Determinism discipline: the Poisson draw inverts the exact CDF at
+    u = md5(event_id, b)-derived uniform (a rational with denominator
+    2^32, bit-identical in both engines), so every replicate is
+    replayed hash-for-hash by the oracle — never rand(). Replicate sums
+    accumulate DECIMAL(18,2) (order-independent), and the only float
+    division happens once per (type, b) on the exact scalars.
+
+    Scale: the 32x fan-out happens INSIDE the scan stage
+    (explode(sequence) followed immediately by groupBy — partial
+    map-side aggregation folds it before any data moves), so the
+    shuffle carries |event_types| x 32 partial rows regardless of input
+    size: bootstrap at 100 TB costs one pass over the data plus a
+    constant-size shuffle. The rank window partitions by event_type
+    with <=32 rows per group."""
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    reps = ev.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31))))
+    u = (
+        "CAST(conv(substring(md5(concat(cast(event_id AS string), '_', "
+        "cast(b AS string))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"
+    )
+    boot = (
+        reps.withColumn("c", F.expr(_POISSON1_CDF_CASE.format(u=f"({u})")))
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("c") * F.col("value").cast("decimal(18,2)")).alias("wsum"),
+            F.sum("c").alias("wcnt"),
+        )
+        .filter(F.col("wcnt") > 0)
+        .withColumn("mean_b", F.col("wsum").cast("double") / F.col("wcnt"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("mean_b", "b")
+    wn = Window.partitionBy("event_type")
+    ci = (
+        boot.withColumn("rk", F.row_number().over(wr))
+        .withColumn("nb", F.count(F.lit(1)).over(wn))
+        .groupBy("event_type")
+        .agg(
+            F.max("nb").alias("n_reps"),
+            F.round(
+                F.max(F.when(F.col("rk") == 2, F.col("mean_b"))), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.max(F.when(F.col("rk") == F.col("nb") - 1, F.col("mean_b"))), 6
+            ).alias("ci_hi"),
+        )
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_obs"),
+    )
+    return (
+        base.join(F.broadcast(ci), "event_type")
+        .select("event_type", "n_events", "mean_obs", "n_reps", "ci_lo", "ci_hi")
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
+    )

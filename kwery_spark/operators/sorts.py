@@ -140,3 +140,79 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc_nulls_last(),
         F.col("o_orderkey"),
     )
+
+
+@register(
+    "topk_pareto_frontier",
+    oracle="""
+    WITH sizes AS (
+        SELECT p_size, min(p_retailprice) AS best_price
+        FROM part GROUP BY p_size
+    ),
+    frontier AS (
+        SELECT s.p_size, s.best_price
+        FROM sizes s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM sizes s2
+            WHERE s2.p_size > s.p_size AND s2.best_price <= s.best_price
+        )
+    )
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p
+    JOIN frontier f
+      ON p.p_size = f.p_size AND p.p_retailprice = f.best_price
+    ORDER BY p.p_size, p.p_partkey
+    """,
+)
+def topk_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) over part: maximize p_size, minimize
+    p_retailprice — the rows no other row dominates (>= in both
+    dimensions, strictly better in one). The skyline operator of
+    Borzsonyi/Kossmann/Stocker (ICDE 2001), expressed Spark-first.
+
+    Scale: a naive skyline is an all-pairs dominance anti-join. For a
+    2-D skyline the dominance test factors through one dimension's
+    domain: a row is on the frontier iff its price equals the minimum
+    price AT its size and no LARGER size achieves <= that price. So the
+    plan contracts part to one (size, min_price) row per distinct size
+    FIRST (map-side-combined groupBy — p_size is a bounded attribute
+    domain, <=50 values at every SF, CONTENT cardinality not row count),
+    runs the suffix-min dominance scan as a window over those <=50 rows
+    (declared GLOBAL_WIN, measured bound in tools/audit_plans.py), and
+    broadcast-joins the surviving (size, price) pairs back to emit the
+    frontier rows. No pair space ever exists; the only shuffle is the
+    50-group aggregate. Duplicate frontier points are all kept — equal
+    rows do not dominate each other (strictness requirement).
+
+    The descending RANGE frame (unboundedPreceding, -1) is exactly
+    "all rows with size strictly greater": with a descending ordering
+    Spark evaluates range offsets on the negated key, so end=-1 means
+    size' >= size+1."""
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    sizes = part.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("best_price")
+    )
+    above = (
+        Window.orderBy(F.col("p_size").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        sizes.withColumn("best_above", F.min("best_price").over(above))
+        .filter(
+            F.col("best_above").isNull()
+            | (F.col("best_above") > F.col("best_price"))
+        )
+        .select(F.col("p_size").alias("f_size"), "best_price")
+    )
+    return (
+        part.join(
+            F.broadcast(frontier),
+            (part.p_size == frontier.f_size)
+            & (part.p_retailprice == frontier.best_price),
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+        .coalesce(1)
+        .sortWithinPartitions("p_size", "p_partkey")
+    )

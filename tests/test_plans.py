@@ -536,3 +536,41 @@ def test_triangle_count_is_content_contracted(spark, sf_dir):
         ln for ln in plan.splitlines() if "Join condition" in ln or "keys" in ln
     ]
     assert not any("user_id" in ln for ln in join_lines), join_lines
+
+
+def test_pareto_frontier_contracts_then_broadcasts(spark, sf_dir):
+    # r7: the skyline runs on the contracted (size, min_price) set —
+    # one hash exchange (the size groupBy), the dominance window over
+    # the <=50 contracted rows (declared GLOBAL_WIN, audit-measured),
+    # and a broadcast join back; never a pair-space dominance join
+    df = _q("topk_pareto_frontier")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the size groupBy + the <=50-row single-partition window exchange
+    assert inspect.shuffle_count(df) <= 2, plan
+
+
+def test_bootstrap_ci_folds_fanout_map_side(spark, sf_dir):
+    # r7: the 32x Poisson fan-out must collapse inside the scan stage —
+    # a partial HashAggregate on (event_type, b) BEFORE the first
+    # exchange — so the shuffle carries |types| x 32 rows, not 32x the
+    # input; no join fan-out anywhere (the only join is the tiny
+    # base-stats broadcast)
+    df = _q("events_bootstrap_ci")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # (event_type, b) groupBy + type window + base-stats groupBy
+    assert inspect.shuffle_count(df) <= 3, plan
+    # a (event_type, b) grouping must exist — the partial aggregate that
+    # folds the 32x explode before its exchange ships anything
+    import re
+
+    keys = [
+        re.sub(r"#\d+L?", "", ln.strip())
+        for ln in plan.splitlines()
+        if ln.strip().startswith("Keys")
+    ]
+    assert any("event_type" in k and ", b" in k for k in keys), keys

@@ -80,6 +80,10 @@ DECLARED = {
                                      # so its input is <=100 rows by construction
                                      # (measured below via GLOBAL_WIN bound)
     "warehouse_snapshot_diff": {"BNLJ"},  # join(broadcast(1-row add/remove counts))
+    "topk_pareto_frontier": {"GLOBAL_WIN"},  # suffix-min dominance scan over the
+                                     # CONTRACTED (size, min_price) set — p_size
+                                     # is a bounded attribute domain (<=50
+                                     # values at every SF), measured below
 }
 
 
