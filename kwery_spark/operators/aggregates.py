@@ -1462,3 +1462,148 @@ def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("l_returnflag")
     )
+
+
+def _irls_core(rounds: int = 3) -> tuple[str, str]:
+    """Unrolled IRLS rounds as pure-arithmetic CTE text, valid verbatim
+    in BOTH Spark SQL and DuckDB (shared by ml_logistic_irls and its
+    oracle — one generator, zero drift). Expects a CTE ``grid(h, d, n,
+    sy)`` with h DECIMAL(2,0), d DECIMAL(1,0), n/sy DECIMAL(12,0).
+
+    Determinism: the sigmoid is evaluated per GRID CELL (<=168 of
+    them), rounded to 9dp, and re-cast DECIMAL before every sum — the
+    events_attribution discipline — so all nine sufficient statistics
+    accumulate exact decimals, order-independently, with every
+    intermediate product explicitly cast to stay under DECIMAL(38)
+    in both engines' (different) precision-promotion rules. The only
+    float arithmetic is the per-cell link evaluation and the final
+    3x3 Cramer solve on bit-identical scalars."""
+    parts = []
+    prev = None
+    for r in range(rounds):
+        eta = (
+            "CAST(0.0 AS DOUBLE)"
+            if prev is None
+            else "round(b.beta0 + b.beta1*g.h + b.beta2*g.d, 9)"
+        )
+        src = "grid g" if prev is None else f"grid g CROSS JOIN {prev} b"
+        parts.append(f"""
+    stats{r} AS (
+        SELECT CAST(sum(nw) AS DOUBLE) AS a00,
+               CAST(sum(nw*h) AS DOUBLE) AS a01,
+               CAST(sum(nw*d) AS DOUBLE) AS a02,
+               CAST(sum(nw*h*h) AS DOUBLE) AS a11,
+               CAST(sum(nw*h*d) AS DOUBLE) AS a12,
+               CAST(sum(nw*d*d) AS DOUBLE) AS a22,
+               CAST(sum(bz) AS DOUBLE) AS b0,
+               CAST(sum(bz*h) AS DOUBLE) AS b1,
+               CAST(sum(bz*d) AS DOUBLE) AS b2
+        FROM (
+            SELECT h, d, nw,
+                   CAST(round(nw*etad, 9) AS DECIMAL(30,9)) + sy - np AS bz
+            FROM (
+                SELECT g.h, g.d, g.sy,
+                       CAST(CAST(g.n AS DECIMAL(12,0))
+                            * CAST(round(p*(1-p), 9) AS DECIMAL(11,9))
+                            AS DECIMAL(24,9)) AS nw,
+                       CAST(eta AS DECIMAL(12,9)) AS etad,
+                       CAST(CAST(g.n AS DECIMAL(12,0)) * p AS DECIMAL(24,9)) AS np
+                FROM (
+                    SELECT g.h, g.d, g.n, g.sy, {eta} AS eta,
+                           CAST(round(1.0/(1.0+exp(-({eta}))), 9)
+                                AS DECIMAL(10,9)) AS p
+                    FROM {src}
+                ) g
+            ) g
+        ) g
+    ),
+    beta{r} AS (
+        SELECT (b0*(a11*a22-a12*a12) - a01*(b1*a22-a12*b2) + a02*(b1*a12-a11*b2))
+               / (a00*(a11*a22-a12*a12) - a01*(a01*a22-a12*a02)
+                  + a02*(a01*a12-a11*a02)) AS beta0,
+               (a00*(b1*a22-b2*a12) - b0*(a01*a22-a12*a02) + a02*(a01*b2-b1*a02))
+               / (a00*(a11*a22-a12*a12) - a01*(a01*a22-a12*a02)
+                  + a02*(a01*a12-a11*a02)) AS beta1,
+               (a00*(a11*b2-a12*b1) - a01*(a01*b2-b1*a02) + b0*(a01*a12-a11*a02))
+               / (a00*(a11*a22-a12*a12) - a01*(a01*a22-a12*a02)
+                  + a02*(a01*a12-a11*a02)) AS beta2
+        FROM stats{r}
+    )""")
+        prev = f"beta{r}"
+    return ",".join(parts), prev
+
+
+_IRLS_CORE, _IRLS_LAST = _irls_core(3)
+
+_IRLS_FINAL = f"""SELECT round(beta0, 6) AS beta_intercept,
+       round(beta1, 6) AS beta_hour,
+       round(beta2, 6) AS beta_dow,
+       round(1.0/(1.0+exp(-(beta0 + beta1*12 + beta2*3))), 6)
+           AS p_error_wed_noon
+FROM {_IRLS_LAST}"""
+
+
+@register(
+    "ml_logistic_irls",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(extract(hour FROM ts) AS DECIMAL(2,0)) AS h,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                    AS DECIMAL(1,0)) AS d,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    grid AS (
+        SELECT h, d, CAST(count(*) AS DECIMAL(12,0)) AS n,
+               CAST(sum(y) AS DECIMAL(12,0)) AS sy
+        FROM base GROUP BY h, d
+    ),{_IRLS_CORE}
+    {_IRLS_FINAL}
+    """,
+)
+def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression P(event_type='error') ~ hour + weekday + 1,
+    fit by 3 unrolled IRLS (iteratively reweighted least squares)
+    rounds — Newton's method on the log-likelihood, each round one
+    weighted normal-equation solve.
+
+    Spark-first shape: both features have BOUNDED ATTRIBUTE DOMAINS
+    (24 hours x 7 weekdays), so the input contracts to a <=168-cell
+    contingency grid in one map-side-combined groupBy — the classic
+    sufficient-statistics-on-the-grid trick. Every IRLS round is then
+    arithmetic over <=168 rows: the link evaluation, the nine X^T W X /
+    X^T W z moments, and a closed-form 3x3 Cramer solve, all expressed
+    as CTEs over the grid. At 100 TB the data pass is the ONE grid
+    aggregation; the iterations never touch the input again (vs
+    per-round full passes in naive distributed IRLS).
+
+    The round-unrolled CTE text is generated by _irls_core and shared
+    VERBATIM with the DuckDB oracle, so both engines run the identical
+    arithmetic: per-cell sigmoids rounded to 9dp then DECIMAL-cast
+    before order-independent sums (events_attribution discipline),
+    float math only on bit-identical scalars. Validated against an
+    unrounded NumPy IRLS: identical to 6dp at sf0.001 and sf0.01.
+
+    Weekday via epoch-day %% 7 (engine-neutral — Spark dayofweek and
+    DuckDB dow number differently, working-notes rule)."""
+    ev = table(spark, sf_dir, "events").select("ts", "event_type")
+    base = ev.select(
+        F.hour("ts").cast("decimal(2,0)").alias("h"),
+        (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("decimal(1,0)")
+        .alias("d"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("y"),
+    )
+    grid = base.groupBy("h", "d").agg(
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
+        F.sum("y").cast("decimal(12,0)").alias("sy"),
+    )
+    # each unrolled round references the grid once; localCheckpoint
+    # truncates the lineage so the events scan + groupBy run ONCE and
+    # the three rounds read the <=168 materialized rows (the iterative-
+    # op discipline graph.py uses) instead of re-scanning the input
+    grid = grid.localCheckpoint(eager=True)
+    grid.createOrReplaceTempView("__irls_grid")
+    return spark.sql(
+        f"WITH grid AS (SELECT * FROM __irls_grid),{_IRLS_CORE}\n{_IRLS_FINAL}"
+    )

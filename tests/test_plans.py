@@ -574,3 +574,13 @@ def test_bootstrap_ci_folds_fanout_map_side(spark, sf_dir):
         if ln.strip().startswith("Keys")
     ]
     assert any("event_type" in k and ", b" in k for k in keys), keys
+
+
+def test_logistic_irls_single_data_pass(spark, sf_dir):
+    # r7: the three unrolled IRLS rounds must iterate over the <=168-row
+    # localCheckpointed grid — the events parquet is scanned ONCE at
+    # checkpoint time and must not appear in the final plan at all
+    df = _q("ml_logistic_irls")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "events.parquet" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -80,6 +80,8 @@ DECLARED = {
                                      # so its input is <=100 rows by construction
                                      # (measured below via GLOBAL_WIN bound)
     "warehouse_snapshot_diff": {"BNLJ"},  # join(broadcast(1-row add/remove counts))
+    "ml_logistic_irls": {"BNLJ"},    # CROSS JOIN(1-row beta vector) x <=168-cell
+                                     # grid, once per unrolled IRLS round
     "topk_pareto_frontier": {"GLOBAL_WIN"},  # suffix-min dominance scan over the
                                      # CONTRACTED (size, min_price) set — p_size
                                      # is a bounded attribute domain (<=50
