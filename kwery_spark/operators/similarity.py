@@ -1283,3 +1283,141 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("label")
     )
+
+
+def _mmr_core(k: int = 5) -> tuple[str, str]:
+    """Unrolled Maximal-Marginal-Relevance greedy selection as
+    pure-arithmetic CTE text, valid verbatim in BOTH Spark SQL and
+    DuckDB (shared by sim_mmr_rerank and its oracle). Expects CTEs
+    ``cands(vec_id, rel)`` (the candidate set with query relevance)
+    and ``pairs(a, b, s)`` (pairwise candidate cosines, a <> b).
+    Lambda literals are written as exact decimal strings ("0.7"/"0.3")
+    — never computed as 1-lam, which would embed
+    0.30000000000000004."""
+    parts = [
+        """
+    sel0 AS (
+        SELECT vec_id, rel AS score, 1 AS pick
+        FROM cands ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for r in range(1, k):
+        parts.append(f"""
+    scored{r} AS (
+        SELECT c.vec_id, c.rel, max(p.s) AS maxsim
+        FROM cands c
+        JOIN pairs p ON p.a = c.vec_id
+        JOIN sel{r - 1} s ON p.b = s.vec_id
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+        GROUP BY c.vec_id, c.rel
+    ),
+    pick{r} AS (
+        SELECT vec_id, 0.7*rel - 0.3*maxsim AS mmr
+        FROM scored{r}
+        ORDER BY mmr DESC, vec_id LIMIT 1
+    ),
+    sel{r} AS (
+        SELECT vec_id, score, pick FROM sel{r - 1}
+        UNION ALL
+        SELECT vec_id, mmr, {r + 1} FROM pick{r}
+    )""")
+    return ",".join(parts), f"sel{k - 1}"
+
+
+_MMR_CORE, _MMR_LAST = _mmr_core(5)
+
+_MMR_FINAL = f"""SELECT CAST(pick AS BIGINT) AS pick, vec_id,
+       round(score, 6) AS score
+FROM {_MMR_LAST} ORDER BY pick"""
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (
+        SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+        FROM v WHERE vec_id = 0
+    ),
+    cands AS (
+        SELECT vec_id, v, rel FROM (
+            SELECT d.vec_id, d.v,
+                   list_dot_product(d.v, q.qv)
+                   / (sqrt(list_dot_product(d.v, d.v)) * q.qn) AS rel
+            FROM v d CROSS JOIN q
+            WHERE d.vec_id <> 0
+        ) s
+        ORDER BY rel DESC, vec_id LIMIT 20
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS s
+        FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+    ),{_MMR_CORE}
+    {_MMR_FINAL}
+    """,
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    1998): pick 5 results for query vec_id=0 that trade off relevance
+    against redundancy — greedy argmax of 0.7*cos(q,d) -
+    0.3*max_{s in selected} cos(d,s). THE diversification primitive of
+    retrieval/RAG pipelines.
+
+    Spark-first shape: the distributed pass is ONE broadcast-query
+    cosine scan fused into a TakeOrderedAndProject top-20; the greedy
+    selection is inherently sequential, so it runs as 5 unrolled
+    CTE rounds over the localCheckpointed 20-row candidate set (the
+    ml_logistic_irls discipline) — pairwise cosines exist only among
+    the 20 candidates (380 pairs), never in the corpus. At 100 TB the
+    candidate generation is the only data-scale work and the rerank
+    cost is constant.
+
+    Cross-engine exactness: dot products are left-fold exact
+    (list_dot_product parity, working-notes rule), sqrt and division
+    are IEEE-exactly-rounded (unlike exp), so every rel/sim/mmr scalar
+    is bit-identical in both engines and the argmax picks (vec_id
+    tie-break) replay deterministically; the shared-CTE core is
+    generated once for both."""
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"),
+        F.sqrt(dot("v", "v")).alias("qn"),
+    )
+    cands = (
+        vecs.filter(F.col("vec_id") != 0)
+        .crossJoin(broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            (dot("v", "qv") / (F.sqrt(dot("v", "v")) * F.col("qn"))).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    cands.select("vec_id", "rel").createOrReplaceTempView("__mmr_cands")
+    a = cands.select(
+        F.col("vec_id").alias("a"),
+        F.col("v").alias("va"),
+        F.sqrt(dot("v", "v")).alias("na"),
+    )
+    b = cands.select(
+        F.col("vec_id").alias("b"),
+        F.col("v").alias("vb"),
+        F.sqrt(dot("v", "v")).alias("nb"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("s"))
+    )
+    pairs.createOrReplaceTempView("__mmr_pairs")
+    return spark.sql(
+        "WITH cands AS (SELECT * FROM __mmr_cands), "
+        f"pairs AS (SELECT * FROM __mmr_pairs),{_MMR_CORE}\n{_MMR_FINAL}"
+    )

@@ -584,3 +584,14 @@ def test_logistic_irls_single_data_pass(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert "events.parquet" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mmr_rerank_candidates_take_ordered(spark, sf_dir):
+    # r7: candidate generation must fuse to TakeOrderedAndProject (the
+    # only data-scale stage); the greedy rounds run over the 20-row
+    # checkpoint, so the embeddings parquet is absent from the final
+    # plan and no corpus-level pair space exists
+    df = _q("sim_mmr_rerank")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "embeddings.parquet" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
