@@ -80,6 +80,9 @@ DECLARED = {
                                      # so its input is <=100 rows by construction
                                      # (measured below via GLOBAL_WIN bound)
     "warehouse_snapshot_diff": {"BNLJ"},  # join(broadcast(1-row add/remove counts))
+    "sim_mmr_rerank": {"BNLJ"},      # 20x20 candidate pair cross-join + NOT IN
+                                     # anti-joins, all over the checkpointed
+                                     # top-20 set (measured bound below)
     "ml_logistic_irls": {"BNLJ"},    # CROSS JOIN(1-row beta vector) x <=168-cell
                                      # grid, once per unrolled IRLS round
     "topk_pareto_frontier": {"GLOBAL_WIN"},  # suffix-min dominance scan over the
