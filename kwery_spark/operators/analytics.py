@@ -1830,3 +1830,76 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("event_type")
     )
+
+
+@register(
+    "events_lorenz_gini",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS BIGINT) AS rk
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS DECIMAL(38,2)) AS total,
+               CAST(sum(CAST(rk AS DECIMAL(18,0)) * v) AS DECIMAL(38,2))
+                   AS rank_weighted
+        FROM ranked
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(CAST(total AS DOUBLE), 2) AS total_value,
+           round((2.0 * CAST(rank_weighted AS DOUBLE))
+                 / (n * CAST(total AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def events_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of event value per event_type — the Lorenz-curve
+    inequality measure (how concentrated is value across events), via
+    the rank formulation G = 2*sum(i*x_(i)) / (n*sum(x)) - (n+1)/n.
+
+    Exactness: values are DECIMAL(18,2) (the corpus carries 2dp), ranks
+    are exact integers with an event_id tie-break, so both sums are
+    order-independent DECIMAL accumulations; the Gini itself is float
+    math on bit-identical scalars, rounded to 6dp.
+
+    Scale: ONE shuffle on event_type serves the ranking window and the
+    aggregate (Catalyst reuses the partitioning); the rank-weighted sum
+    is the textbook distributed-sort formulation of Gini — no pairwise
+    |x_i - x_j| space (the naive definition is quadratic)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("decimal(38,2)").alias("total"),
+        F.sum(F.col("rk").cast("decimal(18,0)") * F.col("v"))
+        .cast("decimal(38,2)")
+        .alias("rank_weighted"),
+    )
+    total_d = F.col("total").cast("double")
+    return (
+        agg.select(
+            "event_type",
+            "n",
+            F.round(total_d, 2).alias("total_value"),
+            F.round(
+                (2.0 * F.col("rank_weighted").cast("double")) / (F.col("n") * total_d)
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
+    )

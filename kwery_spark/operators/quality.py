@@ -388,3 +388,94 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("o_orderpriority")
     )
+
+
+_BENFORD_P = {
+    1: "0.3010299956639812", 2: "0.17609125905568124", 3: "0.12493873660829992",
+    4: "0.09691001300805642", 5: "0.07918124604762482", 6: "0.06694678963061322",
+    7: "0.05799194697768673", 8: "0.05115252244738129", 9: "0.04575749056067514",
+}
+
+# bare decimal literals parse as DECIMAL in both engines and the
+# chi-square's square then overflows DECIMAL(38) — force DOUBLE per arm
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD_P.items()
+) + " ELSE CAST(0.0 AS DOUBLE) END"
+
+
+@register(
+    "dq_benford",
+    oracle=f"""
+    WITH digits AS (
+        SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                         1, 1) AS digit
+        FROM orders WHERE o_totalprice >= 1.0
+    ),
+    counts AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM digits GROUP BY digit
+    ),
+    tot AS (
+        SELECT digit, n_obs, CAST(sum(n_obs) OVER () AS BIGINT) AS n_total,
+               {_BENFORD_CASE} AS exp_p
+        FROM counts
+    )
+    SELECT digit, n_obs,
+           round(CAST(n_obs AS DOUBLE) / n_total, 6) AS obs_p,
+           round(exp_p, 6) AS exp_p,
+           round((n_obs - n_total*exp_p)*(n_obs - n_total*exp_p)
+                 / (n_total*exp_p), 6) AS chi2_part
+    FROM tot
+    ORDER BY digit
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformance check on order totals — the
+    classic fraud/quality screen for financial columns (Benford 1938;
+    Nigrini's forensic-accounting usage). Emits per-digit observed vs
+    expected share and the chi-square contribution.
+
+    Exactness: the first significant digit comes from the DECIMAL(18,2)
+    string rendering (exact and identical in both engines — never
+    float-to-string, never log10); counts are integers, the Benford
+    probabilities are shared double literals, so every chi-square term
+    is computed from bit-identical scalars.
+
+    Scale: one map-side-combined groupBy to NINE rows; the total-count
+    window runs over those 9 (declared GLOBAL_WIN, audit-measured).
+    The expensive part at 100 TB is the scan, which prunes to the one
+    column it needs."""
+    from pyspark.sql import Window
+
+    digits = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1.0)
+        .select(
+            F.substring(
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+            ).alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    w = Window.partitionBy()
+    tot = counts.select(
+        "digit",
+        "n_obs",
+        F.sum("n_obs").over(w).cast("long").alias("n_total"),
+        F.expr(_BENFORD_CASE).alias("exp_p"),
+    )
+    np_ = F.col("n_total") * F.col("exp_p")
+    return (
+        tot.select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n_total"), 6).alias(
+                "obs_p"
+            ),
+            F.round("exp_p", 6).alias("exp_p"),
+            F.round((F.col("n_obs") - np_) * (F.col("n_obs") - np_) / np_, 6).alias(
+                "chi2_part"
+            ),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("digit")
+    )

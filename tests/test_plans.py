@@ -595,3 +595,19 @@ def test_mmr_rerank_candidates_take_ordered(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert "embeddings.parquet" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_benford_contracts_to_nine_rows(spark, sf_dir):
+    # r7: one groupBy to <=9 digit rows; the total window runs over
+    # those (declared GLOBAL_WIN); the scan reads only o_totalprice
+    df = _q("dq_benford")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert inspect.shuffle_count(df) <= 2, plan
+    cols = inspect.read_schema_columns(df)
+    assert cols == ["o_totalprice"], cols
+
+
+def test_lorenz_gini_single_type_shuffle(spark, sf_dir):
+    # r7: ranking window and aggregate share the event_type partitioning
+    df = _q("events_lorenz_gini")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 2, inspect.formatted_plan(df)

@@ -80,6 +80,8 @@ DECLARED = {
                                      # so its input is <=100 rows by construction
                                      # (measured below via GLOBAL_WIN bound)
     "warehouse_snapshot_diff": {"BNLJ"},  # join(broadcast(1-row add/remove counts))
+    "dq_benford": {"GLOBAL_WIN"},    # total-count window over the NINE first-
+                                     # digit rows (measured bound below)
     "sim_mmr_rerank": {"BNLJ"},      # 20x20 candidate pair cross-join + NOT IN
                                      # anti-joins, all over the checkpointed
                                      # top-20 set (measured bound below)
