@@ -8,7 +8,9 @@ operator module means adding one import line here.
 from kwery_spark.operators import (
     aggregates,
     analytics,
+    assoc,
     dedup,
+    geo,
     graph,
     joins,
     multimodal,

@@ -1903,3 +1903,142 @@ def events_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("event_type")
     )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(last_us) AS obs_end FROM u),
+    d AS (
+        SELECT (last_us - first_us) // 86400000000 AS duration_day,
+               CASE WHEN last_us >= (SELECT obs_end FROM horizon)
+                                    - 7 * 86400000000
+                    THEN 1 ELSE 0 END AS censored
+        FROM u
+    ),
+    g AS (
+        SELECT duration_day,
+               CAST(sum(1 - censored) AS BIGINT) AS n_death,
+               CAST(sum(censored) AS BIGINT) AS n_censored
+        FROM d GROUP BY duration_day
+    ),
+    r AS (
+        SELECT *,
+               CAST(sum(n_death + n_censored) OVER (
+                   ORDER BY duration_day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS BIGINT) AS n_risk
+        FROM g
+    ),
+    f AS (
+        SELECT *,
+               CASE WHEN n_death >= n_risk THEN 0.0
+                    ELSE 1.0 - CAST(n_death AS DOUBLE) / n_risk END AS factor
+        FROM r
+    ),
+    l AS (
+        SELECT *,
+               CASE WHEN factor = 0 THEN 1 ELSE 0 END AS iszero,
+               CAST(CASE WHEN factor > 0 THEN round(ln(factor), 9)
+                         ELSE 0 END AS DECIMAL(28,9)) AS lnr
+        FROM f
+    ),
+    k AS (
+        SELECT *,
+               sum(lnr) OVER (ORDER BY duration_day) AS cum_ln,
+               max(iszero) OVER (ORDER BY duration_day) AS zero_hit
+        FROM l
+    )
+    SELECT duration_day, n_death, n_censored, n_risk,
+           CASE WHEN zero_hit = 1 THEN 0.0
+                ELSE round(exp(CAST(cum_ln AS DOUBLE)), 6) END AS km_survival
+    FROM k ORDER BY duration_day
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over user lifetimes (Kaplan &
+    Meier 1958 product-limit): duration = days between a user's first
+    and last event; users whose last event falls within 7 days of the
+    corpus horizon are right-CENSORED (still alive), everyone else is a
+    death at their duration. Emits the life table (deaths, censored,
+    at-risk) plus S(t) at each observed duration.
+
+    Exactness: durations come from unix-microsecond integer division
+    (sub-second-safe per the repo rule); each hazard factor 1 - d/n is
+    a single division of integers; the product-limit is computed as
+    exp(sum(ln(factor))) with every ln rounded to 9dp and DECIMAL-cast
+    BEFORE the cumulative sum (the ml_logistic_irls pattern), so the
+    accumulation is order-independent and the final exp sees a
+    bit-identical scalar in both engines; factor = 0 (everyone at risk
+    dies) short-circuits through an integer flag, never ln(0).
+
+    Scale: one shuffle on user_id for the lifetime aggregate, a 1-row
+    broadcast horizon, then a <=31-row life-table grid — the three
+    cumulative windows run over that spec-bounded grid (declared
+    GLOBAL_WIN, measured far under the 1024-row audit bound)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    us = F.unix_micros(F.col("ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"), F.max(us).alias("last_us")
+    )
+    horizon = u.agg(F.max("last_us").alias("obs_end"))
+    day_us = 86400000000
+    d = u.crossJoin(F.broadcast(horizon)).select(
+        F.expr(f"(last_us - first_us) div {day_us}").alias("duration_day"),
+        F.when(
+            F.col("last_us") >= F.col("obs_end") - F.lit(7 * day_us), 1
+        )
+        .otherwise(0)
+        .alias("censored"),
+    )
+    g = d.groupBy("duration_day").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("n_death"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    w_suffix = Window.orderBy("duration_day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    r = g.select(
+        "*",
+        F.sum(F.col("n_death") + F.col("n_censored"))
+        .over(w_suffix)
+        .cast("long")
+        .alias("n_risk"),
+    )
+    factor = F.when(F.col("n_death") >= F.col("n_risk"), F.lit(0.0)).otherwise(
+        1.0 - F.col("n_death").cast("double") / F.col("n_risk")
+    )
+    l = r.select(
+        "*",
+        F.when(factor == 0, 1).otherwise(0).alias("iszero"),
+        F.when(factor > 0, F.round(F.log(factor), 9))
+        .otherwise(0)
+        .cast("decimal(28,9)")
+        .alias("lnr"),
+    )
+    w_prefix = Window.orderBy("duration_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    k = l.select(
+        "*",
+        F.sum("lnr").over(w_prefix).alias("cum_ln"),
+        F.max("iszero").over(w_prefix).alias("zero_hit"),
+    )
+    return (
+        k.select(
+            "duration_day",
+            "n_death",
+            "n_censored",
+            "n_risk",
+            F.when(F.col("zero_hit") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("cum_ln").cast("double")), 6))
+            .alias("km_survival"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("duration_day")
+    )

@@ -1,0 +1,127 @@
+"""Market-basket association rules — the classic co-occurrence analytics
+family (Agrawal/Srikant a-priori semantics, materialized exhaustively over
+a spec-bounded item vocabulary instead of candidate generation).
+
+Baskets are orders; items are the part BRANDS purchased in the order
+(p_brand is spec-fixed at 25 values, so the directed-rule space is at most
+25x24 = 600 rows regardless of corpus size — the pair space is bounded by
+CONTENT cardinality, per the repo's scale rule). Pair generation happens
+map-side from each basket's collected item set (<=25 elements), never via
+a row-level self-join, so the only shuffles are the basket groupBy and the
+600-key rule aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import register
+
+
+@register(
+    "assoc_basket_rules",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS bkt, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (
+        SELECT CAST(count(DISTINCT bkt) AS BIGINT) AS n_baskets FROM baskets
+    ),
+    item_n AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS n_item
+        FROM baskets GROUP BY item
+    ),
+    pair_n AS (
+        SELECT a.item AS antecedent, b.item AS consequent,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM baskets a JOIN baskets b
+          ON a.bkt = b.bkt AND a.item <> b.item
+        GROUP BY a.item, b.item
+    )
+    SELECT p.antecedent, p.consequent, p.n_ab,
+           ia.n_item AS n_ante, ic.n_item AS n_cons, n.n_baskets,
+           round(CAST(p.n_ab AS DOUBLE) / n.n_baskets, 6) AS support,
+           round(CAST(p.n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
+           round((CAST(p.n_ab AS DOUBLE) * n.n_baskets)
+                 / (CAST(ia.n_item AS DOUBLE) * ic.n_item), 6) AS lift
+    FROM pair_n p
+    JOIN item_n ia ON p.antecedent = ia.item
+    JOIN item_n ic ON p.consequent = ic.item
+    CROSS JOIN n
+    WHERE p.n_ab * 100 >= n.n_baskets
+    ORDER BY antecedent, consequent
+    """,
+)
+def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules antecedent->consequent over order
+    baskets of part brands, with the three canonical measures: support
+    (P(A,B)), confidence (P(B|A)) and lift (P(A,B)/(P(A)P(B))), at a
+    relative min-support of 1% of baskets (scale-invariant threshold).
+
+    Exactness: all counts are integers; support/confidence are single
+    divisions and lift is one division of two exact integer-valued
+    double products (counts stay far below 2^53 per factor), so both
+    engines compute bit-identical doubles before the shared round(6).
+
+    Scale: lineitem joins part on the key (shuffle or AQE-broadcast —
+    Catalyst's choice), baskets aggregate per order with map-side
+    combine, and pairs are generated from each order's <=25-element
+    brand set via a double explode — per-row bounded work, no self-join
+    on a content key. The rule aggregation lands on <=600 keys; the
+    item totals (<=25 rows) and the 1-row basket count are broadcast.
+    At 100 TB every stage stays linear in lineitem."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+    )
+    n = sets.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    item_n = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    )
+    pair_n = (
+        sets.select(F.explode("items").alias("antecedent"), "items")
+        .select("antecedent", F.explode("items").alias("consequent"))
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ia = item_n.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_ante")
+    )
+    ic = item_n.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_cons")
+    )
+    rules = (
+        pair_n.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_ab") * 100 >= F.col("n_baskets"))
+    )
+    ab = F.col("n_ab").cast("double")
+    return (
+        rules.select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_ante",
+            "n_cons",
+            "n_baskets",
+            F.round(ab / F.col("n_baskets"), 6).alias("support"),
+            F.round(ab / F.col("n_ante"), 6).alias("confidence"),
+            F.round(
+                (ab * F.col("n_baskets"))
+                / (F.col("n_ante").cast("double") * F.col("n_cons")),
+                6,
+            ).alias("lift"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("antecedent", "consequent")
+    )

@@ -611,3 +611,33 @@ def test_lorenz_gini_single_type_shuffle(spark, sf_dir):
     # r7: ranking window and aggregate share the event_type partitioning
     df = _q("events_lorenz_gini")(spark, sf_dir)
     assert inspect.shuffle_count(df) <= 2, inspect.formatted_plan(df)
+
+
+def test_assoc_rules_pairs_from_explode_not_self_join(spark, sf_dir):
+    # r7: rule pairs are generated map-side by a double explode over each
+    # basket's <=25-element brand set — never a row-level self-join on a
+    # content key; the only nested-loop site is the declared 1-row
+    # basket-count broadcast
+    df = _q("assoc_basket_rules")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("Generate") >= 2, plan[:2000]
+
+
+def test_survival_km_scan_prunes_to_user_ts(spark, sf_dir):
+    # r7: the only data-scale stage is the user-lifetime aggregate; the
+    # events scan must read exactly (user_id, ts), and the cumulative
+    # windows run over the <=31-row life-table grid (declared GLOBAL_WIN)
+    df = _q("events_survival_km")(spark, sf_dir)
+    cols = inspect.read_schema_columns(df)
+    assert set(cols) <= {"user_id", "ts"}, cols
+
+
+def test_geo_radius_join_is_cell_equi_join(spark, sf_dir):
+    # r7: the spatial candidate join must hash on the 5-degree grid cell
+    # (supplier side statically replicated 9x) — never a nested loop over
+    # |S| x |C| with the distance as the join predicate
+    df = _q("geo_radius_join")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]

@@ -87,6 +87,13 @@ DECLARED = {
                                      # top-20 set (measured bound below)
     "ml_logistic_irls": {"BNLJ"},    # CROSS JOIN(1-row beta vector) x <=168-cell
                                      # grid, once per unrolled IRLS round
+    "assoc_basket_rules": {"BNLJ"},  # crossJoin(broadcast(1-row basket count))
+    "events_survival_km": {"BNLJ", "GLOBAL_WIN"},  # crossJoin(broadcast(1-row
+                                     # horizon)); the three cumulative windows
+                                     # run over the life-table grid, <=31 rows
+                                     # by construction (one per distinct
+                                     # whole-day duration in a 30-day corpus;
+                                     # measured below via GLOBAL_WIN bound)
     "topk_pareto_frontier": {"GLOBAL_WIN"},  # suffix-min dominance scan over the
                                      # CONTRACTED (size, min_price) set — p_size
                                      # is a bounded attribute domain (<=50
