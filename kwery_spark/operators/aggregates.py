@@ -1607,3 +1607,202 @@ def ml_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"WITH grid AS (SELECT * FROM __irls_grid),{_IRLS_CORE}\n{_IRLS_FINAL}"
     )
+
+
+@register(
+    "ml_decision_stump",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y,
+               o_orderstatus AS f_status,
+               'm' || lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0')
+                   AS f_month,
+               'd' || CAST(datediff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE)) % 7 AS VARCHAR)
+                   AS f_wday
+        FROM orders
+    ),
+    fv AS (
+        SELECT 'status' AS feature, f_status AS val, y FROM base
+        UNION ALL SELECT 'month', f_month, y FROM base
+        UNION ALL SELECT 'wday', f_wday, y FROM base
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(y) AS BIGINT) AS pos_total
+        FROM base
+    ),
+    cand AS (
+        SELECT feature, val,
+               CAST(count(*) AS BIGINT) AS n_match,
+               CAST(sum(y) AS BIGINT) AS pos_match
+        FROM fv GROUP BY feature, val
+    ),
+    split AS (
+        SELECT c.feature, c.val, c.n_match, c.pos_match,
+               t.n_total - c.n_match AS n_rest,
+               t.pos_total - c.pos_match AS pos_rest,
+               t.n_total, t.pos_total
+        FROM cand c CROSS JOIN tot t
+    ),
+    gini AS (
+        SELECT feature, val, n_match, pos_match, n_rest, pos_rest,
+               1.0 - (CAST(pos_total AS DOUBLE) / n_total)
+                       * (CAST(pos_total AS DOUBLE) / n_total)
+                   - (1.0 - CAST(pos_total AS DOUBLE) / n_total)
+                       * (1.0 - CAST(pos_total AS DOUBLE) / n_total) AS g_base,
+               CASE WHEN n_match = 0 THEN 0.0
+                    ELSE 1.0 - (CAST(pos_match AS DOUBLE) / n_match)
+                                 * (CAST(pos_match AS DOUBLE) / n_match)
+                             - (1.0 - CAST(pos_match AS DOUBLE) / n_match)
+                                 * (1.0 - CAST(pos_match AS DOUBLE) / n_match)
+               END AS g_match,
+               CASE WHEN n_rest = 0 THEN 0.0
+                    ELSE 1.0 - (CAST(pos_rest AS DOUBLE) / n_rest)
+                                 * (CAST(pos_rest AS DOUBLE) / n_rest)
+                             - (1.0 - CAST(pos_rest AS DOUBLE) / n_rest)
+                                 * (1.0 - CAST(pos_rest AS DOUBLE) / n_rest)
+               END AS g_rest,
+               n_total
+        FROM split
+    ),
+    gain AS (
+        SELECT feature, val, n_match, pos_match, n_rest, pos_rest,
+               g_base - (CAST(n_match AS DOUBLE) * g_match
+                         + CAST(n_rest AS DOUBLE) * g_rest) / n_total AS gain
+        FROM gini
+    )
+    SELECT CAST(row_number() OVER (ORDER BY gain DESC, feature, val)
+                AS BIGINT) AS rk,
+           feature, val, n_match, pos_match, n_rest, pos_rest,
+           round(gain, 6) AS gain
+    FROM gain ORDER BY rk
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump learning (the CART/C4.5 root-split step, and the
+    weak learner inside AdaBoost): rank every candidate one-feature
+    equality split of orders by Gini-impurity gain against the binary
+    target "is the order urgent/high priority". Features are three
+    spec-bounded categorical encodings — order status (3 values),
+    order month (12), order weekday (7, epoch-day mod 7 per the repo's
+    portable-weekday rule) — so the candidate grid is <=22 rows
+    regardless of corpus size.
+
+    Exactness: every impurity term is built from exact integer counts
+    via single divisions and IEEE +/-/* only (no transcendentals), so
+    gains are bit-identical across engines; the ranking breaks exact
+    ties on (feature, val).
+
+    Scale: the 3x feature fan-out explodes INSIDE the scan stage and
+    map-side combine folds it to <=22 candidate rows before the only
+    shuffle; totals arrive as a 1-row broadcast (declared BNLJ) and
+    the ranking window runs over the bounded candidate grid (declared
+    GLOBAL_WIN)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderdate", "o_orderpriority"
+    )
+    base = o.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+        F.col("o_orderstatus").alias("f_status"),
+        F.concat(
+            F.lit("m"),
+            F.lpad(F.month("o_orderdate").cast("string"), 2, "0"),
+        ).alias("f_month"),
+        F.concat(
+            F.lit("d"),
+            F.expr(
+                "CAST(pmod(datediff(CAST(o_orderdate AS DATE), "
+                "DATE '1970-01-01'), 7) AS STRING)"
+            ),
+        ).alias("f_wday"),
+    )
+    fv = base.select(
+        "y",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("status").alias("feature"),
+                    F.col("f_status").alias("val"),
+                ),
+                F.struct(
+                    F.lit("month").alias("feature"),
+                    F.col("f_month").alias("val"),
+                ),
+                F.struct(
+                    F.lit("wday").alias("feature"),
+                    F.col("f_wday").alias("val"),
+                ),
+            )
+        ).alias("fv"),
+    ).select("y", "fv.feature", "fv.val")
+    cand = fv.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("n_match"),
+        F.sum("y").cast("long").alias("pos_match"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("y").cast("long").alias("pos_total"),
+    )
+    split = cand.crossJoin(F.broadcast(tot)).select(
+        "feature",
+        "val",
+        "n_match",
+        "pos_match",
+        (F.col("n_total") - F.col("n_match")).alias("n_rest"),
+        (F.col("pos_total") - F.col("pos_match")).alias("pos_rest"),
+        "n_total",
+        "pos_total",
+    )
+
+    def _gini(pos, n):
+        p = pos.cast("double") / n
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - p * p - (F.lit(1.0) - p) * (F.lit(1.0) - p)
+        )
+
+    g_base = (
+        F.lit(1.0)
+        - (F.col("pos_total").cast("double") / F.col("n_total"))
+        * (F.col("pos_total").cast("double") / F.col("n_total"))
+        - (F.lit(1.0) - F.col("pos_total").cast("double") / F.col("n_total"))
+        * (F.lit(1.0) - F.col("pos_total").cast("double") / F.col("n_total"))
+    )
+    gain = split.select(
+        "feature",
+        "val",
+        "n_match",
+        "pos_match",
+        "n_rest",
+        "pos_rest",
+        (
+            g_base
+            - (
+                F.col("n_match").cast("double")
+                * _gini(F.col("pos_match"), F.col("n_match"))
+                + F.col("n_rest").cast("double")
+                * _gini(F.col("pos_rest"), F.col("n_rest"))
+            )
+            / F.col("n_total")
+        ).alias("gain"),
+    )
+    w_rk = Window.orderBy(F.desc("gain"), "feature", "val")
+    return (
+        gain.select(
+            F.row_number().over(w_rk).cast("long").alias("rk"),
+            "feature",
+            "val",
+            "n_match",
+            "pos_match",
+            "n_rest",
+            "pos_rest",
+            F.round("gain", 6).alias("gain"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("rk")
+    )

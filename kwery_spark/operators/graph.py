@@ -154,6 +154,59 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
 
 
+def _contracted_copurchase(spark: SparkSession, sf_dir: str):
+    """Content-contracted co-purchase graph shared by the triangle census
+    and the k-core peel: users grouped by their EXACT purchase-hour set
+    (structural equivalence — identical hour-set means identical
+    adjacency), so all graph arithmetic runs on set-representatives with
+    multiplicities. Returns (groups, redges), both localCheckpointed:
+    groups = (ck, m, hs, clique) where clique=1 iff the group's users
+    form an internal clique (|H| >= 2 shared hours, the w>=2 denoise);
+    redges = (ca, cb, ma, mb) rep pairs sharing >= 2 hours, ca < cb."""
+    purch = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .distinct()
+    )
+    groups = (
+        purch.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("hr")).alias("hs"))
+        .groupBy(
+            F.md5(
+                F.concat_ws(
+                    ",", F.transform("hs", lambda h: h.cast("string"))
+                )
+            ).alias("ck")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.first("hs").alias("hs"),
+        )
+        .select(
+            "ck",
+            "m",
+            "hs",
+            (F.size("hs") >= 2).cast("int").alias("clique"),
+        )
+    )
+    # one rep-level pass serves edge gen, degree agg, and the triple join
+    groups = groups.localCheckpoint(eager=True)
+    gh = groups.select("ck", "m", F.explode("hs").alias("hr"))
+    ga = gh.select(F.col("ck").alias("ca"), F.col("m").alias("ma"), "hr")
+    gb = gh.select(F.col("ck").alias("cb"), F.col("m").alias("mb"), "hr")
+    redges = (
+        ga.join(gb, "hr")
+        .filter(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "cb", "ma", "mb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("ca", "cb", "ma", "mb")
+    )
+    redges = redges.localCheckpoint(eager=True)
+    return groups, redges
+
+
 @register(
     "graph_triangle_count",
     oracle="""
@@ -230,47 +283,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity under degree-orientation tie-breaks; the standard undirected
     definition reported now is permutation-invariant, which is what makes
     the contraction exact.)"""
-    purch = (
-        table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .select("user_id", F.date_trunc("hour", "ts").alias("hr"))
-        .distinct()
-    )
-    groups = (
-        purch.groupBy("user_id")
-        .agg(F.sort_array(F.collect_list("hr")).alias("hs"))
-        .groupBy(
-            F.md5(
-                F.concat_ws(
-                    ",", F.transform("hs", lambda h: h.cast("string"))
-                )
-            ).alias("ck")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("m"),
-            F.first("hs").alias("hs"),
-        )
-        .select(
-            "ck",
-            "m",
-            "hs",
-            (F.size("hs") >= 2).cast("int").alias("clique"),
-        )
-    )
-    # one rep-level pass serves edge gen, degree agg, and the triple join
-    groups = groups.localCheckpoint(eager=True)
-    gh = groups.select("ck", "m", F.explode("hs").alias("hr"))
-    ga = gh.select(F.col("ck").alias("ca"), F.col("m").alias("ma"), "hr")
-    gb = gh.select(F.col("ck").alias("cb"), F.col("m").alias("mb"), "hr")
-    redges = (
-        ga.join(gb, "hr")
-        .filter(F.col("ca") < F.col("cb"))
-        .groupBy("ca", "cb", "ma", "mb")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("ca", "cb", "ma", "mb")
-    )
-    redges = redges.localCheckpoint(eager=True)
+    groups, redges = _contracted_copurchase(spark, sf_dir)
     info = groups.select("ck", "m", "clique")
     # expanded edge count: cross products + internal cliques
     cross_e = redges.agg(
@@ -687,4 +700,182 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("side", F.col("degree").cast("long").alias("degree"), "n_nodes")
         .coalesce(1)
         .sortWithinPartitions("side", "degree")
+    )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled k-core peel on the EXPANDED co-purchase graph — the
+    oracle deliberately pays the full user-level pair join (fine at the
+    sf0.01 gate scale) so parity proves the contracted peel's expansion
+    algebra, exactly like the triangle census oracle."""
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, so an unrolled peel would re-expand the base pair join
+    # ~5^rounds times (observed as an fd-exhaustion blowup, the DuckDB
+    # twin of the Spark CTE re-evaluation rule in the repo notes).
+    sql = """
+    WITH purch AS MATERIALIZED (
+        SELECT DISTINCT user_id,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pe AS MATERIALIZED (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM purch a JOIN purch b
+          ON a.hr = b.hr AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+        HAVING count(*) >= 2
+    ),
+    a0 AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM purch),
+    e0 AS MATERIALIZED (SELECT u, v FROM pe)"""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        sql += f""",
+    d{i} AS MATERIALIZED (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM e{p} UNION ALL SELECT v AS node FROM e{p}
+        ) GROUP BY node
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT a.node FROM a{p} a JOIN d{i} d ON a.node = d.node
+        WHERE d.d >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{p} e
+        JOIN a{i} x ON e.u = x.node
+        JOIN a{i} y ON e.v = y.node
+    )"""
+    parts = [
+        f"""
+        SELECT {i} AS peel_round,
+               (SELECT CAST(count(*) AS BIGINT) FROM a{i}) AS n_users,
+               (SELECT CAST(count(*) AS BIGINT) FROM e{i}) AS n_edges"""
+        for i in range(0, rounds + 1)
+    ]
+    sql += ",\n    s AS (" + " UNION ALL ".join(parts) + ")"
+    sql += """
+    SELECT peel_round, n_users, n_edges,
+           CAST(coalesce(lag(n_users) OVER (ORDER BY peel_round) - n_users,
+                         0) AS BIGINT) AS removed_users,
+           CASE WHEN peel_round > 0
+                     AND lag(n_users) OVER (ORDER BY peel_round) = n_users
+                THEN 1 ELSE 0 END AS converged
+    FROM s ORDER BY peel_round
+    """
+    return sql
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Seidman 1983 / the Matula-Beck peel) of the
+    co-purchase graph at k=3: repeatedly delete every user with degree
+    < 3 in the surviving subgraph; after 6 rounds emit the per-round
+    life table (survivors, surviving expanded edges, removals, and a
+    converged flag once a round removes nobody).
+
+    CONTENT-CONTRACTED peel: users with the same purchase-hour set are
+    structurally equivalent — same cross-group adjacency, same internal
+    clique — so their expanded degree is group-uniform
+    (d_i = sum_adj m_j + (m_i-1)*clique_i) and a peel round removes a
+    group either entirely or not at all. The iteration therefore runs
+    on the <=1.5k set-representatives (at sf10) with multiplicities,
+    never on the user-level pair graph the r6 triangle form paid 2.85 B
+    rows for; the oracle peels the EXPANDED graph and parity proves the
+    contraction exact round by round.
+
+    Scale: rep frames are localCheckpointed every round (the iterative
+    discipline — no lineage growth, events scanned exactly once at
+    contraction time and absent from the final plan); each round is a
+    bounded-size semi-join + aggregate. The per-round stat rows are
+    1-row aggregates composed via declared broadcast crossJoins, and
+    the lag window runs over the 7-row round table (declared
+    GLOBAL_WIN)."""
+    k, rounds = 3, 6
+    groups, redges = _contracted_copurchase(spark, sf_dir)
+    alive = groups.select("ck", "m", "clique")
+    edges = redges
+
+    def _stats(i: int, alive: DataFrame, edges: DataFrame) -> DataFrame:
+        ucnt = alive.agg(
+            F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_users")
+        )
+        ce = edges.agg(
+            F.coalesce(F.sum(F.col("ma") * F.col("mb")), F.lit(0))
+            .cast("long")
+            .alias("ce")
+        )
+        ie = alive.agg(
+            F.coalesce(
+                F.sum(F.col("clique") * F.col("m") * (F.col("m") - 1) / 2),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("ie")
+        )
+        return (
+            ucnt.crossJoin(broadcast(ce))
+            .crossJoin(broadcast(ie))
+            .select(
+                F.lit(i).alias("peel_round"),
+                "n_users",
+                (F.col("ce") + F.col("ie")).cast("long").alias("n_edges"),
+            )
+        )
+
+    summaries = [_stats(0, alive, edges)]
+    for i in range(1, rounds + 1):
+        adj = (
+            edges.select(F.col("ca").alias("ck"), F.col("mb").alias("am"))
+            .unionAll(
+                edges.select(F.col("cb").alias("ck"), F.col("ma").alias("am"))
+            )
+            .groupBy("ck")
+            .agg(F.sum("am").alias("s"))
+        )
+        alive = (
+            alive.join(adj, "ck", "left")
+            .select(
+                "ck",
+                "m",
+                "clique",
+                (
+                    F.coalesce(F.col("s"), F.lit(0))
+                    + (F.col("m") - 1) * F.col("clique")
+                ).alias("d"),
+            )
+            .filter(F.col("d") >= k)
+            .select("ck", "m", "clique")
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        edges = (
+            edges.join(
+                alive.select(F.col("ck").alias("ca")), "ca", "left_semi"
+            )
+            .join(alive.select(F.col("ck").alias("cb")), "cb", "left_semi")
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        summaries.append(_stats(i, alive, edges))
+
+    rounds_df = summaries[0]
+    for s in summaries[1:]:
+        rounds_df = rounds_df.unionAll(s)
+    w = Window.orderBy("peel_round")
+    prev = F.lag("n_users").over(w)
+    return (
+        rounds_df.select(
+            "peel_round",
+            "n_users",
+            "n_edges",
+            F.coalesce(prev - F.col("n_users"), F.lit(0))
+            .cast("long")
+            .alias("removed_users"),
+            F.when(
+                (F.col("peel_round") > 0) & (prev == F.col("n_users")), 1
+            )
+            .otherwise(0)
+            .alias("converged"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("peel_round")
     )

@@ -997,3 +997,76 @@ def sink_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("shard")
     )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang, n_chars,
+               greatest(n_chars, 1) AS wgt,
+               (CAST('0x' || substring(md5('wsamp:' || CAST(doc_id AS VARCHAR)),
+                                       1, 8) AS BIGINT) + 1)
+                   / 4294967297.0 AS u
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, lang, n_chars,
+               -round(ln(u), 9) / wgt AS sel_key
+        FROM w
+    ),
+    s AS (
+        SELECT doc_id, lang, n_chars, sel_key
+        FROM k ORDER BY sel_key, doc_id LIMIT 100
+    )
+    SELECT CAST(row_number() OVER (ORDER BY sel_key, doc_id) AS BIGINT) AS rk,
+           doc_id, lang, n_chars,
+           round(sel_key * 1000000.0, 6) AS key_e6
+    FROM s ORDER BY rk
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement by the Efraimidis-Spirakis
+    exponential-race scheme (A-ES, 2006): each doc draws an exponential
+    key -ln(u)/w (w = its char length) and the 100 SMALLEST keys win —
+    the one-pass, merge-friendly formulation of weighted reservoir
+    sampling, which is exactly how you'd subsample a 100 TB corpus
+    proportionally to document length without a global resample.
+
+    Determinism discipline: u is the md5(doc_id)-derived rational with
+    denominator 2^32+1 (never 0, so ln is finite; never rand()), ln is
+    rounded to 9dp BEFORE the division by the exact integer weight
+    (the repo's transcendental-parity rule), and ties break on doc_id.
+
+    Scale: the top-100 is orderBy+limit, which Spark plans as
+    TakeOrderedAndProject — per-task partial top-k then a single
+    100-row merge, no global sort, no shuffle of the corpus. The rank
+    window runs over the 100 selected rows only (declared GLOBAL_WIN,
+    constant bound)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    u = (
+        "(CAST(conv(substring(md5(concat('wsamp:', CAST(doc_id AS STRING))), "
+        "1, 8), 16, 10) AS BIGINT) + 1) / 4294967297.0"
+    )
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            -F.round(F.expr(f"ln({u})"), 9)
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("sel_key"),
+    )
+    top = keyed.orderBy("sel_key", "doc_id").limit(100)
+    w_rk = Window.orderBy("sel_key", "doc_id")
+    return (
+        top.select(
+            F.row_number().over(w_rk).cast("long").alias("rk"),
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.col("sel_key") * 1000000.0, 6).alias("key_e6"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("rk")
+    )

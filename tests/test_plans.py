@@ -641,3 +641,32 @@ def test_geo_radius_join_is_cell_equi_join(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_sample_weighted_take_ordered(spark, sf_dir):
+    # r7: the exponential-race top-100 must fuse to TakeOrderedAndProject
+    # (per-task partial top-k, no global sort); the rank window runs over
+    # the 100 survivors only (declared GLOBAL_WIN)
+    df = _q("sample_weighted")(spark, sf_dir)
+    assert inspect.has_take_ordered(df), inspect.formatted_plan(df)
+
+
+def test_decision_stump_bounded_grid(spark, sf_dir):
+    # r7: the 3x feature fan-out explodes inside the scan stage and
+    # map-side combine folds it to <=22 candidate rows before the only
+    # data shuffle; the orders scan reads exactly the three input columns
+    df = _q("ml_decision_stump")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    cols = inspect.read_schema_columns(df)
+    assert set(cols) <= {"o_orderstatus", "o_orderdate", "o_orderpriority"}, cols
+
+
+def test_kcore_runs_on_checkpointed_contraction(spark, sf_dir):
+    # r7: the peel iterates over the localCheckpointed rep frames — the
+    # events parquet is scanned once at contraction time and must be
+    # absent from the final plan (the ml_logistic_irls discipline)
+    df = _q("graph_kcore")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "events.parquet" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]

@@ -98,6 +98,17 @@ DECLARED = {
                                      # CONTRACTED (size, min_price) set — p_size
                                      # is a bounded attribute domain (<=50
                                      # values at every SF), measured below
+    "sample_weighted": {"GLOBAL_WIN"},  # rank window over the 100 survivors of
+                                     # the orderBy+limit(100) exponential race
+                                     # (TakeOrderedAndProject; measured below)
+    "ml_decision_stump": {"BNLJ", "GLOBAL_WIN"},  # crossJoin(broadcast(1-row
+                                     # class totals)); ranking window over the
+                                     # <=22-candidate grid (3 statuses + 12
+                                     # months + 7 weekdays; measured below)
+    "graph_kcore": {"BNLJ", "GLOBAL_WIN"},  # per-round 1-row stat aggregates
+                                     # composed via broadcast crossJoins; lag
+                                     # window over the 7-row round table
+                                     # (measured below)
 }
 
 
