@@ -17,6 +17,7 @@ from kwery_spark.operators import (
     pipeline,
     projection,
     quality,
+    rec,
     reshape,
     setops,
     similarity,

@@ -1,0 +1,133 @@
+"""Recommendation operators — item-item collaborative filtering, the
+classic Amazon-style "customers who bought X also bought Y" family
+(Linden/Smith/York 2003), expressed over the purchase corpus.
+
+Items are part brands (spec-fixed 25-value domain), users are customers,
+and the rating is the implicit purchase count — so the item-item
+similarity space is at most 25x24 = 600 directed cells regardless of
+corpus size, the same content-cardinality bound the assoc rules use.
+Pair contributions are generated map-side from each user's collected
+brand vector (<=25 entries), never via a row-level self-join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kwery_spark.catalog import table
+from kwery_spark.registry import register
+
+
+@register(
+    "rec_item_item_cf",
+    oracle="""
+    WITH ub AS (
+        SELECT o.o_custkey AS u, p.p_brand AS b,
+               CAST(count(*) AS BIGINT) AS v
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey, p.p_brand
+    ),
+    n2 AS (
+        SELECT b, CAST(sum(v * v) AS BIGINT) AS n2 FROM ub GROUP BY b
+    ),
+    dt AS (
+        SELECT a.b AS ba, c.b AS bb, CAST(sum(a.v * c.v) AS BIGINT) AS dot
+        FROM ub a JOIN ub c ON a.u = c.u AND a.b <> c.b
+        GROUP BY a.b, c.b
+    ),
+    cs AS (
+        SELECT ba, bb, dot,
+               CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+                   AS cosine
+        FROM dt JOIN n2 x ON dt.ba = x.b JOIN n2 y ON dt.bb = y.b
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY ba ORDER BY cosine DESC, bb
+        ) AS rk FROM cs
+    )
+    SELECT ba AS brand, bb AS similar_brand, dot,
+           round(cosine, 6) AS cosine, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+    ORDER BY brand, rk
+    """,
+)
+def rec_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity between
+    brand purchase-count vectors over the customer dimension, emitting
+    each brand's top-5 "also bought" neighbors.
+
+    Exactness: the user-brand ratings are integer lineitem counts, so
+    dot products and squared norms are exact BIGINTs; the cosine is one
+    double division of an exact integer by a product of two IEEE-exact
+    sqrts — bit-identical across engines — and ranking breaks exact
+    ties on the neighbor brand.
+
+    Scale: the rating matrix is one shuffle (custkey, brand); pair
+    contributions explode map-side from each user's <=25-entry brand
+    vector (the assoc_basket_rules pattern — never a row-level
+    self-join on a content key) and fold into <=600 similarity cells;
+    norms are a 25-row broadcast; the top-5 window partitions by brand
+    over <=24 rows. Every data-scale stage is linear in lineitem."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ub = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("p_brand").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    n2 = ub.groupBy("b").agg(
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("n2")
+    )
+    vecs = ub.groupBy("u").agg(
+        F.collect_list(F.struct("b", "v")).alias("bv")
+    )
+    dot = (
+        vecs.select(F.explode("bv").alias("a"), "bv")
+        .select("a", F.explode("bv").alias("c"))
+        .filter(F.col("a.b") != F.col("c.b"))
+        .groupBy(
+            F.col("a.b").alias("ba"), F.col("c.b").alias("bb")
+        )
+        .agg(F.sum(F.col("a.v") * F.col("c.v")).cast("long").alias("dot"))
+    )
+    nx = n2.select(F.col("b").alias("ba"), F.col("n2").alias("n2a"))
+    ny = n2.select(F.col("b").alias("bb"), F.col("n2").alias("n2b"))
+    cs = (
+        dot.join(F.broadcast(nx), "ba")
+        .join(F.broadcast(ny), "bb")
+        .select(
+            "ba",
+            "bb",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2a").cast("double"))
+                    * F.sqrt(F.col("n2b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("ba").orderBy(F.desc("cosine"), "bb")
+    return (
+        cs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("ba").alias("brand"),
+            F.col("bb").alias("similar_brand"),
+            "dot",
+            F.round("cosine", 6).alias("cosine"),
+            "rk",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("brand", "rk")
+    )

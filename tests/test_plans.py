@@ -670,3 +670,24 @@ def test_kcore_runs_on_checkpointed_contraction(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert "events.parquet" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_rec_cf_pairs_from_explode_not_self_join(spark, sf_dir):
+    # r7: similarity contributions explode map-side from each user's
+    # <=25-entry brand vector; norms broadcast; never a row-level
+    # self-join on a content key
+    df = _q("rec_item_item_cf")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("Generate") >= 2, plan[:2000]
+    assert inspect.has_broadcast_join(df), plan[:2000]
+
+
+def test_fd_discovery_prunes_each_scan(spark, sf_dir):
+    # r7: every candidate reads exactly its two columns — spot-check the
+    # formatted plan carries no wide ReadSchema (o_totalprice would only
+    # appear if pruning regressed)
+    df = _q("dq_fd_discovery")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "o_totalprice" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
