@@ -2042,3 +2042,147 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("duration_day")
     )
+
+
+@register(
+    "events_diff_in_diff",
+    oracle="""
+    WITH span AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    cells AS (
+        SELECT event_type,
+               CASE WHEN CAST('0x' || substring(
+                        md5('did:' || CAST(user_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS treated,
+               CASE WHEN epoch_us(ts) >=
+                        (SELECT lo + (hi - lo) // 2 FROM span)
+                    THEN 1 ELSE 0 END AS post,
+               CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, treated, post,
+               CAST(count(*) AS BIGINT) AS n, sum(v) AS s
+        FROM cells GROUP BY event_type, treated, post
+    ),
+    p AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN n END)
+                    AS BIGINT) AS n_t_pre,
+               CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN n END)
+                    AS BIGINT) AS n_t_post,
+               CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN n END)
+                    AS BIGINT) AS n_c_pre,
+               CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN n END)
+                    AS BIGINT) AS n_c_post,
+               CAST(max(CASE WHEN treated = 1 AND post = 0 THEN s END)
+                    AS DOUBLE)
+                   / sum(CASE WHEN treated = 1 AND post = 0 THEN n END)
+                   AS m_t_pre,
+               CAST(max(CASE WHEN treated = 1 AND post = 1 THEN s END)
+                    AS DOUBLE)
+                   / sum(CASE WHEN treated = 1 AND post = 1 THEN n END)
+                   AS m_t_post,
+               CAST(max(CASE WHEN treated = 0 AND post = 0 THEN s END)
+                    AS DOUBLE)
+                   / sum(CASE WHEN treated = 0 AND post = 0 THEN n END)
+                   AS m_c_pre,
+               CAST(max(CASE WHEN treated = 0 AND post = 1 THEN s END)
+                    AS DOUBLE)
+                   / sum(CASE WHEN treated = 0 AND post = 1 THEN n END)
+                   AS m_c_post
+        FROM g GROUP BY event_type
+    )
+    SELECT event_type, n_t_pre, n_t_post, n_c_pre, n_c_post,
+           round(m_t_pre, 6) AS mean_t_pre,
+           round(m_t_post, 6) AS mean_t_post,
+           round(m_c_pre, 6) AS mean_c_pre,
+           round(m_c_post, 6) AS mean_c_post,
+           round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6)
+               AS did_estimate
+    FROM p ORDER BY event_type
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (the Card-Krueger two-period, two-group
+    estimator): per event type, the treatment effect on mean event value
+    is (treated_post - treated_pre) - (control_post - control_pre).
+    Treatment assignment is the md5 hash split (never rand()); the
+    pre/post boundary is the corpus-span midpoint in exact unix
+    microseconds (sub-second rule).
+
+    Exactness: cell sums accumulate DECIMAL(18,2) on 2dp-rounded values
+    (order-independent), each cell mean is a single double division of
+    the exact scalars, and the DiD contrast is three IEEE subtractions
+    before the shared 6dp round.
+
+    Scale: one scan; the (type, treated, post) grid map-side-combines
+    into <=|types|*4 rows; the span boundary arrives as a 1-row
+    broadcast (declared BNLJ); the per-type pivot is conditional
+    aggregation on the tiny grid — no joins, no windows over data."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts"))
+    span = ev.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    )
+    treated = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('did:', CAST(user_id AS STRING))), "
+            "1, 8), 16, 10) AS BIGINT) % 2"
+        )
+        == 0
+    ).cast("int")
+    cells = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        treated.alias("treated"),
+        (us >= F.col("lo") + F.expr("(hi - lo) div 2")).cast("int").alias("post"),
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+    )
+    g = cells.groupBy("event_type", "treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").alias("s")
+    )
+
+    def _n(t, p):
+        return (
+            F.sum(F.when((F.col("treated") == t) & (F.col("post") == p), F.col("n")))
+            .cast("long")
+        )
+
+    def _m(t, p):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("s"))
+        ).cast("double") / F.sum(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("n"))
+        )
+
+    p = g.groupBy("event_type").agg(
+        _n(1, 0).alias("n_t_pre"),
+        _n(1, 1).alias("n_t_post"),
+        _n(0, 0).alias("n_c_pre"),
+        _n(0, 1).alias("n_c_post"),
+        _m(1, 0).alias("m_t_pre"),
+        _m(1, 1).alias("m_t_post"),
+        _m(0, 0).alias("m_c_pre"),
+        _m(0, 1).alias("m_c_post"),
+    )
+    return (
+        p.select(
+            "event_type",
+            "n_t_pre",
+            "n_t_post",
+            "n_c_pre",
+            "n_c_post",
+            F.round("m_t_pre", 6).alias("mean_t_pre"),
+            F.round("m_t_post", 6).alias("mean_t_post"),
+            F.round("m_c_pre", 6).alias("mean_c_pre"),
+            F.round("m_c_post", 6).alias("mean_c_post"),
+            F.round(
+                (F.col("m_t_post") - F.col("m_t_pre"))
+                - (F.col("m_c_post") - F.col("m_c_pre")),
+                6,
+            ).alias("did_estimate"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
+    )

@@ -195,3 +195,85 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("s_nationkey")
     )
+
+
+@register(
+    "geo_grid_density",
+    oracle=f"""
+    WITH cc AS (
+        SELECT c_custkey,
+               {_coord_sql('clat', 'c_custkey', 1200000, 60.0)} AS lat,
+               {_coord_sql('clon', 'c_custkey', 3600000, 180.0)} AS lon
+        FROM customer
+    ),
+    cells AS (
+        SELECT CAST(floor(lat / 5.0) AS BIGINT) AS cell_lat,
+               CAST(floor(lon / 5.0) AS BIGINT) AS cell_lon,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM cc GROUP BY 1, 2
+    ),
+    sm AS (
+        SELECT c.cell_lat, c.cell_lon, c.n_points,
+               CAST(sum(n.n_points) AS BIGINT) AS n_hood
+        FROM cells c JOIN cells n
+          ON n.cell_lat BETWEEN c.cell_lat - 1 AND c.cell_lat + 1
+         AND n.cell_lon BETWEEN c.cell_lon - 1 AND c.cell_lon + 1
+        GROUP BY c.cell_lat, c.cell_lon, c.n_points
+    )
+    SELECT cell_lat, cell_lon, n_points, n_hood,
+           round(CAST(n_hood AS DOUBLE) / 9.0, 6) AS smoothed
+    FROM sm
+    ORDER BY n_hood DESC, cell_lat, cell_lon
+    LIMIT 20
+    """,
+)
+def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density surface: bin customers into the 5-degree grid,
+    then smooth each cell with its 3x3 neighborhood (a box-kernel
+    density — the binning step behind every map heatmap) and emit the
+    20 hottest cells.
+
+    Exactness: pure integer counts; the smoothed density is one double
+    division by the constant kernel area.
+
+    Scale: the corpus collapses to the FIXED cell domain (24 x 72 =
+    1728 possible 5-degree cells) in one map-side-combined groupBy; the
+    neighborhood sum replicates each CELL row 9x (explode on the
+    1728-row grid, not on data) and re-aggregates; the final top-20 is
+    orderBy+limit -> TakeOrderedAndProject. Input size only affects
+    the first scan."""
+    cust = _points_spark(
+        table(spark, sf_dir, "customer").select("c_custkey"), "c_custkey", "c"
+    )
+    cells = cust.groupBy("cell_lat", "cell_lon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    d = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    spread = (
+        cells.withColumn("dlat", F.explode(d))
+        .withColumn("dlon", F.explode(d))
+        .select(
+            (F.col("cell_lat") + F.col("dlat")).alias("cell_lat"),
+            (F.col("cell_lon") + F.col("dlon")).alias("cell_lon"),
+            F.col("n_points").alias("contrib"),
+        )
+    )
+    sm = (
+        cells.join(
+            spread.groupBy("cell_lat", "cell_lon").agg(
+                F.sum("contrib").cast("long").alias("n_hood")
+            ),
+            ["cell_lat", "cell_lon"],
+        )
+    )
+    return (
+        sm.select(
+            "cell_lat",
+            "cell_lon",
+            "n_points",
+            "n_hood",
+            F.round(F.col("n_hood").cast("double") / 9.0, 6).alias("smoothed"),
+        )
+        .orderBy(F.desc("n_hood"), "cell_lat", "cell_lon")
+        .limit(20)
+    )

@@ -536,3 +536,105 @@ def stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("commit_version", "change_type")
     )
+
+
+@register(
+    "warehouse_vacuum_retention",
+    oracle="""
+    WITH final AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_mktsegment = 'BUILDING'
+                    THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_cust,
+           CAST(sum(CAST(floor(bal) AS BIGINT)) AS BIGINT) AS bal_floor_sum,
+           CAST(4 AS BIGINT) AS n_versions,
+           CAST(4 AS BIGINT) AS dirs_written,
+           CAST(2 AS BIGINT) AS dirs_vacuumed,
+           CAST(1 AS BIGINT) AS dirs_live_latest,
+           CAST(1 AS BIGINT) AS time_travel_ok
+    FROM final
+    WHERE bal >= 0
+    GROUP BY c_mktsegment
+    """,
+)
+def warehouse_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM with a retention horizon — the lakehouse maintenance op
+    (Delta VACUUM / Iceberg expire_snapshots): after a 4-commit
+    lifecycle (two appends, a MERGE-style replace, a delete-rewrite
+    replace), physically delete every data directory not referenced by
+    any snapshot inside the retention window (here: the latest TWO
+    versions — the time-travel horizon), and prove the table still
+    serves both retained snapshots afterwards.
+
+      v0 append   two thirds of customer        -> dir d0
+      v1 append   remaining third               -> dir d1
+      v2 replace  +100.0 for BUILDING (from v1) -> dir d2 (removes d0,d1)
+      v3 replace  delete negative bal (from v2) -> dir d3 (removes d2)
+
+    Retained = dirs referenced by v2 or v3 = {d2, d3}; vacuumable =
+    {d0, d1} — deleted with rmtree, then the LIVE read (v3) and the
+    time-travel read (v2) are re-executed against the vacuumed table,
+    so the emitted per-segment aggregate round-tripped through the
+    post-vacuum files. The dir accounting (4 written / 2 vacuumed / 1
+    live) is pinned as literals the oracle asserts, exactly like
+    sink_txn_log's final_version/n_conflicts.
+
+    Scale: vacuum planning is pure log arithmetic (set difference over
+    the commit records — no data scan); the deletes are O(dead dirs).
+    At 100 TB the same replay runs on the driver over the log, and the
+    file deletes fan out to object storage unchanged. The only
+    driver-side values are bounded fixture accounting scalars (the
+    sanctioned class)."""
+    root = _txn_root(sf_dir, "vacuum")
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxnLogTable(root)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t.commit(spark, cust.filter(F.col("c_custkey") % 3 != 0), "append")
+    t.commit(spark, cust.filter(F.col("c_custkey") % 3 == 0), "append")
+    v1 = t.latest_version()
+    bumped = t.read(spark, v1).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    v2 = t.commit(spark, bumped, "replace", base_version=v1)
+    v3 = t.commit(
+        spark,
+        t.read(spark, v2).filter(F.col("c_acctbal") >= 0),
+        "replace",
+        base_version=v2,
+    )
+    n_versions = v3 + 1
+
+    # -- vacuum: delete everything outside the 2-version retention window
+    dirs_written = sorted(os.listdir(t.data_dir))
+    retained: set[str] = set()
+    for v in (v3 - 1, v3):
+        retained.update(os.path.basename(d) for d in t.live_dirs(v))
+    vacuumable = [d for d in dirs_written if d not in retained]
+    for d in vacuumable:
+        shutil.rmtree(os.path.join(t.data_dir, d), ignore_errors=True)
+
+    # both retained snapshots must still be readable post-vacuum
+    time_travel_ok = int(t.read(spark, v3 - 1).count() > 0)
+    live = t.read(spark, v3)
+    return (
+        live.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.floor("c_acctbal").cast("long")).alias("bal_floor_sum"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("long"))
+        .withColumn("dirs_written", F.lit(len(dirs_written)).cast("long"))
+        .withColumn("dirs_vacuumed", F.lit(len(vacuumable)).cast("long"))
+        .withColumn(
+            "dirs_live_latest", F.lit(len(t.live_dirs(v3))).cast("long")
+        )
+        .withColumn("time_travel_ok", F.lit(time_travel_ok).cast("long"))
+    )

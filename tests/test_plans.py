@@ -691,3 +691,23 @@ def test_fd_discovery_prunes_each_scan(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert "o_totalprice" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_diff_in_diff_no_data_window(spark, sf_dir):
+    # r7: one scan + bounded grid aggregation; the span boundary is the
+    # declared 1-row broadcast — no window over data, no join node
+    # besides the BNLJ
+    df = _q("events_diff_in_diff")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "Window" not in plan, plan[:2000]
+    assert inspect.shuffle_count(df) <= 3, plan[:2000]
+
+
+def test_grid_density_take_ordered(spark, sf_dir):
+    # r7: the top-20 hottest cells must fuse to TakeOrderedAndProject;
+    # the neighborhood explode runs on the <=1728-cell grid, after the
+    # map-side-combined binning groupBy
+    df = _q("geo_grid_density")(spark, sf_dir)
+    assert inspect.has_take_ordered(df), inspect.formatted_plan(df)
+    cols = inspect.read_schema_columns(df)
+    assert cols == ["c_custkey"], cols

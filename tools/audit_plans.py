@@ -109,6 +109,8 @@ DECLARED = {
                                      # composed via broadcast crossJoins; lag
                                      # window over the 7-row round table
                                      # (measured below)
+    "events_diff_in_diff": {"BNLJ"},  # crossJoin(broadcast(1-row corpus-span
+                                     # boundary))
 }
 
 
