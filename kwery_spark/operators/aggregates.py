@@ -950,7 +950,7 @@ _BLOOM_K = 4  # hash functions
 
 def _bloom_hash_sql(key_expr: str, i: int) -> str:
     # md5-derived hash i of an integer key — identical bytes in both
-    # engines (CLAUDE.md determinism rule); 8 hex chars fit BIGINT
+    # engines (working-notes determinism rule); 8 hex chars fit BIGINT
     return (
         f"CAST('0x' || substring(md5(CAST({key_expr} AS VARCHAR) || ':{i}'), 1, 8) "
         f"AS BIGINT) % {_BLOOM_M}"

@@ -1322,7 +1322,7 @@ def dedup_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     c2 = contents.select("lang", "chash", "copies", toks.alias("toks"), n.alias("n"))
     # sequence(1, n-7, 8) with n < 8 would generate a DESCENDING range
-    # (CLAUDE.md sequence guard) — emit no segments instead
+    # (working-notes sequence guard) — emit no segments instead
     seg_hashes = F.when(
         F.col("n") >= 8,
         F.transform(

@@ -255,7 +255,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitivity 3*T/W.
 
     r7 rewrite — CONTENT-CONTRACTED, the discipline every pair operator
-    here follows (CLAUDE-notes scale rule): the corpus upscale clones
+    here follows (working-notes scale rule): the corpus upscale clones
     user behavior, so users are grouped by their EXACT hour-set (md5 of
     the sorted hours; 150k users -> 1.5k distinct sets at sf10) and all
     graph arithmetic runs on set-representatives with multiplicities:

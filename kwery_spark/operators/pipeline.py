@@ -1070,3 +1070,123 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("rk")
     )
+
+
+@register(
+    "pipeline_sft_format",
+    oracle="""
+    WITH eligible AS (
+        SELECT doc_id, lang, source,
+               substring(text, 1, 200) AS prompt,
+               substring(text, 201) AS response
+        FROM documents WHERE n_chars > 200
+    ),
+    rendered AS (
+        SELECT doc_id, lang, source,
+               '<|user|>' || chr(10) || prompt || chr(10)
+                   || '<|assistant|>' || chr(10) || response || '<|end|>'
+                   AS sample,
+               CAST(len(str_split(prompt, ' ')) AS BIGINT) AS prompt_toks,
+               CAST(len(str_split(response, ' ')) AS BIGINT) + 1
+                   AS loss_toks
+        FROM eligible
+    ),
+    skipped AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_skipped
+        FROM documents WHERE n_chars <= 200 GROUP BY lang
+    )
+    SELECT r.lang,
+           CAST(count(*) AS BIGINT) AS n_examples,
+           coalesce(any_value(s.n_skipped), 0) AS n_skipped,
+           CAST(sum(prompt_toks) AS BIGINT) AS prompt_tokens,
+           CAST(sum(loss_toks) AS BIGINT) AS loss_tokens,
+           round(CAST(sum(loss_toks) AS DOUBLE)
+                 / (sum(prompt_toks) + sum(loss_toks)), 6) AS loss_frac,
+           CAST(sum(CAST('0x' || substring(md5(sample), 1, 8) AS BIGINT))
+                AS BIGINT) AS render_checksum
+    FROM rendered r LEFT JOIN skipped s ON r.lang = s.lang
+    GROUP BY r.lang
+    ORDER BY r.lang
+    """,
+)
+def pipeline_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering with loss-mask accounting — the
+    formatting step between a curated corpus and instruction-tuning:
+    each eligible doc (>200 chars) splits into a prompt (first 200
+    chars, loss-masked) and a response (the rest + an end token, where
+    the loss applies), rendered through a fixed chat template. Emits
+    per-language example counts, masked vs trained token totals, the
+    trained-token fraction, and an order-independent md5 checksum of
+    every rendered sample (sums of exact 32-bit hash prefixes), so a
+    downstream trainer can verify the shards byte-for-byte.
+
+    Exactness: all counts and checksums are integers; the loss
+    fraction is one double division. documents.text is pure ASCII so
+    substring/md5 mirror exactly across engines (repo rule).
+
+    Scale: one scan, everything map-side (render, hash, token counts)
+    into a per-language combine; the skipped-doc side is a <=|langs|
+    broadcast join. The rendered strings never shuffle — only their
+    counts and hashes do."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text", "n_chars"
+    )
+    el = docs.filter(F.col("n_chars") > 200).select(
+        "lang",
+        F.substring("text", 1, 200).alias("prompt"),
+        F.expr("substring(text, 201)").alias("response"),
+    )
+    nl = F.lit("\n")
+    rendered = el.select(
+        "lang",
+        F.concat(
+            F.lit("<|user|>"),
+            nl,
+            F.col("prompt"),
+            nl,
+            F.lit("<|assistant|>"),
+            nl,
+            F.col("response"),
+            F.lit("<|end|>"),
+        ).alias("sample"),
+        F.size(F.split("prompt", " ")).cast("long").alias("prompt_toks"),
+        (F.size(F.split("response", " ")).cast("long") + 1).alias("loss_toks"),
+    )
+    skipped = (
+        docs.filter(F.col("n_chars") <= 200)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_skipped"))
+    )
+    agg = (
+        rendered.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_examples"),
+            F.sum("prompt_toks").cast("long").alias("prompt_tokens"),
+            F.sum("loss_toks").cast("long").alias("loss_tokens"),
+            F.sum(
+                F.expr(
+                    "CAST(conv(substring(md5(sample), 1, 8), 16, 10) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("render_checksum"),
+        )
+        .join(F.broadcast(skipped), "lang", "left")
+    )
+    return (
+        agg.select(
+            "lang",
+            "n_examples",
+            F.coalesce(F.col("n_skipped"), F.lit(0)).cast("long").alias("n_skipped"),
+            "prompt_tokens",
+            "loss_tokens",
+            F.round(
+                F.col("loss_tokens").cast("double")
+                / (F.col("prompt_tokens") + F.col("loss_tokens")),
+                6,
+            ).alias("loss_frac"),
+            "render_checksum",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("lang")
+    )

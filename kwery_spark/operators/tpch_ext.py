@@ -11,7 +11,7 @@ commit/receipt dates, no shipmode/container/phone columns — see TESTDATA.md):
          "no orders at all" (vacuous here: every customer has orders)
          rewritten as "no orders since 2000-01-01"
 
-Determinism rules (CLAUDE.md): thresholds that feed comparisons are either
+Determinism rules (repo working notes): thresholds that feed comparisons are either
 exact in FP (sums/avgs of integral-valued quantity doubles) or computed via
 an exact DECIMAL sum + one double division so Spark and DuckDB derive the
 bit-identical threshold; ranking cutoffs carry explicit key tie-breaks.

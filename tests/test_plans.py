@@ -711,3 +711,13 @@ def test_grid_density_take_ordered(spark, sf_dir):
     assert inspect.has_take_ordered(df), inspect.formatted_plan(df)
     cols = inspect.read_schema_columns(df)
     assert cols == ["c_custkey"], cols
+
+
+def test_sft_format_renders_map_side(spark, sf_dir):
+    # r7: render/hash/count all happen map-side — no window, no
+    # cartesian; the only join is the <=|langs| skipped-count broadcast
+    df = _q("pipeline_sft_format")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert inspect.has_broadcast_join(df), plan[:2000]
