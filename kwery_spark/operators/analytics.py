@@ -2186,3 +2186,108 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("event_type")
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id
+    ),
+    csize AS (
+        SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM cohort GROUP BY cohort_day
+    ),
+    cell AS (
+        SELECT c.cohort_day,
+               CAST(datediff('day', c.cohort_day, e.d) AS BIGINT)
+                   AS day_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+               sum(e.v) AS rev
+        FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        GROUP BY c.cohort_day, datediff('day', c.cohort_day, e.d)
+    ),
+    tri AS (
+        SELECT l.cohort_day, l.day_offset, l.n_active, s.cohort_size,
+               l.rev,
+               sum(l.rev) OVER (
+                   PARTITION BY l.cohort_day ORDER BY l.day_offset
+               ) AS cum_rev
+        FROM cell l JOIN csize s ON l.cohort_day = s.cohort_day
+    )
+    SELECT CAST(cohort_day AS DATE) AS cohort_day, day_offset, n_active,
+           cohort_size,
+           round(CAST(rev AS DOUBLE), 6) AS rev,
+           round(CAST(cum_rev AS DOUBLE) / cohort_size, 6)
+               AS cum_ltv_per_user
+    FROM tri ORDER BY cohort_day, day_offset
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle — the revenue complement of the
+    events_retention activity triangle: users cohorted by first-active
+    day; each (cohort, day-offset) cell carries its active-user count
+    and revenue, plus the running cumulative LTV per cohort user (the
+    curve a growth team reads payback periods off).
+
+    Exactness: revenue accumulates as DECIMAL(18,2) (2dp-rounded at
+    ingest), the cumulative sum runs over exact DECIMALs (order-
+    independent), and the only float ops are the final casts and one
+    division by the integer cohort size.
+
+    Scale: two user-keyed shuffles (cohort assignment, cell aggregate
+    with map-side combine); the triangle itself is bounded by
+    days x days (<=31x31 on this corpus, and by retention-window
+    policy in production), so the cumulative window partitions by
+    cohort over bounded rows; cohort sizes arrive as a <=31-row
+    broadcast."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("d"),
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    csize = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cell = (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d").cast("date"), F.col("cohort_day").cast("date"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_active"),
+            F.sum("v").alias("rev"),
+        )
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_offset")
+    tri = cell.join(F.broadcast(csize), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        "rev",
+        F.sum("rev").over(w).alias("cum_rev"),
+    )
+    return (
+        tri.select(
+            F.col("cohort_day").cast("date").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("rev").cast("double"), 6).alias("rev"),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("cohort_size"), 6
+            ).alias("cum_ltv_per_user"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("cohort_day", "day_offset")
+    )

@@ -15,7 +15,7 @@ the tumbling form carries one state row per (window,key); sliding ×
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from kwery_spark.catalog import table
 from kwery_spark.registry import register
@@ -251,4 +251,97 @@ def stream_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __hyper_src
         GROUP BY GROUPING SETS ((m, event_type), (h, event_type), (d, event_type))
         """
+    )
+
+
+@register(
+    "stream_asof_join",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, epoch_us(ts) AS us, 0 AS tag, NULL AS pt
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, epoch_us(ts) AS us, 1 AS tag,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS pt
+        FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+        SELECT *,
+               max(CASE WHEN tag = 0 THEN us END) OVER (
+                   PARTITION BY user_id ORDER BY us, tag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_view_us
+        FROM tagged
+    ),
+    p AS (SELECT * FROM carried WHERE tag = 1)
+    SELECT CAST(pt AS TIMESTAMP) AS purchase_hour,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(last_view_us) AS BIGINT) AS n_matched,
+           round(coalesce(
+               CAST(CAST(sum(us - last_view_us) AS BIGINT) AS DOUBLE)
+                   / count(last_view_us) / 1000000.0,
+               -1.0), 6) AS avg_lag_sec
+    FROM p GROUP BY pt
+    """,
+)
+def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of enrichment: every purchase picks up the SAME
+    user's most recent view at-or-before it — the latest-state lookup
+    that in Structured Streaming runs as a keyed state store holding
+    one row per user (update on view, emit-enriched on purchase),
+    here in its oracle-checkable batch form. Emits the per-hour
+    view-to-purchase lag profile.
+
+    Single-shuffle formulation (the join_asof_nearest idiom): views
+    and purchases union with a tag, one window per user carries the
+    running max view timestamp forward (views sort before purchases
+    at equal timestamps, so an exactly-simultaneous view matches), and
+    NO join node exists in the plan. Lags are exact microsecond
+    integers (sub-second rule); the average is two float divisions on
+    the exact scalars, identical in both engines.
+
+    Scale: one shuffle on user_id, then a map-side-combined rollup to
+    <=|hours| rows. The streaming deployment needs only O(|users|)
+    state — the same bound the window's running max implies."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    us = F.unix_micros(F.col("ts"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", us.alias("us"), F.lit(0).alias("tag"),
+        F.lit(None).cast("timestamp").alias("pt"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("us"), F.lit(1).alias("tag"),
+        F.date_trunc("hour", "ts").alias("pt"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = v.unionAll(p).select(
+        "*",
+        F.max(F.when(F.col("tag") == 0, F.col("us"))).over(w).alias(
+            "last_view_us"
+        ),
+    )
+    pur = carried.filter(F.col("tag") == 1)
+    return (
+        pur.groupBy(F.col("pt").alias("purchase_hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.count("last_view_us").cast("long").alias("n_matched"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("us") - F.col("last_view_us"))
+                    .cast("long")
+                    .cast("double")
+                    / F.count("last_view_us")
+                    / F.lit(1000000.0),
+                    F.lit(-1.0),
+                ),
+                6,
+            ).alias("avg_lag_sec"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("purchase_hour")
     )

@@ -721,3 +721,20 @@ def test_sft_format_renders_map_side(spark, sf_dir):
     assert "Window" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
     assert inspect.has_broadcast_join(df), plan[:2000]
+
+
+def test_cohort_ltv_bounded_triangle(spark, sf_dir):
+    # r7: two user-keyed shuffles + the bounded days-x-days triangle;
+    # cohort sizes broadcast; the cumulative window partitions by cohort
+    df = _q("events_cohort_ltv")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert inspect.has_broadcast_join(df), plan[:2000]
+
+
+def test_stream_asof_join_has_no_join_node(spark, sf_dir):
+    # r7: the as-of enrichment is the union+window formulation — one
+    # shuffle on user_id and NO join node anywhere in the plan
+    df = _q("stream_asof_join")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
