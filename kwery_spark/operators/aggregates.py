@@ -1806,3 +1806,124 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("rk")
     )
+
+
+@register(
+    "ml_calibration_ece",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_views,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT converted,
+               CAST(n_views AS DOUBLE) / (n_views + 5.0) AS s
+        FROM per_user
+    ),
+    binned AS (
+        SELECT least(CAST(floor(s * 10.0) AS BIGINT), 9) AS bin,
+               CAST(round(s, 9) AS DECIMAL(12,9)) AS s9,
+               converted
+        FROM scored
+    ),
+    b AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(s9) AS sum_s9,
+               CAST(sum(converted) AS BIGINT) AS n_conv
+        FROM binned GROUP BY bin
+    ),
+    g AS (
+        SELECT bin, n, n_conv,
+               CAST(sum_s9 AS DOUBLE) / n AS mean_score,
+               CAST(n_conv AS DOUBLE) / n AS conv_rate
+        FROM b
+    ),
+    e AS (
+        SELECT CAST(sum(CAST(round(abs(mean_score - conv_rate), 9)
+                             AS DECIMAL(28,9)) * n) AS DOUBLE)
+                   / CAST(sum(n) AS BIGINT) AS ece
+        FROM g
+    )
+    SELECT bin, n, n_conv,
+           round(mean_score, 6) AS mean_score,
+           round(conv_rate, 6) AS conv_rate,
+           round(mean_score - conv_rate, 6) AS gap,
+           round((SELECT ece FROM e), 6) AS ece
+    FROM g ORDER BY bin
+    """,
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration diagnostics + Expected Calibration Error (the
+    reliability-diagram readout, Naeini et al. 2015): a deterministic
+    conversion model scores each user p = views/(views+5) (a Laplace-
+    smoothed propensity — an exact rational, no transcendentals), the
+    outcome is whether the user purchased, and scores bucket into ten
+    fixed-width bins. Each bin reports mean predicted probability vs
+    empirical rate; ECE is the n-weighted mean absolute gap.
+
+    Exactness: per-bin score sums accumulate 9dp-rounded DECIMAL
+    (order-independent); means/rates are single divisions; the ECE
+    accumulates round(|gap|,9)-DECIMAL x integer-n products exactly,
+    with ONE final division — the repo's float-sum discipline.
+
+    Scale: one scan to a per-user aggregate (the only data shuffle),
+    then a <=10-row bin grid; the 1-row ECE joins back via broadcast
+    (declared BNLJ)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("n_views"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    s = F.col("n_views").cast("double") / (F.col("n_views") + F.lit(5.0))
+    binned = per_user.select(
+        F.least(F.floor(s * 10.0).cast("long"), F.lit(9).cast("long")).alias(
+            "bin"
+        ),
+        F.round(s, 9).cast("decimal(12,9)").alias("s9"),
+        "converted",
+    )
+    b = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s9").alias("sum_s9"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    g = b.select(
+        "bin",
+        "n",
+        "n_conv",
+        (F.col("sum_s9").cast("double") / F.col("n")).alias("mean_score"),
+        (F.col("n_conv").cast("double") / F.col("n")).alias("conv_rate"),
+    )
+    e = g.agg(
+        (
+            F.sum(
+                F.round(F.abs(F.col("mean_score") - F.col("conv_rate")), 9)
+                .cast("decimal(28,9)")
+                * F.col("n")
+            ).cast("double")
+            / F.sum("n").cast("long")
+        ).alias("ece")
+    )
+    return (
+        g.crossJoin(F.broadcast(e))
+        .select(
+            "bin",
+            "n",
+            "n_conv",
+            F.round("mean_score", 6).alias("mean_score"),
+            F.round("conv_rate", 6).alias("conv_rate"),
+            F.round(F.col("mean_score") - F.col("conv_rate"), 6).alias("gap"),
+            F.round("ece", 6).alias("ece"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("bin")
+    )

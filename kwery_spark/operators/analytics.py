@@ -2291,3 +2291,85 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("cohort_day", "day_offset")
     )
+
+
+@register(
+    "events_srm_guardrail",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id % 2 AS arm,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY user_id % 2
+    ),
+    tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_total FROM arms),
+    chi AS (
+        SELECT CAST(sum(CAST(round(
+                   (n_users - CAST(n_total AS DOUBLE) / 2)
+                       * (n_users - CAST(n_total AS DOUBLE) / 2)
+                       / (CAST(n_total AS DOUBLE) / 2), 9)
+               AS DECIMAL(28,9))) AS DOUBLE) AS chi2
+        FROM arms CROSS JOIN tot
+    )
+    SELECT arm, n_users, t.n_total,
+           round(CAST(n_users AS DOUBLE) / t.n_total, 6) AS arm_frac,
+           round(c.chi2, 6) AS chi2,
+           CASE WHEN c.chi2 < 3.841459 THEN 1 ELSE 0 END AS srm_ok
+    FROM arms CROSS JOIN tot t CROSS JOIN chi c
+    ORDER BY arm
+    """,
+)
+def events_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (the experiment-trust check run
+    before ANY A/B readout — Fabijan et al. 2019): chi-square test of
+    the observed per-arm user counts against the designed 50/50 split
+    for the same user_id % 2 assignment events_ab_test uses. A
+    significant chi2 (df=1, alpha=.05 critical value 3.841459) means
+    the experiment's randomization is broken and its lift numbers are
+    untrustworthy.
+
+    Exactness: counts are exact; each arm's chi-square part is built
+    from single divisions of exact integers, rounded 9dp and
+    DECIMAL-accumulated (order-independent two-term sum), one final
+    cast back to double.
+
+    Scale: one distinct-user aggregate (map-side partial on the
+    (arm, user) pair), a 2-row arm table, two 1-row broadcast
+    crossJoins (declared BNLJ)."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+    arms = (
+        ev.select((F.col("user_id") % 2).alias("arm"), "user_id")
+        .groupBy("arm")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+    tot = arms.agg(F.sum("n_users").cast("long").alias("n_total"))
+    exp_half = F.col("n_total").cast("double") / 2
+    chi = (
+        arms.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("n_users") - exp_half)
+                * (F.col("n_users") - exp_half)
+                / exp_half,
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("part")
+        )
+        .agg(F.sum("part").cast("double").alias("chi2"))
+    )
+    return (
+        arms.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "arm",
+            "n_users",
+            "n_total",
+            F.round(
+                F.col("n_users").cast("double") / F.col("n_total"), 6
+            ).alias("arm_frac"),
+            F.round("chi2", 6).alias("chi2"),
+            F.when(F.col("chi2") < 3.841459, 1).otherwise(0).alias("srm_ok"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("arm")
+    )

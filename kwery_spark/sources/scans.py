@@ -871,3 +871,97 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor("bal").cast("long")).alias("bal_floor_sum"),
         )
     )
+
+
+@register(
+    "scan_zonemap_skipping",
+    oracle="""
+    WITH zones AS (
+        SELECT o_orderkey // 8192 AS zone,
+               min(o_orderdate) AS zmin, max(o_orderdate) AS zmax,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY o_orderkey // 8192
+    ),
+    preds AS (
+        SELECT 'lt_1993' AS pred, DATE '1992-01-01' AS lo,
+               DATE '1992-12-31' AS hi
+        UNION ALL SELECT 'y1994', DATE '1994-01-01', DATE '1994-12-31'
+        UNION ALL SELECT 'h1_1996', DATE '1996-01-01', DATE '1996-06-30'
+        UNION ALL SELECT 'ge_1998', DATE '1998-01-01', DATE '1999-12-31'
+    )
+    SELECT pred,
+           CAST(count(*) AS BIGINT) AS n_zones,
+           CAST(sum(CASE WHEN CAST(zmax AS DATE) < lo
+                              OR CAST(zmin AS DATE) > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           CAST(sum(CASE WHEN CAST(zmax AS DATE) < lo
+                              OR CAST(zmin AS DATE) > hi
+                         THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_skipped,
+           round(CAST(sum(CASE WHEN CAST(zmax AS DATE) < lo
+                                    OR CAST(zmin AS DATE) > hi
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS skip_frac
+    FROM zones CROSS JOIN preds
+    GROUP BY pred
+    ORDER BY pred
+    """,
+)
+def scan_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping analytics — the what-if readout behind
+    min/max pruning (parquet row-group stats, Delta/Iceberg file
+    skipping, ClickHouse sparse indexes): orders partitions into
+    8192-key zones on the clustered key, each zone carries its
+    o_orderdate min/max, and four date predicates report how many
+    zones (and rows) their [lo, hi] range could prune via the
+    standard zmax < lo OR zmin > hi disjointness test. The numbers
+    quantify how well the physical clustering serves each predicate —
+    exactly what you consult before choosing a partition/Z-order key
+    (layout_zorder is the acting-on-it twin).
+
+    Exactness: pure integer counts and date compares; one division.
+
+    Scale: the zone aggregate map-side-combines on the integer-divided
+    key (zones scale with the table, but only their 4-column summaries
+    shuffle); the 4-predicate parameter table joins via a declared
+    bounded broadcast crossJoin and the rollup lands on 4 rows."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    zones = orders.groupBy(
+        F.expr("o_orderkey div 8192").alias("zone")
+    ).agg(
+        F.min("o_orderdate").alias("zmin"),
+        F.max("o_orderdate").alias("zmax"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    preds = spark.createDataFrame(
+        [
+            ("lt_1993", "1992-01-01", "1992-12-31"),
+            ("y1994", "1994-01-01", "1994-12-31"),
+            ("h1_1996", "1996-01-01", "1996-06-30"),
+            ("ge_1998", "1998-01-01", "1999-12-31"),
+        ],
+        "pred string, lo string, hi string",
+    ).select("pred", F.col("lo").cast("date"), F.col("hi").cast("date"))
+    skipped = (
+        F.col("zmax").cast("date") < F.col("lo")
+    ) | (F.col("zmin").cast("date") > F.col("hi"))
+    return (
+        zones.crossJoin(F.broadcast(preds))
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_zones"),
+            F.sum(F.when(skipped, 1).otherwise(0))
+            .cast("long")
+            .alias("n_skipped"),
+            F.sum(F.when(skipped, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_skipped"),
+            F.round(
+                F.sum(F.when(skipped, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("skip_frac"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("pred")
+    )

@@ -738,3 +738,21 @@ def test_stream_asof_join_has_no_join_node(spark, sf_dir):
     df = _q("stream_asof_join")(spark, sf_dir)
     plan = inspect.formatted_plan(df)
     assert "Join" not in plan, plan[:2000]
+
+
+def test_calibration_single_data_shuffle(spark, sf_dir):
+    # r7: one per-user aggregate is the only data-scale shuffle; the bin
+    # grid is <=10 rows and the ECE arrives via the declared broadcast
+    df = _q("ml_calibration_ece")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    cols = inspect.read_schema_columns(df)
+    assert set(cols) <= {"user_id", "event_type"}, cols
+
+
+def test_zonemap_skipping_prunes_to_two_columns(spark, sf_dir):
+    # r7: the zone aggregate reads exactly (o_orderkey, o_orderdate) and
+    # the 4-predicate side is a declared bounded broadcast
+    df = _q("scan_zonemap_skipping")(spark, sf_dir)
+    cols = inspect.read_schema_columns(df)
+    assert set(cols) == {"o_orderkey", "o_orderdate"}, cols

@@ -111,6 +111,11 @@ DECLARED = {
                                      # (measured below)
     "events_diff_in_diff": {"BNLJ"},  # crossJoin(broadcast(1-row corpus-span
                                      # boundary))
+    "ml_calibration_ece": {"BNLJ"},  # crossJoin(broadcast(1-row ECE scalar))
+    "events_srm_guardrail": {"BNLJ"},  # crossJoin(broadcast(1-row total +
+                                     # 1-row chi2))
+    "scan_zonemap_skipping": {"BNLJ"},  # crossJoin(broadcast(4-row predicate
+                                     # parameter table))
 }
 
 
