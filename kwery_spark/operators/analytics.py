@@ -2373,3 +2373,81 @@ def events_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("arm")
     )
+
+
+@register(
+    "events_power_mde",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS sv,
+               sum(CAST(round(value, 2) AS DECIMAL(18,2))
+                   * CAST(round(value, 2) AS DECIMAL(18,2))) AS sv2
+        FROM events GROUP BY event_type
+    ),
+    v AS (
+        SELECT event_type, n,
+               CAST(sv AS DOUBLE) / n AS mean_v,
+               (CAST(sv2 AS DOUBLE)
+                - (CAST(sv AS DOUBLE) / n) * CAST(sv AS DOUBLE))
+                   / (n - 1) AS var_v
+        FROM s
+    )
+    SELECT event_type, n,
+           round(mean_v, 6) AS mean_v,
+           round(var_v, 6) AS var_v,
+           round(sqrt(7.848887 * 2.0 * var_v / n), 6) AS mde_abs,
+           round(sqrt(7.848887 * 2.0 * var_v / n)
+                 / mean_v, 6) AS mde_rel,
+           CAST(ceil(7.848887 * 2.0 * var_v
+                     / ((0.05 * mean_v) * (0.05 * mean_v))) AS BIGINT)
+               AS n_per_arm_for_5pct
+    FROM v ORDER BY event_type
+    """,
+)
+def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis per event type — the design step run
+    BEFORE an A/B test: with the observed value variance, (a) the
+    minimum detectable effect at the current sample size and (b) the
+    per-arm sample size needed to detect a 5% lift, both at the
+    standard alpha=.05 / power=.8 operating point ((z_.975 + z_.8)^2 =
+    7.848887, the constant in every power calculator).
+
+    Exactness: sums and sums-of-squares accumulate DECIMAL(18,2)/(38,4)
+    exactly (order-independent); mean and variance are assembled from
+    the exact scalars with single IEEE divisions; sqrt is IEEE-exact;
+    the identical expression tree runs in both engines.
+
+    Scale: one scan, one map-side-combined aggregate to <=|types|
+    rows; everything after is per-row arithmetic on the tiny grid."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    vdec = F.round("value", 2).cast("decimal(18,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(vdec).alias("sv"),
+        F.sum(vdec * vdec).alias("sv2"),
+    )
+    mean_v = F.col("sv").cast("double") / F.col("n")
+    var_v = (
+        F.col("sv2").cast("double") - mean_v * F.col("sv").cast("double")
+    ) / (F.col("n") - 1)
+    v = s.select("event_type", "n", mean_v.alias("mean_v"), var_v.alias("var_v"))
+    zsq2 = F.lit(7.848887) * F.lit(2.0)
+    mde = F.sqrt(zsq2 * F.col("var_v") / F.col("n"))
+    delta = F.lit(0.05) * F.col("mean_v")
+    return (
+        v.select(
+            "event_type",
+            "n",
+            F.round("mean_v", 6).alias("mean_v"),
+            F.round("var_v", 6).alias("var_v"),
+            F.round(mde, 6).alias("mde_abs"),
+            F.round(mde / F.col("mean_v"), 6).alias("mde_rel"),
+            F.ceil(zsq2 * F.col("var_v") / (delta * delta))
+            .cast("long")
+            .alias("n_per_arm_for_5pct"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
+    )

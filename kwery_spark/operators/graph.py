@@ -879,3 +879,158 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("peel_round")
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH purch AS MATERIALIZED (
+        SELECT DISTINCT user_id,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pe AS MATERIALIZED (
+        SELECT a.user_id AS u, b.user_id AS v
+        FROM purch a JOIN purch b
+          ON a.hr = b.hr AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+        HAVING count(*) >= 2
+    ),
+    deg AS MATERIALIZED (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM pe UNION ALL SELECT v AS node FROM pe
+        ) GROUP BY node
+    ),
+    es AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(CAST(du.d AS DECIMAL(38,0))
+                        * CAST(dv.d AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS s_jk,
+               CAST(sum(CAST(du.d AS DECIMAL(38,0))
+                        + CAST(dv.d AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS s_sum,
+               CAST(sum(CAST(du.d AS DECIMAL(38,0))
+                            * CAST(du.d AS DECIMAL(38,0))
+                        + CAST(dv.d AS DECIMAL(38,0))
+                            * CAST(dv.d AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS s_sq
+        FROM pe JOIN deg du ON pe.u = du.node
+                JOIN deg dv ON pe.v = dv.node
+    )
+    SELECT m AS n_edges,
+           CAST(s_jk AS BIGINT) AS sum_jk,
+           CAST(s_sum AS BIGINT) AS sum_deg,
+           CAST(s_sq AS BIGINT) AS sum_degsq,
+           round(
+               (CAST(s_jk AS DOUBLE) / m
+                - (CAST(s_sum AS DOUBLE) / (2 * m))
+                  * (CAST(s_sum AS DOUBLE) / (2 * m)))
+               / (CAST(s_sq AS DOUBLE) / (2 * m)
+                  - (CAST(s_sum AS DOUBLE) / (2 * m))
+                    * (CAST(s_sum AS DOUBLE) / (2 * m))), 6)
+               AS assortativity
+    FROM es
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, eq. 4) of the
+    co-purchase graph: the Pearson correlation of the degrees at the
+    two ends of every edge — positive means hubs attach to hubs
+    (social-network-like), negative means hub-and-spoke.
+
+    CONTENT-CONTRACTED evaluation: degrees are group-uniform (the
+    kcore argument), and every expanded edge's endpoint-degree pair is
+    determined by its rep pair (cross edges: ma*mb copies of (da, db))
+    or its clique (C(m,2) copies of (d, d)), so the three edge sums
+    Σjk, Σ(j+k), Σ(j²+k²) reduce to exact multiplicity-weighted sums
+    over the <=28.7k rep edges + <=1.5k groups. The oracle computes
+    the same sums edge-by-edge on the EXPANDED graph — parity proves
+    the algebra. Sums accumulate DECIMAL(38,0) integers (deg² x edge
+    counts exceed BIGINT at sf10); the correlation is assembled from
+    exact scalars with IEEE ops only.
+
+    Scale: the contraction's one hour-blocked rep join, two broadcast
+    degree lookups on the rep table, a single-row aggregate."""
+    groups, redges = _contracted_copurchase(spark, sf_dir)
+    info = groups.select("ck", "m", "clique")
+    adj_m = (
+        redges.select(F.col("ca").alias("ck"), F.col("mb").alias("am"))
+        .unionAll(
+            redges.select(F.col("cb").alias("ck"), F.col("ma").alias("am"))
+        )
+        .groupBy("ck")
+        .agg(F.sum("am").alias("s"))
+    )
+    degs = info.join(adj_m, "ck", "left").select(
+        "ck",
+        "m",
+        "clique",
+        (
+            F.coalesce(F.col("s"), F.lit(0))
+            + (F.col("m") - 1) * F.col("clique")
+        )
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    da = degs.select(F.col("ck").alias("ca"), F.col("d").alias("da"))
+    db = degs.select(F.col("ck").alias("cb"), F.col("d").alias("db"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cross = (
+        redges.join(F.broadcast(da), "ca")
+        .join(F.broadcast(db), "cb")
+        .agg(
+            F.sum(dec("ma") * dec("mb")).alias("m_e"),
+            F.sum(dec("ma") * dec("mb") * F.col("da") * F.col("db")).alias(
+                "s_jk"
+            ),
+            F.sum(
+                dec("ma") * dec("mb") * (F.col("da") + F.col("db"))
+            ).alias("s_sum"),
+            F.sum(
+                dec("ma")
+                * dec("mb")
+                * (
+                    F.col("da") * F.col("da")
+                    + F.col("db") * F.col("db")
+                )
+            ).alias("s_sq"),
+        )
+    )
+    intra = degs.agg(
+        F.sum(dec("clique") * dec("m") * (dec("m") - 1) / 2)
+        .cast("decimal(38,0)")
+        .alias("m_i"),
+        F.sum(
+            dec("clique") * dec("m") * (dec("m") - 1) / 2
+            * F.col("d") * F.col("d")
+        ).alias("i_jk"),
+        F.sum(
+            dec("clique") * dec("m") * (dec("m") - 1) / 2 * 2 * F.col("d")
+        ).alias("i_sum"),
+        F.sum(
+            dec("clique") * dec("m") * (dec("m") - 1) / 2
+            * 2 * F.col("d") * F.col("d")
+        ).alias("i_sq"),
+    )
+    t = cross.crossJoin(broadcast(intra)).select(
+        (F.coalesce(F.col("m_e"), F.lit(0)) + F.coalesce(F.col("m_i"), F.lit(0))).alias("m"),
+        (F.coalesce(F.col("s_jk"), F.lit(0)) + F.coalesce(F.col("i_jk"), F.lit(0))).alias("s_jk"),
+        (F.coalesce(F.col("s_sum"), F.lit(0)) + F.coalesce(F.col("i_sum"), F.lit(0))).alias("s_sum"),
+        (F.coalesce(F.col("s_sq"), F.lit(0)) + F.coalesce(F.col("i_sq"), F.lit(0))).alias("s_sq"),
+    )
+    md = F.col("m").cast("double")
+    mean_half = F.col("s_sum").cast("double") / (2 * md)
+    return t.select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.col("s_jk").cast("long").alias("sum_jk"),
+        F.col("s_sum").cast("long").alias("sum_deg"),
+        F.col("s_sq").cast("long").alias("sum_degsq"),
+        F.round(
+            (F.col("s_jk").cast("double") / md - mean_half * mean_half)
+            / (
+                F.col("s_sq").cast("double") / (2 * md)
+                - mean_half * mean_half
+            ),
+            6,
+        ).alias("assortativity"),
+    )

@@ -756,3 +756,19 @@ def test_zonemap_skipping_prunes_to_two_columns(spark, sf_dir):
     df = _q("scan_zonemap_skipping")(spark, sf_dir)
     cols = inspect.read_schema_columns(df)
     assert set(cols) == {"o_orderkey", "o_orderdate"}, cols
+
+
+def test_assortativity_runs_on_checkpointed_contraction(spark, sf_dir):
+    # r7: edge sums run on the localCheckpointed rep frames — events
+    # scanned once at contraction time, absent from the final plan
+    df = _q("graph_assortativity")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "events.parquet" not in plan, plan[:2000]
+
+
+def test_power_mde_single_aggregate(spark, sf_dir):
+    # r7: one map-side-combined aggregate to the type grid; two-column scan
+    df = _q("events_power_mde")(spark, sf_dir)
+    cols = inspect.read_schema_columns(df)
+    assert set(cols) == {"event_type", "value"}, cols
+    assert inspect.shuffle_count(df) <= 2, inspect.formatted_plan(df)

@@ -116,6 +116,8 @@ DECLARED = {
                                      # 1-row chi2))
     "scan_zonemap_skipping": {"BNLJ"},  # crossJoin(broadcast(4-row predicate
                                      # parameter table))
+    "graph_assortativity": {"BNLJ"},  # crossJoin(broadcast(1-row intra-clique
+                                     # edge-sum aggregate))
 }
 
 
