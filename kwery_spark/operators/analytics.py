@@ -2451,3 +2451,107 @@ def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("event_type")
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                   ORDER BY epoch_us(ts), event_id
+               ) AS rn,
+               count(*) OVER (
+                   PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+               ) AS n_in_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, d,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3 AND n_in_sess >= 3
+        GROUP BY user_id, d
+    ),
+    paths AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM sess GROUP BY path
+    ),
+    tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS n_total FROM paths)
+    SELECT path, n_sessions,
+           round(CAST(n_sessions AS DOUBLE) / t.n_total, 6) AS sess_frac
+    FROM paths CROSS JOIN tot t
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the ten most common opening 3-step
+    event-type paths across user-day sessions (sessions with >=3
+    events), with each path's share — the entry-path report behind
+    every product-analytics "user flows" view (the frequency
+    complement of events_markov_stationary's transition matrix).
+
+    Determinism: within-session order breaks timestamp ties on
+    event_id; the path string concatenates in rank order on both
+    engines; top-10 ties break on the path string.
+
+    Scale: one shuffle on (user, day) serves both windows and the
+    path aggregation (same partitioning); paths fold map-side into a
+    <=|types|^3 = 125-key space before the bounded top-10
+    (TakeOrderedAndProject); the total arrives via a declared 1-row
+    broadcast."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    d = F.date_trunc("day", "ts")
+    w_rn = Window.partitionBy("user_id", d).orderBy(
+        F.unix_micros(F.col("ts")), "event_id"
+    )
+    w_n = Window.partitionBy("user_id", d)
+    ranked = ev.select(
+        "user_id",
+        d.alias("d"),
+        "event_type",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n_in_sess"),
+    )
+    sess = (
+        ranked.filter((F.col("rn") <= 3) & (F.col("n_in_sess") >= 3))
+        .groupBy("user_id", "d")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    # contract to the <=|types|^3 path space ONCE (localCheckpoint —
+    # otherwise the 1-row total re-evaluates the whole session subtree,
+    # doubling the corpus scan)
+    paths = (
+        sess.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    tot = paths.agg(F.sum("n_sessions").cast("long").alias("n_total"))
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n_sessions",
+            F.round(
+                F.col("n_sessions").cast("double") / F.col("n_total"), 6
+            ).alias("sess_frac"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )

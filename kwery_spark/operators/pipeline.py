@@ -1190,3 +1190,131 @@ def pipeline_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("lang")
     )
+
+
+@register(
+    "pipeline_quality_ablation",
+    oracle="""
+    WITH d AS (
+        SELECT n_chars,
+               str_split(text, ' ') AS toks,
+               text
+        FROM documents
+    ),
+    f AS (
+        SELECT n_chars,
+               (n_chars BETWEEN 100 AND 20000) AS g_len,
+               (len(list_distinct(toks)) * 1.0
+                    >= 0.3 * len(toks)) AS g_rep,
+               (CAST(n_chars AS DOUBLE) / len(toks)
+                    BETWEEN 3.0 AND 12.0) AS g_wlen,
+               (NOT regexp_matches(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS g_pii
+        FROM d
+    ),
+    c AS (
+        SELECT n_chars, g_len,
+               g_len AND g_rep AS c2,
+               g_len AND g_rep AND g_wlen AS c3,
+               g_len AND g_rep AND g_wlen AND g_pii AS c4
+        FROM f
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(sum(n_chars) AS BIGINT) AS ch0,
+               CAST(sum(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN g_len THEN n_chars ELSE 0 END) AS BIGINT) AS ch1,
+               CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN c2 THEN n_chars ELSE 0 END) AS BIGINT) AS ch2,
+               CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+               CAST(sum(CASE WHEN c3 THEN n_chars ELSE 0 END) AS BIGINT) AS ch3,
+               CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+               CAST(sum(CASE WHEN c4 THEN n_chars ELSE 0 END) AS BIGINT) AS ch4
+        FROM c
+    )
+    SELECT * FROM (
+        SELECT 0 AS stage, 'raw' AS gate, n0 AS n_docs, ch0 AS n_chars,
+               round(1.0, 6) AS keep_frac FROM agg
+        UNION ALL SELECT 1, 'length', n1, ch1,
+               round(CAST(n1 AS DOUBLE) / n0, 6) FROM agg
+        UNION ALL SELECT 2, '+repetition', n2, ch2,
+               round(CAST(n2 AS DOUBLE) / n0, 6) FROM agg
+        UNION ALL SELECT 3, '+word_len', n3, ch3,
+               round(CAST(n3 AS DOUBLE) / n0, 6) FROM agg
+        UNION ALL SELECT 4, '+pii_free', n4, ch4,
+               round(CAST(n4 AS DOUBLE) / n0, 6) FROM agg
+    ) ORDER BY stage
+    """,
+)
+def pipeline_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel ablation: the four quality gates (length,
+    distinct-token repetition, mean word length, PII-free) applied
+    CUMULATIVELY, reporting surviving docs, chars and keep fraction
+    after each stage — the report a data team reads to see which gate
+    costs the tokens before shipping a filter stack (C4/Gopher-style
+    ablation accounting).
+
+    Exactness: every gate is a boolean on exact integers/one-division
+    doubles; stage totals are integer sums; keep fractions are single
+    divisions.
+
+    Scale: ONE scan; all four gates and the cumulative conjunctions
+    evaluate map-side; the whole corpus reduces to a single partial-
+    aggregated row which then unpivots to the 5 stage rows (plan glue,
+    no data movement)."""
+    d = table(spark, sf_dir, "documents").select("n_chars", "text")
+    toks = F.split("text", " ")
+    f = d.select(
+        "n_chars",
+        F.col("n_chars").between(100, 20000).alias("g_len"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            >= 0.3 * F.size(toks)
+        ).alias("g_rep"),
+        (
+            (F.col("n_chars").cast("double") / F.size(toks)).between(3.0, 12.0)
+        ).alias("g_wlen"),
+        (~F.col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")).alias(
+            "g_pii"
+        ),
+    )
+    c = f.select(
+        "n_chars",
+        "g_len",
+        (F.col("g_len") & F.col("g_rep")).alias("c2"),
+        (F.col("g_len") & F.col("g_rep") & F.col("g_wlen")).alias("c3"),
+        (
+            F.col("g_len") & F.col("g_rep") & F.col("g_wlen") & F.col("g_pii")
+        ).alias("c4"),
+    )
+
+    def _n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def _ch(cond):
+        return F.sum(F.when(cond, F.col("n_chars")).otherwise(0)).cast("long")
+
+    agg = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("n_chars").cast("long").alias("ch0"),
+        _n(F.col("g_len")).alias("n1"),
+        _ch(F.col("g_len")).alias("ch1"),
+        _n(F.col("c2")).alias("n2"),
+        _ch(F.col("c2")).alias("ch2"),
+        _n(F.col("c3")).alias("n3"),
+        _ch(F.col("c3")).alias("ch3"),
+        _n(F.col("c4")).alias("n4"),
+        _ch(F.col("c4")).alias("ch4"),
+    )
+    stages = agg.select(
+        F.expr(
+            "stack(5,"
+            " 0, 'raw',         n0, ch0, CAST(1.0 AS DOUBLE),"
+            " 1, 'length',      n1, ch1, round(CAST(n1 AS DOUBLE) / n0, 6),"
+            " 2, '+repetition', n2, ch2, round(CAST(n2 AS DOUBLE) / n0, 6),"
+            " 3, '+word_len',   n3, ch3, round(CAST(n3 AS DOUBLE) / n0, 6),"
+            " 4, '+pii_free',   n4, ch4, round(CAST(n4 AS DOUBLE) / n0, 6)"
+            ") AS (stage, gate, n_docs, n_chars, keep_frac)"
+        )
+    )
+    return stages.coalesce(1).sortWithinPartitions("stage")

@@ -772,3 +772,20 @@ def test_power_mde_single_aggregate(spark, sf_dir):
     cols = inspect.read_schema_columns(df)
     assert set(cols) == {"event_type", "value"}, cols
     assert inspect.shuffle_count(df) <= 2, inspect.formatted_plan(df)
+
+
+def test_quality_ablation_single_scan_one_row(spark, sf_dir):
+    # r7: all four gates evaluate map-side into ONE aggregate row; the
+    # 5 stage rows are an unpivot of that row (plan glue, no data moves)
+    df = _q("pipeline_quality_ablation")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert inspect.shuffle_count(df) <= 1, plan[:2000]
+
+
+def test_top_paths_shares_session_partitioning(spark, sf_dir):
+    # r7: the rank/count windows and the path aggregation share the
+    # (user, day) shuffle; the final top-10 fuses to TakeOrdered
+    df = _q("events_top_paths")(spark, sf_dir)
+    assert inspect.has_take_ordered(df), inspect.formatted_plan(df)
+    assert inspect.shuffle_count(df) <= 3, inspect.formatted_plan(df)

@@ -118,6 +118,7 @@ DECLARED = {
                                      # parameter table))
     "graph_assortativity": {"BNLJ"},  # crossJoin(broadcast(1-row intra-clique
                                      # edge-sum aggregate))
+    "events_top_paths": {"BNLJ"},    # crossJoin(broadcast(1-row session total))
 }
 
 
