@@ -1,0 +1,132 @@
+"""Invariant tests for the round-7 operator additions — mathematical
+properties that must hold regardless of corpus values, checked
+independently of the DuckDB oracle (numpy/scipy-free closed-form checks
+where applicable)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from kwery_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_survival_km_is_monotone_decreasing(spark, sf_dir):
+    rows = QUERIES["events_survival_km"](spark, sf_dir).collect()
+    assert rows, "life table must not be empty"
+    prev = 1.0 + 1e-9
+    for r in rows:
+        assert 0.0 <= r["km_survival"] <= 1.0
+        assert r["km_survival"] <= prev + 1e-9  # product-limit never rises
+        prev = r["km_survival"]
+        assert r["n_risk"] >= r["n_death"] + r["n_censored"] - 1e-9
+
+
+def test_assoc_rules_measure_identities(spark, sf_dir):
+    rows = QUERIES["assoc_basket_rules"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # support/confidence/lift re-derive from the raw counts
+        assert abs(r["support"] - round(r["n_ab"] / r["n_baskets"], 6)) < 1e-9
+        assert abs(r["confidence"] - round(r["n_ab"] / r["n_ante"], 6)) < 1e-9
+        assert r["n_ab"] <= min(r["n_ante"], r["n_cons"])
+        assert r["confidence"] <= 1.0 + 1e-9
+
+
+def test_weighted_sample_is_sorted_unique_topk(spark, sf_dir):
+    rows = QUERIES["sample_weighted"](spark, sf_dir).collect()
+    assert len(rows) == 100
+    assert [r["rk"] for r in rows] == list(range(1, 101))
+    assert len({r["doc_id"] for r in rows}) == 100
+    keys = [r["key_e6"] for r in rows]
+    assert keys == sorted(keys)  # exponential race: smallest keys win
+
+
+def test_decision_stump_gain_bounds(spark, sf_dir):
+    rows = QUERIES["ml_decision_stump"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 22
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    for r in rows:
+        # Gini gain of a binary split is bounded by the base impurity <= 0.5
+        assert -1e-9 <= r["gain"] <= 0.5 + 1e-9
+        assert r["pos_match"] <= r["n_match"]
+        assert r["pos_rest"] <= r["n_rest"]
+
+
+def test_kcore_peel_is_monotone(spark, sf_dir):
+    rows = QUERIES["graph_kcore"](spark, sf_dir).collect()
+    assert [r["peel_round"] for r in rows] == list(range(0, 7))
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_users"] <= a["n_users"]  # peeling never adds users
+        assert b["n_edges"] <= a["n_edges"]
+        assert b["removed_users"] == a["n_users"] - b["n_users"]
+        if b["converged"]:
+            assert b["removed_users"] == 0
+
+
+def test_assortativity_is_a_correlation(spark, sf_dir):
+    r = QUERIES["graph_assortativity"](spark, sf_dir).collect()[0]
+    assert -1.0 - 1e-6 <= r["assortativity"] <= 1.0 + 1e-6
+    # Cauchy-Schwarz on the exact sums: (sum jk) <= sum degsq / ... sanity
+    assert r["sum_jk"] > 0 and r["sum_degsq"] > 0
+
+
+def test_calibration_ece_is_weighted_gap_mean(spark, sf_dir):
+    rows = QUERIES["ml_calibration_ece"](spark, sf_dir).collect()
+    assert rows
+    n_tot = sum(r["n"] for r in rows)
+    ece_re = sum(abs(r["mean_score"] - r["conv_rate"]) * r["n"] for r in rows) / n_tot
+    # all bins carry the same ece column; re-derivation agrees to rounding
+    assert abs(rows[0]["ece"] - ece_re) < 5e-6
+    for r in rows:
+        assert 0.0 <= r["mean_score"] <= 1.0
+        assert 0.0 <= r["conv_rate"] <= 1.0
+
+
+def test_grid_density_neighborhood_superset(spark, sf_dir):
+    rows = QUERIES["geo_grid_density"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_hood"] >= r["n_points"]  # 3x3 sum includes the cell
+        assert abs(r["smoothed"] - round(r["n_hood"] / 9.0, 6)) < 1e-9
+
+
+def test_quality_ablation_funnel_monotone(spark, sf_dir):
+    rows = QUERIES["pipeline_quality_ablation"](spark, sf_dir).collect()
+    assert [r["stage"] for r in rows] == [0, 1, 2, 3, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] <= a["n_docs"]  # each gate only removes docs
+        assert b["n_chars"] <= a["n_chars"]
+        assert b["keep_frac"] <= a["keep_frac"] + 1e-9
+
+
+def test_top_paths_shares_sum_below_one(spark, sf_dir):
+    rows = QUERIES["events_top_paths"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert sum(r["sess_frac"] for r in rows) <= 1.0 + 1e-6
+
+
+def test_power_mde_scales_with_sqrt_n(spark, sf_dir):
+    rows = QUERIES["events_power_mde"](spark, sf_dir).collect()
+    for r in rows:
+        # mde re-derives from the emitted variance and n
+        expected = round(math.sqrt(7.848887 * 2.0 * r["var_v"] / r["n"]), 6)
+        assert abs(r["mde_abs"] - expected) < 5e-6
+        assert r["n_per_arm_for_5pct"] > 0
+
+
+def test_vacuum_preserves_live_snapshot(spark, sf_dir):
+    rows = QUERIES["warehouse_vacuum_retention"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_versions"] == 4
+        assert r["dirs_written"] == 4
+        assert r["dirs_vacuumed"] == 2
+        assert r["dirs_live_latest"] == 1
+        assert r["time_travel_ok"] == 1
