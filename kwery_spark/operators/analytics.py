@@ -2555,3 +2555,92 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(10)
     )
+
+
+@register(
+    "events_inter_arrival",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id
+               ) AS gap
+        FROM events
+    ),
+    g AS (SELECT event_type, gap FROM d WHERE gap IS NOT NULL),
+    a AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap) AS BIGINT) AS s1,
+               CAST(sum(CAST(gap AS DECIMAL(38,0)) * gap) AS DECIMAL(38,0))
+                   AS s2,
+               quantile_cont(gap, 0.5) AS med
+        FROM g GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           round(CAST(s1 AS DOUBLE) / n_gaps / 1000000.0, 6)
+               AS mean_gap_sec,
+           round(med / 1000000.0, 6) AS median_gap_sec,
+           round(CAST(n_gaps AS DOUBLE) * 3600000000.0 / s1, 6)
+               AS rate_per_hour,
+           round(sqrt((CAST(s2 AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / n_gaps) * CAST(s1 AS DOUBLE))
+                      / (n_gaps - 1))
+                 / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv
+    FROM a ORDER BY event_type
+    """,
+)
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival (point-process) profile per event type: the gaps
+    between a user's consecutive events of the same type, summarized as
+    mean/median gap, arrival rate per hour, and the coefficient of
+    variation — the CV ~ 1 / CV > 1 / CV < 1 reading (Poisson vs bursty
+    vs regular) is the standard first diagnostic on an event stream.
+
+    Exactness: gaps are exact unix-microsecond integer differences
+    (sub-second rule); moment sums accumulate BIGINT / DECIMAL(38,0)
+    (gap^2 exceeds BIGINT); the median interpolates the two middle
+    integers identically in both engines (Spark percentile vs DuckDB
+    quantile_cont, same (n-1)*q positional formula); every float op
+    runs on exact scalars in the same order.
+
+    Scale: one shuffle on (user, event_type) shared by the lag window;
+    the summary map-side-combines to <=|types| rows. The exact median
+    is per-(type) over gap values — at 100 TB swap for
+    approx_percentile or a fixed-width gap histogram; the moments and
+    rate columns are already single-pass."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(us, "event_id")
+    g = (
+        ev.select("event_type", (us - F.lag(us).over(w)).alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    a = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("s1"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap")).alias("s2"),
+        F.expr("percentile(gap, 0.5)").alias("med"),
+    )
+    mean_us = F.col("s1").cast("double") / F.col("n_gaps")
+    var_us = (
+        F.col("s2").cast("double") - mean_us * F.col("s1").cast("double")
+    ) / (F.col("n_gaps") - 1)
+    return (
+        a.select(
+            "event_type",
+            "n_gaps",
+            F.round(mean_us / 1000000.0, 6).alias("mean_gap_sec"),
+            F.round(F.col("med") / 1000000.0, 6).alias("median_gap_sec"),
+            F.round(
+                F.col("n_gaps").cast("double") * 3600000000.0 / F.col("s1"),
+                6,
+            ).alias("rate_per_hour"),
+            F.round(F.sqrt(var_us) / mean_us, 6).alias("cv"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
+    )

@@ -368,11 +368,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(iters: int = 5, k: int = 8) -> str:
-    """Unrolled spherical-k-means oracle: each Spark iteration (assign by
-    argmax dot → per-dimension mean → re-normalize) becomes one CTE
-    round. Parallel unnests over range(...) zip (idx, val) pairs (DuckDB
-    1.0 has no nested-lambda unnest)."""
+def _kmeans_cte(iters: int = 5, k: int = 8) -> str:
+    """Shared unrolled spherical-k-means CTE body (assign by argmax dot →
+    per-dimension mean → re-normalize, one CTE round per Spark
+    iteration; parallel unnests over range(...) zip (idx, val) pairs —
+    DuckDB 1.0 has no nested-lambda unnest). Both the ml_kmeans oracle
+    and the silhouette oracle append their own SELECT to this body."""
     sql = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {k})"""
@@ -396,7 +397,11 @@ def _kmeans_oracle(iters: int = 5, k: int = 8) -> str:
                    sqrt(sum(m * m) OVER (PARTITION BY cid)) AS nrm
             FROM m{i})
         GROUP BY cid)"""
-    sql += f"""
+    return sql
+
+
+def _kmeans_oracle(iters: int = 5, k: int = 8) -> str:
+    return _kmeans_cte(iters, k) + f"""
     SELECT vec_id, cluster, sim FROM (
         SELECT a.vec_id, c.cid AS cluster,
                round(list_dot_product(a.v, c.cv), 6) AS sim,
@@ -405,7 +410,6 @@ def _kmeans_oracle(iters: int = 5, k: int = 8) -> str:
         FROM v a CROSS JOIN c{iters} c)
     WHERE rn = 1
     """
-    return sql
 
 
 @register("ml_kmeans", oracle=_kmeans_oracle())
@@ -426,7 +430,22 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-iteration lineage (checkpoint() on a real cluster). No vector
     data ever reaches the driver.
     """
-    k = 8
+    vecs, cents, assign_w = _kmeans_fit(spark, sf_dir)
+    final = (
+        vecs.crossJoin(broadcast(cents))
+        .select("vec_id", "cid", dot("v", "cv").alias("d"))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"), F.round("d", 6).alias("sim"))
+    )
+    return final
+
+
+def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 5):
+    """Shared spherical-k-means fit (the ml_kmeans loop, lifted so the
+    silhouette evaluation replays the identical fit): returns the
+    checkpointed unit vectors, the converged (iters-round) re-normalized
+    centroids, and the deterministic assignment window."""
     vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)
     cents = (
         vecs.filter(F.col("vec_id") < k)
@@ -434,7 +453,7 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     assign_w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cid"))
-    for _ in range(5):
+    for _ in range(iters):
         assigned = (
             vecs.crossJoin(broadcast(cents))
             .select("vec_id", "v", "cid", dot("v", "cv").alias("d"))
@@ -463,14 +482,7 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    final = (
-        vecs.crossJoin(broadcast(cents))
-        .select("vec_id", "cid", dot("v", "cv").alias("d"))
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"), F.round("d", 6).alias("sim"))
-    )
-    return final
+    return vecs, cents, assign_w
 
 
 @register(
@@ -1420,4 +1432,85 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH cands AS (SELECT * FROM __mmr_cands), "
         f"pairs AS (SELECT * FROM __mmr_pairs),{_MMR_CORE}\n{_MMR_FINAL}"
+    )
+
+
+def _silhouette_oracle(iters: int = 5, k: int = 8) -> str:
+    return _kmeans_cte(iters, k) + f""",
+    r AS (
+        SELECT a.vec_id, c.cid,
+               list_dot_product(a.v, c.cv) AS d,
+               row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY list_dot_product(a.v, c.cv) DESC, c.cid) AS rn
+        FROM v a CROSS JOIN c{iters} c),
+    own AS (SELECT vec_id, cid, d AS d1 FROM r WHERE rn = 1),
+    alt AS (SELECT vec_id, d AS d2 FROM r WHERE rn = 2),
+    si AS (
+        SELECT o.cid,
+               CAST(round(CASE WHEN 1.0 - a.d2 = 0.0 THEN 0.0
+                               ELSE (o.d1 - a.d2) / (1.0 - a.d2) END, 9)
+                    AS DECIMAL(12,9)) AS s
+        FROM own o JOIN alt a ON o.vec_id = a.vec_id)
+    SELECT cid AS cluster,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_silhouette
+    FROM si GROUP BY cid ORDER BY cid
+    """
+
+
+@register("ml_kmeans_silhouette", oracle=_silhouette_oracle())
+def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: the simplified (centroid-based)
+    silhouette coefficient per cluster for the ml_kmeans fit — the
+    linear-time variant (Hruschka et al.) of Rousseeuw's silhouette,
+    where a = cosine distance to the OWN centroid and b = distance to
+    the nearest OTHER centroid, s = (b - a)/max(a, b). Under argmax-dot
+    assignment a <= b always, so s = (d1 - d2)/(1 - d2) in [0, 1];
+    near-1 clusters are tight and well-separated, near-0 ones sit on a
+    boundary. The exact silhouette is O(n^2); this is the form that
+    scales — one centroid broadcast instead of an all-pairs join.
+
+    Determinism: the fit replays the exact ml_kmeans rounds (shared
+    _kmeans_fit / _kmeans_cte); per-vector s values are fold-dot
+    arithmetic (bit-identical to DuckDB's list_dot_product per the
+    working-notes rule), rounded 9dp and DECIMAL-accumulated so the
+    per-cluster mean is order-independent.
+
+    Scale: assignment+evaluation is ONE crossJoin(broadcast(k x dim
+    centroids)) pass with a per-vector top-2 window — linear in the
+    corpus, no pair space, no driver data."""
+    vecs, cents, assign_w = _kmeans_fit(spark, sf_dir)
+    r = (
+        vecs.crossJoin(broadcast(cents))
+        .select("vec_id", "cid", dot("v", "cv").alias("d"))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") <= 2)
+    )
+    # fold the top-2 rows per vector in ONE aggregate that reuses the
+    # window's vec_id partitioning — no self-join (an own-vs-alt equi-join
+    # planned as an SMJ over two full passes of the same frame)
+    pair = r.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("cid"),
+        F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+    )
+    si = pair.select(
+        "cid",
+        F.when(F.lit(1.0) - F.col("d2") == 0.0, F.lit(0.0))
+        .otherwise((F.col("d1") - F.col("d2")) / (F.lit(1.0) - F.col("d2")))
+        .alias("s_raw"),
+    ).select(
+        "cid", F.round("s_raw", 9).cast("decimal(12,9)").alias("s")
+    )
+    return (
+        si.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum("s").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_silhouette"),
+        )
+        .select(F.col("cid").alias("cluster"), "n_vecs", "mean_silhouette")
+        .coalesce(1)
+        .sortWithinPartitions("cluster")
     )

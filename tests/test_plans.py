@@ -789,3 +789,18 @@ def test_top_paths_shares_session_partitioning(spark, sf_dir):
     df = _q("events_top_paths")(spark, sf_dir)
     assert inspect.has_take_ordered(df), inspect.formatted_plan(df)
     assert inspect.shuffle_count(df) <= 3, inspect.formatted_plan(df)
+
+
+def test_silhouette_single_broadcast_pass(spark, sf_dir):
+    # r7: evaluation is one crossJoin(broadcast(k x dim centroids)) pass
+    # with a per-vector top-2 window — no pair space
+    df = _q("ml_kmeans_silhouette")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_inter_arrival_shares_lag_partitioning(spark, sf_dir):
+    # r7: the lag window's (user, type) shuffle is the only data-scale
+    # exchange; summary combines map-side to the type grid
+    df = _q("events_inter_arrival")(spark, sf_dir)
+    assert inspect.shuffle_count(df) <= 2, inspect.formatted_plan(df)

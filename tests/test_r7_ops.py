@@ -130,3 +130,22 @@ def test_vacuum_preserves_live_snapshot(spark, sf_dir):
         assert r["dirs_vacuumed"] == 2
         assert r["dirs_live_latest"] == 1
         assert r["time_travel_ok"] == 1
+
+
+def test_silhouette_in_unit_interval(spark, sf_dir):
+    rows = QUERIES["ml_kmeans_silhouette"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert sum(r["n_vecs"] for r in rows) > 0
+    for r in rows:
+        # argmax-dot assignment makes the simplified silhouette >= 0
+        assert -1e-9 <= r["mean_silhouette"] <= 1.0 + 1e-9
+
+
+def test_inter_arrival_moments_consistent(spark, sf_dir):
+    rows = QUERIES["events_inter_arrival"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mean_gap_sec"] > 0 and r["median_gap_sec"] > 0
+        assert r["cv"] >= 0
+        # rate re-derives from the mean gap
+        assert abs(r["rate_per_hour"] - round(3600.0 / r["mean_gap_sec"], 6)) < max(1e-3, r["rate_per_hour"] * 1e-4)

@@ -46,6 +46,8 @@ DECLARED = {
     "ann_ivf": {"BNLJ"},             # crossJoin(broadcast(8 seed cells / probes))
     "ann_lsh": {"BNLJ"},             # crossJoin(broadcast(6 hyperplanes))
     "ml_kmeans": {"BNLJ"},           # crossJoin(broadcast(k centroids))
+    "ml_kmeans_silhouette": {"BNLJ"},  # same k-centroid broadcast cross join
+                                     # (shared _kmeans_fit)
     "sim_maxsim": {"BNLJ"},          # crossJoin(broadcast(one label's query vectors))
     "events_gapfill": {"BNLJ"},      # crossJoin(broadcast(1-row min/max bounds))
     "q22_dormant_customers": {"BNLJ"},  # crossJoin(broadcast(1-row avg-balance threshold))
