@@ -301,3 +301,88 @@ def test_continuous_trigger_probe(spark):
         assert n >= 10, f"continuous query produced only {n} rows in 20s"
     finally:
         q.stop()
+
+
+def test_stream_asof_join_equals_batch(spark, sf_dir):
+    # the as-of enrichment run as a REAL keyed-state streaming query
+    # (applyInPandasWithState: one state row per user holding the last
+    # view timestamp) must agree hour-for-hour with the batch-form
+    # union+window operator
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("tag"),
+        )
+    )
+
+    def update(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        if last is not None and last < 0:
+            last = None
+        rows = pd.concat(list(pdfs)).sort_values(["us", "tag", "event_id"])
+        hours, matched, lags = [], [], []
+        for r in rows.itertuples():
+            if r.tag == 0:
+                if last is None or r.us > last:
+                    last = r.us
+            else:
+                hours.append(r.us - r.us % 3_600_000_000)
+                matched.append(1 if last is not None else 0)
+                lags.append(r.us - last if last is not None else 0)
+        state.update((int(last) if last is not None else -1,))
+        out = pd.DataFrame(
+            {
+                "purchase_hour_us": pd.Series(hours, dtype="int64"),
+                "matched": pd.Series(matched, dtype="int32"),
+                "lag_us": pd.Series(lags, dtype="int64"),
+            }
+        )
+        yield out
+
+    enriched = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        "purchase_hour_us long, matched int, lag_us long",
+        "last long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    from kwery_spark.streaming.live import _run_to_memory
+
+    result, _ = _run_to_memory(enriched, "append")
+    streamed = {
+        r["purchase_hour_us"]: (
+            r["n"],
+            r["m"],
+            round(r["lag_sum"] / r["m"] / 1e6, 6) if r["m"] else -1.0,
+        )
+        for r in result.groupBy("purchase_hour_us")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("matched").alias("m"),
+            F.sum(F.when(F.col("matched") == 1, F.col("lag_us")).otherwise(0))
+            .alias("lag_sum"),
+        )
+        .collect()
+    }
+    batch = {
+        int(r["purchase_hour"].timestamp() * 1e6): (
+            r["n_purchases"],
+            r["n_matched"],
+            r["avg_lag_sec"],
+        )
+        for r in entrymod.queries()["stream_asof_join"](spark, sf_dir).collect()
+    }
+    # counts match exactly; the avg re-derivation differs only in Python
+    # round() (banker's) vs Spark round() (half-up) at the 6th decimal
+    assert streamed.keys() == batch.keys()
+    for h in batch:
+        assert streamed[h][:2] == batch[h][:2], h
+        assert abs(streamed[h][2] - batch[h][2]) <= 2e-6, h
