@@ -149,3 +149,55 @@ def test_inter_arrival_moments_consistent(spark, sf_dir):
         assert r["cv"] >= 0
         # rate re-derives from the mean gap
         assert abs(r["rate_per_hour"] - round(3600.0 / r["mean_gap_sec"], 6)) < max(1e-3, r["rate_per_hour"] * 1e-4)
+
+
+def test_km_matches_direct_product(spark, sf_dir):
+    # recompute the product-limit directly from the emitted life table —
+    # a full-precision third opinion on the exp-sum-ln 9dp path
+    rows = QUERIES["events_survival_km"](spark, sf_dir).collect()
+    s = 1.0
+    for r in rows:
+        if r["n_death"] >= r["n_risk"]:
+            s = 0.0
+        else:
+            s *= 1.0 - r["n_death"] / r["n_risk"]
+        assert abs(r["km_survival"] - s) < 5e-6, (r, s)
+
+
+def test_stump_gain_recomputes_from_counts(spark, sf_dir):
+    rows = QUERIES["ml_decision_stump"](spark, sf_dir).collect()
+    n_tot = rows[0]["n_match"] + rows[0]["n_rest"]
+    p_tot = rows[0]["pos_match"] + rows[0]["pos_rest"]
+
+    def gini(pos, n):
+        if n == 0:
+            return 0.0
+        p = pos / n
+        return 1.0 - p * p - (1.0 - p) * (1.0 - p)
+
+    base = gini(p_tot, n_tot)
+    for r in rows:
+        split = (
+            r["n_match"] * gini(r["pos_match"], r["n_match"])
+            + r["n_rest"] * gini(r["pos_rest"], r["n_rest"])
+        ) / n_tot
+        assert abs(r["gain"] - (base - split)) < 5e-6, r
+
+
+def test_assortativity_recomputes_from_sums(spark, sf_dir):
+    r = QUERIES["graph_assortativity"](spark, sf_dir).collect()[0]
+    m = r["n_edges"]
+    mean_half = r["sum_deg"] / (2 * m)
+    num = r["sum_jk"] / m - mean_half * mean_half
+    den = r["sum_degsq"] / (2 * m) - mean_half * mean_half
+    assert abs(r["assortativity"] - num / den) < 5e-6, r
+
+
+def test_srm_chi2_recomputes_from_counts(spark, sf_dir):
+    rows = QUERIES["events_srm_guardrail"](spark, sf_dir).collect()
+    n_tot = rows[0]["n_total"]
+    exp = n_tot / 2.0
+    chi2 = sum((r["n_users"] - exp) ** 2 / exp for r in rows)
+    for r in rows:
+        assert abs(r["chi2"] - chi2) < 5e-6, (r, chi2)
+        assert r["srm_ok"] == (1 if chi2 < 3.841459 else 0)
