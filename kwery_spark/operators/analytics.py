@@ -2644,3 +2644,127 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("event_type")
     )
+
+
+def _holt_oracle(rounds: int = 45) -> str:
+    """Unrolled Holt recursion: r{i} carries one (l, b) row per event
+    type; each round consumes the day at index i if that type has one
+    (CASE carries the state unchanged past the type's last day). Every
+    CTE is MATERIALIZED (the DuckDB plain-CTE inlining rule)."""
+    sql = """
+    WITH daily AS MATERIALIZED (
+        SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                   AS y
+        FROM events GROUP BY event_type, date_trunc('day', CAST(ts AS TIMESTAMP))
+    ),
+    idx AS MATERIALIZED (
+        SELECT event_type, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) - 1
+                   AS i,
+               count(*) OVER (PARTITION BY event_type) AS t_days
+        FROM daily
+    ),
+    r1 AS MATERIALIZED (
+        SELECT a.event_type, a.t_days,
+               a.y AS l, b.y - a.y AS b
+        FROM idx a JOIN idx b
+          ON a.event_type = b.event_type AND a.i = 0 AND b.i = 1
+    )"""
+    for i in range(2, rounds + 1):
+        p = i - 1
+        sql += f""",
+    r{i} AS MATERIALIZED (
+        SELECT r.event_type, r.t_days,
+               CASE WHEN d.y IS NULL THEN r.l
+                    ELSE 0.5 * d.y + 0.5 * (r.l + r.b) END AS l,
+               CASE WHEN d.y IS NULL THEN r.b
+                    ELSE 0.5 * ((0.5 * d.y + 0.5 * (r.l + r.b)) - r.l)
+                         + 0.5 * r.b END AS b
+        FROM r{p} r LEFT JOIN idx d
+          ON d.event_type = r.event_type AND d.i = {i}
+    )"""
+    sql += f"""
+    SELECT r.event_type, CAST(r.t_days AS BIGINT) AS t_days,
+           CAST(h AS BIGINT) AS h,
+           round(r.l, 6) AS level,
+           round(r.b, 6) AS trend,
+           round(r.l + h * r.b, 6) AS forecast
+    FROM r{rounds} r CROSS JOIN (
+        SELECT unnest(range(1, 8)) AS h
+    )
+    ORDER BY r.event_type, h
+    """
+    return sql
+
+
+@register("events_forecast_holt", oracle=_holt_oracle())
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend forecast (double exponential smoothing,
+    alpha=beta=1/2) of daily event volume per type, with a 7-day
+    horizon: l_t = a*y_t + (1-a)(l_{t-1}+b_{t-1}),
+    b_t = B(l_t-l_{t-1}) + (1-B)b_{t-1}, init l_0=y_0, b_0=y_1-y_0 —
+    the trend-capable complement of events_forecast_ses (whose SES
+    recursion admits a closed form; Holt's does not, so this op keeps
+    the true recursion).
+
+    Determinism: daily totals are exact scalars (DECIMAL sums cast to
+    double); a=B=1/2 makes every smoothing step a halving (exponent
+    shift — exact) plus additions evaluated in the SAME sequential
+    order in both engines: Spark folds the per-type day array with an
+    aggregate() lambda, the oracle unrolls the identical recursion one
+    MATERIALIZED CTE per day — bit-identical trajectories, 6dp rounds
+    only at the output.
+
+    Scale: one map-side-combined daily aggregate (the only data
+    shuffle); the fold runs over each type's <=45-element day array in
+    a single projection — no per-round joins, no iteration state
+    outside the row. At 100 TB the day-grid stays calendar-bounded, so
+    the fold's work is constant per type."""
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.sum(F.round("value", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    # fold the recursion over days 2..T-1; accumulator = struct(l, b)
+    new_l = "0.5D * y + 0.5D * (acc.l + acc.b)"
+    holt = series.select(
+        "event_type",
+        F.size("ys").cast("long").alias("t_days"),
+        F.expr(
+            f"""aggregate(
+                slice(ys, 3, greatest(size(ys) - 2, 0)),
+                named_struct('l', ys[0], 'b', ys[1] - ys[0]),
+                (acc, y) -> named_struct(
+                    'l', {new_l},
+                    'b', 0.5D * (({new_l}) - acc.l) + 0.5D * acc.b))"""
+        ).alias("st"),
+    )
+    return (
+        holt.select(
+            "event_type",
+            "t_days",
+            F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"),
+            F.col("st.l").alias("l"),
+            F.col("st.b").alias("b"),
+        )
+        .select(
+            "event_type",
+            "t_days",
+            F.col("h").cast("long").alias("h"),
+            F.round("l", 6).alias("level"),
+            F.round("b", 6).alias("trend"),
+            F.round(F.col("l") + F.col("h") * F.col("b"), 6).alias("forecast"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type", "h")
+    )

@@ -804,3 +804,12 @@ def test_inter_arrival_shares_lag_partitioning(spark, sf_dir):
     # exchange; summary combines map-side to the type grid
     df = _q("events_inter_arrival")(spark, sf_dir)
     assert inspect.shuffle_count(df) <= 2, inspect.formatted_plan(df)
+
+
+def test_forecast_holt_folds_in_one_projection(spark, sf_dir):
+    # r7: the Holt recursion runs as an aggregate() fold over each
+    # type's day array — no per-round joins, one data shuffle
+    df = _q("events_forecast_holt")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert inspect.shuffle_count(df) <= 2, plan[:2000]

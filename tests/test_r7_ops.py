@@ -201,3 +201,28 @@ def test_srm_chi2_recomputes_from_counts(spark, sf_dir):
     for r in rows:
         assert abs(r["chi2"] - chi2) < 5e-6, (r, chi2)
         assert r["srm_ok"] == (1 if chi2 < 3.841459 else 0)
+
+
+def test_holt_matches_direct_recursion(spark, sf_dir):
+    # replay the recursion in python from the raw daily series
+    import collections
+    rows = QUERIES["events_forecast_holt"](spark, sf_dir).collect()
+    from kwery_spark.catalog import table as _t
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum(F.round("value", 2).cast("decimal(18,2)")).cast("double").alias("y"))
+        .collect()
+    )
+    series = collections.defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["d"], r["y"]))
+    for et, sv in series.items():
+        ys = [y for _, y in sorted(sv)]
+        l, b = ys[0], ys[1] - ys[0]
+        for y in ys[2:]:
+            nl = 0.5 * y + 0.5 * (l + b)
+            b = 0.5 * (nl - l) + 0.5 * b
+            l = nl
+        for r in [r for r in rows if r["event_type"] == et]:
+            assert abs(r["forecast"] - (l + r["h"] * b)) < 5e-6, (et, r)
