@@ -455,3 +455,141 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_unchanged",
         )
     )
+
+
+@register(
+    "join_temporal_pit",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderpriority,
+               CAST(o_orderdate AS TIMESTAMP) AS odate, o_orderkey,
+               CASE WHEN lag(o_orderpriority) OVER w
+                         IS DISTINCT FROM o_orderpriority
+                    THEN 1 ELSE 0 END AS changed
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+        SELECT o_custkey, o_orderpriority, odate,
+               CAST(sum(changed) OVER (PARTITION BY o_custkey
+                    ORDER BY odate, o_orderkey ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS version
+        FROM ordered
+    ),
+    dim AS (
+        SELECT o_custkey, version,
+               min(o_orderpriority) AS prio,
+               min(odate) AS valid_from,
+               lead(min(odate)) OVER (PARTITION BY o_custkey
+                                      ORDER BY version) AS valid_to
+        FROM runs GROUP BY o_custkey, version
+    ),
+    ev AS (
+        SELECT user_id, event_type,
+               CAST(round(value, 2) AS DECIMAL(18,2)) AS v,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+        FROM events
+    ),
+    pit AS (
+        SELECT e.event_type,
+               coalesce(x.prio, 'no_history') AS prio_at_event, e.v
+        FROM ev e LEFT JOIN dim x
+          ON e.user_id = x.o_custkey
+         AND x.valid_from <= e.d
+         AND (x.valid_to IS NULL OR e.d < x.valid_to)
+    )
+    SELECT prio_at_event, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(v) AS DOUBLE), 6) AS total_value
+    FROM pit GROUP BY prio_at_event, event_type
+    ORDER BY prio_at_event, event_type
+    """,
+)
+def join_temporal_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (bitemporal AS-OF) dimension join — the
+    feature-store/audit query: each event picks up the SCD2 dimension
+    row that was in force AT the event's date (the customer's priority
+    regime built by scd2_dimension), never a later one (no feature
+    leakage). Events before the customer's first regime fall into
+    'no_history'.
+
+    Spark-side the lookup is the union+window carry, NOT a range join:
+    dimension-change rows and events interleave per user ordered by
+    (day, tag, version) — changes sort before same-day events, and a
+    same-day regime pair collapses to its latest version, exactly the
+    empty-interval semantics of the oracle's INDEPENDENT range-join
+    formulation (valid_from <= d < valid_to). One shuffle on the user
+    key serves the carry; the rollup lands on the <=5x5 grid.
+
+    Exactness: values accumulate DECIMAL(18,2); dates are exact; the
+    only float op is the final cast.
+
+    Scale: the dim build and the carry share the user-key
+    partitioning; nothing driver-side; at 100 TB this is one
+    key-partitioned pass over dim-changes + events, while the naive
+    range join would shuffle events against every historical regime."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.date_trunc("day", "o_orderdate").alias("odate"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    changed = F.when(
+        ~F.lag("o_orderpriority").over(w).eqNullSafe(F.col("o_orderpriority")),
+        1,
+    ).otherwise(0)
+    dim = (
+        o.withColumn("changed", changed)
+        .withColumn("version", F.sum("changed").over(cum).cast("long"))
+        .groupBy("o_custkey", "version")
+        .agg(
+            F.min("o_orderpriority").alias("prio"),
+            F.min("odate").alias("valid_from"),
+        )
+    )
+    changes = dim.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("valid_from").alias("d"),
+        F.lit(0).alias("tag"),
+        "version",
+        F.col("prio").alias("prio_state"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("decimal(18,2)").alias("v"),
+    )
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("string").alias("prio_state"),
+        "event_type",
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+    )
+    carry_w = (
+        Window.partitionBy("uid")
+        .orderBy("d", "tag", "version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = changes.unionAll(ev).select(
+        "tag",
+        "event_type",
+        "v",
+        F.last("prio_state", ignorenulls=True).over(carry_w).alias("prio_at"),
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .groupBy(
+            F.coalesce(F.col("prio_at"), F.lit("no_history")).alias(
+                "prio_at_event"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("v").cast("double"), 6).alias("total_value"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("prio_at_event", "event_type")
+    )

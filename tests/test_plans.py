@@ -813,3 +813,12 @@ def test_forecast_holt_folds_in_one_projection(spark, sf_dir):
     plan = inspect.formatted_plan(df)
     assert "Join" not in plan, plan[:2000]
     assert inspect.shuffle_count(df) <= 2, plan[:2000]
+
+
+def test_temporal_pit_is_carry_not_range_join(spark, sf_dir):
+    # r7: the point-in-time lookup is the union+window carry — no range
+    # join (whose build side would shuffle events against every
+    # historical regime); one user-keyed exchange family
+    df = _q("join_temporal_pit")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
