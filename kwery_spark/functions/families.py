@@ -691,3 +691,64 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("priority_title"),
     )
+
+
+@register(
+    "fn_try_safe",
+    oracle="""
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                      ELSE o_totalprice / (o_orderkey % 7) END, 6)
+               AS safe_div,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT)
+               AS prio_digit,
+           TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+           CASE WHEN length(o_orderpriority) >= 9
+                THEN substring(o_orderpriority, 9, 1) ELSE NULL END
+               AS char9,
+           coalesce(TRY_CAST(substring(CAST(o_orderkey AS VARCHAR), 1, 2)
+                             AS BIGINT), -1) AS first2_digits
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe (TRY_*) function family — ANSI-mode Spark turns
+    div-by-zero and bad casts into runtime errors, so production
+    pipelines reach for the null-on-error forms: try_divide,
+    try_cast (succeeding and failing arms), safe out-of-bounds
+    substring access, and a coalesce'd fallback — each mirrored by
+    DuckDB's TRY_CAST / guarded CASE.
+
+    Exactness: the only float op is one division of exacts, rounded
+    6dp; everything else is integer/string.
+
+    Scale: pure map-side projection over a pruned, predicate-pushed
+    scan — nothing shuffles but the cosmetic final sort."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(
+                F.expr("try_divide(o_totalprice, o_orderkey % 7)"), 6
+            ).alias("safe_div"),
+            F.expr(
+                "try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)"
+            ).alias("prio_digit"),
+            F.expr("try_cast(o_orderstatus AS BIGINT)").alias("status_num"),
+            F.expr(
+                "CASE WHEN length(o_orderpriority) >= 9"
+                " THEN substring(o_orderpriority, 9, 1) ELSE NULL END"
+            ).alias("char9"),
+            F.coalesce(
+                F.expr(
+                    "try_cast(substring(CAST(o_orderkey AS STRING), 1, 2)"
+                    " AS BIGINT)"
+                ),
+                F.lit(-1),
+            ).alias("first2_digits"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+    )
