@@ -226,3 +226,99 @@ def test_holt_matches_direct_recursion(spark, sf_dir):
             l = nl
         for r in [r for r in rows if r["event_type"] == et]:
             assert abs(r["forecast"] - (l + r["h"] * b)) < 5e-6, (et, r)
+
+
+def test_fd_discovery_key_candidates_hold(spark, sf_dir):
+    rows = {r["fd"]: r for r in QUERIES["dq_fd_discovery"](spark, sf_dir).collect()}
+    assert len(rows) == 10
+    for fd, r in rows.items():
+        assert r["det_cnt"] <= r["pair_cnt"]
+        assert 0.0 < r["strength"] <= 1.0 + 1e-9
+        assert r["holds"] == (1 if r["det_cnt"] == r["pair_cnt"] else 0)
+    # the PK-shaped determinants are genuine dependencies
+    for fd in (
+        "orders.o_orderkey->o_orderstatus",
+        "customer.c_custkey->c_nationkey",
+        "nation.n_nationkey->n_regionkey",
+        "supplier.s_suppkey->s_nationkey",
+        "part.p_partkey->p_brand",
+    ):
+        assert rows[fd]["holds"] == 1, fd
+
+
+def test_rec_cf_cosine_bounds_and_rank(spark, sf_dir):
+    rows = QUERIES["rec_item_item_cf"](spark, sf_dir).collect()
+    per_brand = {}
+    for r in rows:
+        assert -1e-9 <= r["cosine"] <= 1.0 + 1e-9
+        per_brand.setdefault(r["brand"], []).append((r["rk"], r["cosine"]))
+    for b, rs in per_brand.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1)), b
+        cosines = [c for _, c in rs]
+        assert cosines == sorted(cosines, reverse=True), b
+
+
+def test_cohort_ltv_cumulative_monotone(spark, sf_dir):
+    rows = QUERIES["events_cohort_ltv"](spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        assert r["n_active"] <= r["cohort_size"]
+        per.setdefault(r["cohort_day"], []).append(
+            (r["day_offset"], r["cum_ltv_per_user"])
+        )
+    for c, rs in per.items():
+        rs.sort()
+        vals = [v for _, v in rs]
+        assert vals == sorted(vals), c  # revenue only accumulates
+
+
+def test_diff_in_diff_recomputes(spark, sf_dir):
+    for r in QUERIES["events_diff_in_diff"](spark, sf_dir).collect():
+        did = (r["mean_t_post"] - r["mean_t_pre"]) - (
+            r["mean_c_post"] - r["mean_c_pre"]
+        )
+        assert abs(r["did_estimate"] - did) < 5e-6, r
+
+
+def test_geo_radius_counts_consistent(spark, sf_dir):
+    for r in QUERIES["geo_radius_join"](spark, sf_dir).collect():
+        assert r["n_matched"] <= r["n_suppliers"]
+        assert r["pairs_within"] >= r["n_matched"]
+        assert r["min_dist"] == -1.0 or 0.0 <= r["min_dist"] <= 5.0
+
+
+def test_zonemap_skipping_bounds(spark, sf_dir):
+    rows = QUERIES["scan_zonemap_skipping"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    n_zones = {r["n_zones"] for r in rows}
+    assert len(n_zones) == 1  # same zone table for every predicate
+    for r in rows:
+        assert 0 <= r["n_skipped"] <= r["n_zones"]
+        assert abs(r["skip_frac"] - round(r["n_skipped"] / r["n_zones"], 6)) < 1e-9
+
+
+def test_sft_format_mask_accounting(spark, sf_dir):
+    rows = QUERIES["pipeline_sft_format"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_examples"] > 0
+        assert 0.0 < r["loss_frac"] <= 1.0
+        total = r["prompt_tokens"] + r["loss_tokens"]
+        assert abs(r["loss_frac"] - round(r["loss_tokens"] / total, 6)) < 1e-9
+
+
+def test_temporal_pit_conserves_events(spark, sf_dir):
+    from kwery_spark.catalog import table as _t
+
+    rows = QUERIES["join_temporal_pit"](spark, sf_dir).collect()
+    n_total = sum(r["n_events"] for r in rows)
+    assert n_total == _t(spark, sf_dir, "events").count()
+
+
+def test_try_safe_null_semantics(spark, sf_dir):
+    for r in QUERIES["fn_try_safe"](spark, sf_dir).collect():
+        assert (r["safe_div"] is None) == (r["o_orderkey"] % 7 == 0)
+        assert r["status_num"] is None  # status letters never cast
+        assert r["prio_digit"] is not None  # leading digit always casts
+        assert r["first2_digits"] >= 0  # orderkey 0 exists in the corpus
