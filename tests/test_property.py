@@ -348,3 +348,32 @@ def test_datetime_arith_matches_duckdb(spark, duck, days):
     )
     srows = [tuple(r) for r in sdf.collect()]
     assert norm_rows(sdf.columns, srows) == norm_rows(list(rel.columns), rel.fetchall())
+
+
+GRID_POINTS = st.lists(
+    st.tuples(
+        st.floats(-60.0, 59.999, allow_nan=False),
+        st.floats(-180.0, 179.999, allow_nan=False),
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@given(pts=GRID_POINTS)
+@settings(max_examples=50, deadline=None, derandomize=True)
+def test_grid_blocking_covers_radius(pts):
+    """The geo operators' correctness rests on one lemma: any pair of
+    points within planar distance 5 lies within one 5-degree cell of
+    each other on BOTH axes (floor is monotone), so the 3x3 cell
+    neighborhood probe never misses an in-radius pair. Fuzz it."""
+    import math
+
+    cells = [(math.floor(la / 5.0), math.floor(lo / 5.0)) for la, lo in pts]
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (la1, lo1), (la2, lo2) = pts[i], pts[j]
+            d2 = (la1 - la2) ** 2 + (lo1 - lo2) ** 2
+            if d2 <= 25.0:
+                assert abs(cells[i][0] - cells[j][0]) <= 1, (pts[i], pts[j])
+                assert abs(cells[i][1] - cells[j][1]) <= 1, (pts[i], pts[j])
