@@ -2768,3 +2768,125 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("event_type", "h")
     )
+
+
+@register(
+    "events_cuped_adjust",
+    oracle="""
+    WITH span AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    per_user AS (
+        SELECT event_type, user_id,
+               sum(CASE WHEN epoch_us(ts) <
+                            (SELECT lo + (hi - lo) // 2 FROM span)
+                        THEN CAST(round(value, 2) AS DECIMAL(18,2))
+                        ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS pre,
+               sum(CASE WHEN epoch_us(ts) >=
+                            (SELECT lo + (hi - lo) // 2 FROM span)
+                        THEN CAST(round(value, 2) AS DECIMAL(18,2))
+                        ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS post
+        FROM events GROUP BY event_type, user_id
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pre) AS DOUBLE) AS sx,
+               CAST(sum(post) AS DOUBLE) AS sy,
+               CAST(sum(pre * pre) AS DOUBLE) AS sxx,
+               CAST(sum(post * post) AS DOUBLE) AS syy,
+               CAST(sum(pre * post) AS DOUBLE) AS sxy
+        FROM per_user GROUP BY event_type
+    ),
+    v AS (
+        SELECT event_type, n,
+               (sxx - sx / n * sx) / (n - 1) AS var_pre,
+               (syy - sy / n * sy) / (n - 1) AS var_post,
+               (sxy - sx / n * sy) / (n - 1) AS cov
+        FROM m
+    )
+    SELECT event_type, n,
+           round(var_post, 6) AS var_post,
+           round(cov / var_pre, 6) AS theta,
+           round(var_post - cov / var_pre * cov, 6) AS var_adjusted,
+           round(cov / var_pre * cov / var_post, 6) AS variance_reduction
+    FROM v ORDER BY event_type
+    """,
+)
+def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+    — the industry-standard pre-experiment covariate adjustment: with
+    per-user pre-period value X and post-period value Y, the adjusted
+    metric Y - theta*(X - mean(X)) with theta = cov(X,Y)/var(X) has
+    variance var(Y) - cov^2/var(X), cutting the sample size an A/B
+    test needs by exactly the reported reduction fraction (cov^2/
+    (var_pre*var_post) = rho^2). Pre/post split at the corpus-span
+    microsecond midpoint (the events_diff_in_diff boundary).
+
+    Exactness: the five moment sums accumulate exact DECIMALs per
+    user; variances/covariance are assembled from those exact scalars
+    with identically ordered IEEE ops; thetas and reductions are
+    single divisions.
+
+    Scale: one per-user shuffle (map-side combined), then a <=|types|
+    moment grid; the span boundary is the declared 1-row broadcast.
+    Nothing quadratic anywhere."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts"))
+    span = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    vdec = F.round("value", 2).cast("decimal(18,2)")
+    zero = F.lit("0.00").cast("decimal(18,2)")
+    cells = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "user_id",
+        F.when(
+            us < F.col("lo") + F.expr("(hi - lo) div 2"), vdec
+        )
+        .otherwise(zero)
+        .alias("prev"),
+        F.when(
+            us >= F.col("lo") + F.expr("(hi - lo) div 2"), vdec
+        )
+        .otherwise(zero)
+        .alias("postv"),
+    )
+    per_user = cells.groupBy("event_type", "user_id").agg(
+        F.sum("prev").alias("pre"), F.sum("postv").alias("post")
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre").cast("double").alias("sx"),
+        F.sum("post").cast("double").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("double").alias("sxx"),
+        F.sum(F.col("post") * F.col("post")).cast("double").alias("syy"),
+        F.sum(F.col("pre") * F.col("post")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n")
+    var_pre = (F.col("sxx") - F.col("sx") / nd * F.col("sx")) / (nd - 1)
+    var_post = (F.col("syy") - F.col("sy") / nd * F.col("sy")) / (nd - 1)
+    cov = (F.col("sxy") - F.col("sx") / nd * F.col("sy")) / (nd - 1)
+    v = m.select(
+        "event_type",
+        "n",
+        var_pre.alias("var_pre"),
+        var_post.alias("var_post"),
+        cov.alias("cov"),
+    )
+    return (
+        v.select(
+            "event_type",
+            "n",
+            F.round("var_post", 6).alias("var_post"),
+            F.round(F.col("cov") / F.col("var_pre"), 6).alias("theta"),
+            F.round(
+                F.col("var_post") - F.col("cov") / F.col("var_pre") * F.col("cov"),
+                6,
+            ).alias("var_adjusted"),
+            F.round(
+                F.col("cov") / F.col("var_pre") * F.col("cov") / F.col("var_post"),
+                6,
+            ).alias("variance_reduction"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
+    )

@@ -558,3 +558,69 @@ def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = agg if rows is None else rows.unionAll(agg)
     return rows.coalesce(1).sortWithinPartitions("fd")
+
+
+_RI_CANDIDATES = [
+    # (fk label, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for fk, child, ck, parent, pk in _RI_CANDIDATES:
+        parts.append(f"""
+        SELECT '{fk}' AS fk,
+               (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+               (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+                WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{pk} = c.{ck})) AS n_orphans""")
+    return (
+        "WITH r AS (" + " UNION ALL ".join(parts) + """)
+    SELECT fk, n_child, n_orphans,
+           CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS ri_holds,
+           round(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate
+    FROM r ORDER BY fk
+    """
+    )
+
+
+@register("dq_referential_integrity", oracle=_ri_oracle())
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity validation — the DQ check run
+    before trusting any join: for five declared FK relationships,
+    count child rows whose key has no parent (LEFT ANTI join), the
+    orphan rate, and a holds flag. The single-table complement is
+    dq_expectations; this one guards the JOIN graph itself (an orphan
+    rate > 0 silently deflates every inner join downstream).
+
+    Exactness: pure integer counts; one division.
+
+    Scale: each candidate is a left-anti equi-join on the key — the
+    parent side ships as a broadcast when bounded (nation) and a
+    shuffle join otherwise, exactly Catalyst's call; counts
+    partial-aggregate map-side. Five independent pairs union into the
+    5-row report."""
+    rows = None
+    for fk, child, ck, parent, pk in _RI_CANDIDATES:
+        c = table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = c.join(p, "k", "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphans")
+        )
+        total = c.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        row = total.crossJoin(F.broadcast(orphans)).select(
+            F.lit(fk).alias("fk"),
+            "n_child",
+            "n_orphans",
+            F.when(F.col("n_orphans") == 0, 1).otherwise(0).alias("ri_holds"),
+            F.round(
+                F.col("n_orphans").cast("double") / F.col("n_child"), 6
+            ).alias("orphan_rate"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows.coalesce(1).sortWithinPartitions("fk")

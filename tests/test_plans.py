@@ -822,3 +822,19 @@ def test_temporal_pit_is_carry_not_range_join(spark, sf_dir):
     df = _q("join_temporal_pit")(spark, sf_dir)
     plan = inspect.formatted_plan(df)
     assert "Join" not in plan, plan[:2000]
+
+
+def test_referential_integrity_uses_anti_joins(spark, sf_dir):
+    # r7: each FK candidate is a left-anti equi-join — no cartesian, no
+    # nested loop beyond the declared 1-row count broadcasts
+    df = _q("dq_referential_integrity")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_cuped_single_user_shuffle(spark, sf_dir):
+    # r7: one per-user shuffle feeds the moment grid; span broadcast
+    df = _q("events_cuped_adjust")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "Window" not in plan, plan[:2000]

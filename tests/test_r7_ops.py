@@ -322,3 +322,27 @@ def test_try_safe_null_semantics(spark, sf_dir):
         assert r["status_num"] is None  # status letters never cast
         assert r["prio_digit"] is not None  # leading digit always casts
         assert r["first2_digits"] >= 0  # orderkey 0 exists in the corpus
+
+
+def test_referential_integrity_declared_fks_hold(spark, sf_dir):
+    rows = {r["fk"]: r for r in QUERIES["dq_referential_integrity"](spark, sf_dir).collect()}
+    assert len(rows) == 5
+    # the TPC-H-shaped FKs are generated consistent; events may orphan
+    for fk in (
+        "lineitem.l_orderkey->orders",
+        "lineitem.l_partkey->part",
+        "orders.o_custkey->customer",
+        "customer.c_nationkey->nation",
+    ):
+        assert rows[fk]["ri_holds"] == 1, rows[fk]
+    for r in rows.values():
+        assert 0.0 <= r["orphan_rate"] <= 1.0
+
+
+def test_cuped_reduction_is_rho_squared(spark, sf_dir):
+    for r in QUERIES["events_cuped_adjust"](spark, sf_dir).collect():
+        # var_adjusted = var_post * (1 - reduction), within rounding
+        assert 0.0 <= r["variance_reduction"] <= 1.0 + 1e-6, r
+        lhs = r["var_adjusted"]
+        rhs = r["var_post"] * (1.0 - r["variance_reduction"])
+        assert abs(lhs - rhs) <= max(1e-4, 1e-5 * abs(r["var_post"])), r

@@ -113,6 +113,9 @@ DECLARED = {
                                      # (measured below)
     "events_diff_in_diff": {"BNLJ"},  # crossJoin(broadcast(1-row corpus-span
                                      # boundary))
+    "events_cuped_adjust": {"BNLJ"},  # same 1-row span-boundary broadcast
+    "dq_referential_integrity": {"BNLJ"},  # crossJoin(broadcast(1-row orphan
+                                     # count)) per FK candidate
     "ml_calibration_ece": {"BNLJ"},  # crossJoin(broadcast(1-row ECE scalar))
     "events_srm_guardrail": {"BNLJ"},  # crossJoin(broadcast(1-row total +
                                      # 1-row chi2))
