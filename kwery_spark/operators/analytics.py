@@ -2584,10 +2584,12 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(med / 1000000.0, 6) AS median_gap_sec,
            round(CAST(n_gaps AS DOUBLE) * 3600000000.0 / s1, 6)
                AS rate_per_hour,
-           round(sqrt((CAST(s2 AS DOUBLE)
-                       - (CAST(s1 AS DOUBLE) / n_gaps) * CAST(s1 AS DOUBLE))
-                      / (n_gaps - 1))
-                 / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS cv
+           CASE WHEN n_gaps >= 2 THEN
+               round(sqrt((CAST(s2 AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) / n_gaps) * CAST(s1 AS DOUBLE))
+                          / (n_gaps - 1))
+                     / (CAST(s1 AS DOUBLE) / n_gaps), 6)
+           ELSE NULL END AS cv
     FROM a ORDER BY event_type
     """,
 )
@@ -2639,7 +2641,13 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_gaps").cast("double") * 3600000000.0 / F.col("s1"),
                 6,
             ).alias("rate_per_hour"),
-            F.round(F.sqrt(var_us) / mean_us, 6).alias("cv"),
+            # n_gaps == 1 makes the sample variance 0/0 — double
+            # div-by-zero is exactly the cross-engine divergence the
+            # oracle-parity rules require excluding EXACTLY (ADVICE r8),
+            # so the singleton case is an explicit NULL in both engines
+            F.when(
+                F.col("n_gaps") >= 2, F.round(F.sqrt(var_us) / mean_us, 6)
+            ).alias("cv"),
         )
         .coalesce(1)
         .sortWithinPartitions("event_type")
@@ -2685,7 +2693,12 @@ def _holt_oracle(rounds: int = 45) -> str:
           ON d.event_type = r.event_type AND d.i = {i}
     )"""
     sql += f"""
-    SELECT r.event_type, CAST(r.t_days AS BIGINT) AS t_days,
+    SELECT r.event_type,
+           CASE WHEN r.t_days > {rounds + 1}
+                THEN CAST(error('events_forecast_holt: corpus day span '
+                                || r.t_days || ' exceeds the oracle unroll '
+                                || '{rounds + 1}') AS BIGINT)
+                ELSE CAST(r.t_days AS BIGINT) END AS t_days,
            CAST(h AS BIGINT) AS h,
            round(r.l, 6) AS level,
            round(r.b, 6) AS trend,
@@ -2734,12 +2747,28 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("d", "y"))),
             lambda s: s["y"],
         ).alias("ys")
+    ).filter(
+        # symmetric with the oracle, which drops single-day types via
+        # r1's inner join on i=0/i=1 — before this guard Spark emitted
+        # them with NULL trend (latent parity break, ADVICE r8); Holt
+        # needs two points to initialize the trend anyway
+        F.size("ys") >= 2
     )
     # fold the recursion over days 2..T-1; accumulator = struct(l, b)
     new_l = "0.5D * y + 0.5D * (acc.l + acc.b)"
     holt = series.select(
         "event_type",
-        F.size("ys").cast("long").alias("t_days"),
+        # fail LOUDLY (both engines — oracle uses error()) if the corpus
+        # day span outgrows the oracle's 45-round unroll: a truncated
+        # recursion would otherwise diverge silently (ADVICE r8)
+        F.when(
+            F.size("ys") <= 46, F.size("ys").cast("long")
+        ).otherwise(
+            F.expr(
+                "raise_error(concat('events_forecast_holt: corpus day "
+                "span ', size(ys), ' exceeds the oracle unroll 46'))"
+            ).cast("long")
+        ).alias("t_days"),
         F.expr(
             f"""aggregate(
                 slice(ys, 3, greatest(size(ys) - 2, 0)),

@@ -210,14 +210,21 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey, c.c_name, c.c_mktsegment
     FROM customer c
     WHERE NOT EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
     )
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    """Left anti join (NOT EXISTS): customers with no big-ticket order.
+
+    The right side is filtered (o_totalprice > 300k) so unmatched
+    customers EXIST at every SF (3 / 30 / 308 rows at sf0.001/0.01/0.1)
+    — r7 verdict flagged the unfiltered form as vacuous: every sf0.01
+    customer has at least one order, so the anti-join returned 0 rows
+    and the value-check had never compared a row."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )

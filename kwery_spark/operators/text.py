@@ -160,7 +160,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_search",
     oracle="""
-    WITH q AS (SELECT ['data', 'model', 'training'] AS terms)
+    WITH q AS (SELECT ['scan', 'merge', 'sort'] AS terms)
     SELECT doc_id,
            CAST(len(list_intersect(list_distinct(str_split(lower(text), ' ')), q.terms))
                 AS INTEGER) AS n_matched
@@ -170,9 +170,14 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword search: documents matching ≥2 of the query terms, scored by
-    match count. Filter + array_intersect — fully pushdown-friendly."""
+    match count. Filter + array_intersect — fully pushdown-friendly.
+
+    Terms are corpus-measured so the result is NON-EMPTY at every SF
+    (424 docs at sf0.01, 4136 at sf0.1) — r7 verdict flagged the prior
+    {data, model, training} set as vacuous (0 rows matched >=2 at every
+    SF, so the value-hash had never compared a row)."""
     docs = table(spark, sf_dir, "documents")
-    terms = F.array(F.lit("data"), F.lit("model"), F.lit("training"))
+    terms = F.array(F.lit("scan"), F.lit("merge"), F.lit("sort"))
     matched = F.size(F.array_intersect(F.array_distinct(_tokens(docs)), terms))
     return (
         docs.select("doc_id", matched.alias("n_matched"))
@@ -1185,37 +1190,43 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_minhash_containment",
     oracle="""
-    WITH t AS (
-        SELECT doc_id, str_split(text, ' ') AS toks,
-               len(str_split(text, ' ')) AS n
-        FROM documents
+    WITH keyed AS MATERIALIZED (
+        SELECT doc_id, md5(text) AS ckey, text FROM documents
     ),
-    sh AS (
-        SELECT DISTINCT doc_id, g FROM (
-            SELECT doc_id,
+    reps AS (SELECT ckey, min(doc_id) AS rep FROM keyed GROUP BY ckey),
+    rt AS MATERIALIZED (
+        SELECT r.rep, r.ckey, str_split(k.text, ' ') AS toks,
+               len(str_split(k.text, ' ')) AS n
+        FROM reps r JOIN keyed k ON k.doc_id = r.rep
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT rep, g FROM (
+            SELECT rep,
                    unnest(list_transform(range(1, n - 5 + 2),
                        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
                        AS g
-            FROM t WHERE n >= 5)
+            FROM rt WHERE n >= 5)
     ),
-    agg AS (SELECT doc_id, list(g) AS gs, count(*) AS s FROM sh GROUP BY doc_id),
+    agg AS MATERIALIZED (
+        SELECT rep, list(g) AS gs, count(*) AS s FROM sh GROUP BY rep
+    ),
     df AS (SELECT g FROM sh GROUP BY g HAVING count(*) BETWEEN 2 AND 32),
     cand AS (
-        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        SELECT DISTINCT a.rep AS ra, b.rep AS rb
         FROM sh a JOIN df USING (g) JOIN sh b USING (g)
-        WHERE a.doc_id < b.doc_id
+        WHERE a.rep < b.rep
     ),
     oriented AS (
-        SELECT CASE WHEN x.s <= y.s THEN da ELSE db END AS contained_doc_id,
-               CASE WHEN x.s <= y.s THEN db ELSE da END AS container_doc_id,
+        SELECT CASE WHEN x.s <= y.s THEN ra ELSE rb END AS rep_small,
+               CASE WHEN x.s <= y.s THEN rb ELSE ra END AS rep_big,
                CASE WHEN x.s <= y.s THEN x.gs ELSE y.gs END AS g_small,
                CASE WHEN x.s <= y.s THEN y.gs ELSE x.gs END AS g_big,
                least(x.s, y.s) AS s_small,
                len(list_intersect(x.gs, y.gs)) AS inter
-        FROM cand JOIN agg x ON x.doc_id = da JOIN agg y ON y.doc_id = db
+        FROM cand JOIN agg x ON x.rep = ra JOIN agg y ON y.rep = rb
     ),
     scored AS (
-        SELECT contained_doc_id, container_doc_id,
+        SELECT rep_small, rep_big,
                inter / s_small AS containment,
                len(list_intersect(
                    list_transform(
@@ -1224,13 +1235,17 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                            1, 32),
                        p -> p[2]),
                    g_big)) / least(32, s_small) AS est
-        FROM oriented
+        FROM oriented WHERE inter / s_small >= 0.5
     )
-    SELECT contained_doc_id, container_doc_id,
-           round(containment, 6) AS containment,
-           round(est, 6) AS est_containment,
-           abs(est - containment) <= 0.35 AS est_ok
-    FROM scored WHERE containment >= 0.5
+    SELECT ks.doc_id AS contained_doc_id, kb.doc_id AS container_doc_id,
+           round(s.containment, 6) AS containment,
+           round(s.est, 6) AS est_containment,
+           abs(s.est - s.containment) <= 0.35 AS est_ok
+    FROM scored s
+    JOIN rt rs ON rs.rep = s.rep_small
+    JOIN rt rb2 ON rb2.rep = s.rep_big
+    JOIN keyed ks ON ks.ckey = rs.ckey
+    JOIN keyed kb ON kb.ckey = rb2.ckey
     """,
 )
 def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1258,7 +1273,14 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a corpus upscale that copies contents inflates neither the df counts
     nor the rep-level pair work, and doc-level output expands linearly
     via the content-key join. Identical-content pairs (containment 1.0
-    by definition) are exact-dup territory and are not emitted."""
+    by definition) are exact-dup territory and are not emitted.
+
+    The ORACLE is content-contracted the same way (ADVICE r8): the
+    prior doc-level oracle counted shingle df per doc_id and emitted
+    identical-content pairs, so it computed a DIFFERENT function on
+    corpora with duplicated texts (the gen_sf1 upscale duplicates
+    contents 10x — doc-df 40 vs content-df 4 straddles the 32 cap).
+    Verified equal at sf1 where the divergence was live."""
     docs = table(spark, sf_dir, "documents")
     keyed = docs.select("doc_id", F.md5("text").alias("ckey"))
     groups = keyed.groupBy("ckey").agg(F.min("doc_id").alias("rep"))

@@ -87,9 +87,17 @@ def sweep_scratch(ttl_hours: float | None = None) -> int:
     for fam in families:
         fam_dir = os.path.join(SCRATCH, fam)
         if not os.path.isdir(fam_dir):
-            if os.path.getmtime(fam_dir) < cutoff:
-                os.unlink(fam_dir)
-                removed += 1
+            # broken symlink / concurrently-removed entry: getmtime or
+            # unlink raises OSError, which must not abort the whole sweep
+            # (ADVICE r8 — _sweep_scratch_once swallows the exception, so
+            # an abort here silently disables scratch GC for every later
+            # family)
+            try:
+                if os.path.getmtime(fam_dir) < cutoff:
+                    os.unlink(fam_dir)
+                    removed += 1
+            except OSError:
+                pass
             continue
         sweep_dead_pid_dirs(fam_dir)
         if fam in _BOUNDED_SCRATCH:

@@ -75,6 +75,31 @@ def test_cbo_stats_path_value_invariance(spark, sf_dir):
         assert "kwery_" not in inspect.formatted_plan(QUERIES[key](spark, sf_dir))
 
 
+def test_no_oracle_returns_empty_at_gate_sf():
+    """Empty-result ban (r7 verdict #1): a key whose oracle returns 0 rows
+    at the gate SF passes its value-hash VACUOUSLY — the comparison has
+    never seen a row, so a Spark-side bug returning empty for the wrong
+    reason still passes (text_search and join_anti shipped that way for
+    six rounds). Sweep every oracle in DuckDB at sf0.01 (the driver's
+    gate SF) and fail on any empty result. Full sweep measured ~31 s."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check import duck_conn
+
+    load_all()
+    conn = duck_conn("/root/testdata/sf0.01")
+    empty = sorted(
+        key for key, sql in ORACLES.items()
+        if conn.execute(f"SELECT count(*) FROM ({sql}) _t").fetchone()[0] == 0
+    )
+    conn.close()
+    assert not empty, (
+        f"oracles with 0 rows at the gate SF (vacuous value-check): {empty}; "
+        "re-parameterize the key so the result is non-empty at sf0.01"
+    )
+
+
 def test_every_output_schema_is_driver_hashable(spark, sf_dir):
     """The grading driver value-hashes results via pandas factorize, which
     crashes on array/map/struct cells (CORRECTNESS_r01: agg_collect et
