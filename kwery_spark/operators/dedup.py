@@ -223,13 +223,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-16 signature bits (prefix bucketing) so the quadratic term
     stays per-bucket, and doc pairs are expanded from content pairs
     linearly in the true output (cross-content at the rep Hamming
-    distance, same-content members at Hamming 0)."""
+    distance, same-content members at Hamming 0).
+
+    r8 rewrite (sf10 sweep 367 s → see SCALESWEEP_r8): profiling showed
+    the cost was NOT the signature math but its RE-EVALUATION — the
+    bucket self-join inlined the whole signature pipeline into both
+    sides (rep_pairs.count() alone was 82 s at sf1 on 3,935 signature
+    rows), and keyed's md5-of-sorted-tokens was recomputed by all three
+    expansion legs. Both are now localCheckpoint(eager)'d — sig is one
+    row per DISTINCT content, keyed is (doc_id, ckey) — so the fold and
+    the content keys are computed exactly once and every downstream
+    join runs on materialized small tables (the ml_logistic_irls
+    pattern; final plan has NO parquet scan, locked in test_rewrites).
+    The fold itself is posexplode + 60 codegen'd conditional SUMs
+    (whole-stage codegen) instead of a nested interpreted HOF lambda —
+    measured bit-identical and ~2x faster; the groupBy(rep) reuses the
+    rep-join's partitioning, so the explode adds no exchange."""
     raw = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     keyed = raw.select(
         "doc_id", F.md5(F.concat_ws(" ", F.array_sort("toks"))).alias("ckey")
-    )
+    ).localCheckpoint(eager=True)
     groups = keyed.groupBy("ckey").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
     )
@@ -248,19 +263,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("th"),
         )
     )
-    # Signature fold, bit 59 → 0: each bit is the sign of the ±1 vote sum
-    # over token hashes. Expressed in SQL because the Python shiftright API
-    # only accepts a constant shift, and here the shift is the HOF lambda
-    # variable b.
-    simhash_expr = """
-        aggregate(
-            transform(sequence(59, 0, -1), b ->
-                CASE WHEN aggregate(th, 0L,
-                        (acc, h) -> acc + IF(((h >> b) & 1L) = 1L, 1L, -1L)
-                     ) > 0 THEN 1L ELSE 0L END),
-            0L, (acc, x) -> shiftleft(acc, 1) | x)
-    """
-    sig = docs.select("rep", "ckey", F.expr(simhash_expr).alias("simhash"))
+    # Per-bit ±1 vote sums over token hashes, one codegen'd SUM per bit;
+    # split() never yields an empty array, so explode drops no content.
+    votes = (
+        docs.select("rep", "ckey", F.explode("th").alias("h"))
+        .groupBy("rep", "ckey")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                        1,
+                    ).otherwise(-1)
+                ).alias(f"v{b}")
+                for b in range(60)
+            ]
+        )
+    )
+    assembled = F.lit(0).cast("long")
+    for b in range(60):
+        assembled = assembled.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = votes.select(
+        "rep", "ckey", assembled.alias("simhash")
+    ).localCheckpoint(eager=True)
     # prefix-bucketed pair search over content representatives
     bucketed = sig.withColumn("bucket", F.shiftrightunsigned("simhash", 44))
     rep_pairs = (

@@ -36,18 +36,27 @@ from kwery_spark.registry import register
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregate per event type.
 
-    Batch form groups on date_trunc('hour') — for tumbling windows the
-    assignment is identical to F.window('1 hour').start, but skips the
-    per-row (start, end) struct construction and struct group key:
-    measured at sf10 (6M events, warm best-of-3) 0.609 s vs 0.759 s for
-    the struct form (the residual is the 6M-row hash aggregate itself,
-    which partial-aggregates map-side to 3.6k groups). The streaming
-    family (stream_watermark and friends) keeps the real F.window
-    operator — this key's batch twin only needs its semantics."""
+    Batch form buckets on integer-floored unix microseconds — for
+    tumbling windows the assignment is identical to
+    F.window('1 hour').start and to date_trunc('hour'), but skips both
+    the per-row (start, end) struct construction AND date_trunc's
+    calendar path: measured at sf10 (6M events, warm best-of-3)
+    0.455 s (floor) vs 0.556 s (date_trunc) vs 0.759 s (window struct),
+    bit-identical outputs (r8 decomposition: scan+decode is 0.199 s of
+    the total, the rest is the 6M-row hash aggregate that map-side
+    combines to 3.6k groups). The floor form is also tz-robust: it
+    truncates the raw UTC microseconds exactly like the naive DuckDB
+    oracle, independent of the session timezone. The streaming family
+    (stream_watermark and friends) keeps the real F.window operator —
+    this key's batch twin only needs its semantics."""
+    us = F.unix_micros(F.col("ts"))
+    hour = F.timestamp_micros(
+        F.floor(us / 3_600_000_000).cast("long") * 3_600_000_000
+    )
     return (
         table(spark, sf_dir, "events")
         .groupBy(
-            F.date_trunc("hour", "ts").alias("window_start"),
+            hour.alias("window_start"),
             F.col("event_type"),
         )
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))

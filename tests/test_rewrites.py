@@ -177,7 +177,10 @@ def test_contraction_rewrite_plan_shapes(spark, sf_dir):
     # (content-contraction agg key, pair-join blocking key) per rewrite
     expect = {
         "dedup_minhash": ("Keys [1]: [ckey]", "band_id, band_hash"),
-        "dedup_simhash": ("Keys [1]: [ckey]", "[bucket]"),
+        # simhash's contraction agg lives BEFORE its eager localCheckpoint
+        # since r8, so it can't appear in the final plan — the checkpoint
+        # itself is asserted below (no parquet scan survives)
+        "dedup_simhash": (None, "[bucket]"),
         "dedup_clusters": ("Keys [1]: [ckey]", None),  # runs on contracted graph
         "dedup_ngram_jaccard": (None, "band_hash"),  # contraction asserted below
         "dedup_embedding": (None, "gi"),
@@ -194,3 +197,15 @@ def test_contraction_rewrite_plan_shapes(spark, sf_dir):
             assert any(
                 block in ln for ln in lines if ln.startswith(("Left", "Right"))
             ), f"{key}: pair join not blocked on {block}: {lines}"
+
+    # dedup_simhash r8: sig (one row per distinct content) and keyed
+    # (doc_id, ckey) are eager-localCheckpoint'd, so the FINAL plan must
+    # be checkpoint-fed end to end — a parquet scan reappearing means the
+    # signature pipeline is being re-evaluated per join side again (the
+    # 367 s sf10 regression this rewrite removed)
+    plan, _ = keylines("dedup_simhash")
+    assert "Scan parquet" not in plan, (
+        "dedup_simhash final plan re-reads parquet; checkpoint bypassed:\n"
+        + plan
+    )
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan or "Scan RDD" in plan, plan
