@@ -1927,3 +1927,124 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("bin")
     )
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_id % 8 AS node FROM events),
+    nc AS (
+        SELECT node, user_id, CAST(count(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY 1, 2
+    ),
+    r8 AS (
+        SELECT node, user_id, cnt FROM (
+            SELECT node, user_id, cnt,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, user_id) AS rk
+            FROM nc)
+        WHERE rk <= 8
+    ),
+    eps AS (SELECT node, min(cnt) AS eps FROM r8 GROUP BY node),
+    tot AS (SELECT CAST(sum(eps) AS BIGINT) AS total_eps FROM eps),
+    cand AS (
+        SELECT r.user_id, CAST(sum(r.cnt) AS BIGINT) AS est_lower,
+               CAST(sum(e.eps) AS BIGINT) AS eps_rep
+        FROM r8 r JOIN eps e USING (node) GROUP BY r.user_id
+    ),
+    exact AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT c.user_id, x.exact_cnt, c.est_lower,
+               CAST(c.est_lower + t.total_eps - c.eps_rep AS BIGINT)
+                   AS est_upper
+        FROM cand c CROSS JOIN tot t JOIN exact x USING (user_id)
+    )
+    SELECT CAST(row_number() OVER (ORDER BY est_upper DESC, user_id)
+                AS BIGINT) AS hh_rank,
+           user_id, exact_cnt, est_lower, est_upper,
+           est_lower <= exact_cnt AND exact_cnt <= est_upper AS bounds_hold
+    FROM scored
+    ORDER BY est_upper DESC, user_id
+    LIMIT 5
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy hitters over the high-cardinality user_id domain
+    (the Misra-Gries / SpaceSaving summary-merge family, complement to
+    agg_cms_estimate's CMS and agg_approx_topk's tiny exact domain):
+    each of 8 deterministic "nodes" (event_id % 8 — stands in for an
+    executor's partition) summarizes its local stream as an exact top-8
+    (item, count) list plus the MG-style error bound eps = its k-th
+    count; summaries merge into per-candidate deterministic bounds
+    [est_lower, est_upper] where lower = sum of reporting nodes' counts
+    and upper adds eps for every silent node (an item missed by a
+    node's top-k has local count <= that node's eps — the MG
+    guarantee). Emits the top 5 by upper bound with the exact count and
+    the bound check, which is a THEOREM here and is re-derived by the
+    oracle on identically-built summaries.
+
+    Determinism: node assignment is content-derived (event_id), top-k
+    and the final ranking tiebreak on user_id, counts are integers.
+
+    Scale: this is the heavy-hitter shape that works at 100 TB — each
+    node ships k rows + one eps scalar regardless of its input size
+    (8x8 rows + 8 scalars total here), so the merge never sees the
+    full domain; the exact-count join is only for the verification
+    column and joins the <=64-row candidate summary broadcast against
+    one map-side-combined aggregate. The final ranking windows over
+    the <=64-row candidate set (bounded by k*nodes, not by data)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id")
+    nc = (
+        ev.select(
+            F.pmod("event_id", F.lit(8)).alias("node"), "user_id"
+        )
+        .groupBy("node", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_node = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "user_id")
+    r8 = nc.withColumn("rk", F.row_number().over(w_node)).filter(
+        F.col("rk") <= 8
+    )
+    eps = r8.groupBy("node").agg(F.min("cnt").alias("eps"))
+    tot = eps.agg(F.sum("eps").alias("total_eps"))
+    cand = (
+        r8.join(broadcast(eps), "node")
+        .groupBy("user_id")
+        .agg(
+            F.sum("cnt").alias("est_lower"),
+            F.sum("eps").alias("eps_rep"),
+        )
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    scored = exact.join(
+        broadcast(cand.crossJoin(tot)), "user_id"
+    ).select(
+        "user_id",
+        "exact_cnt",
+        F.col("est_lower").cast("long").alias("est_lower"),
+        (F.col("est_lower") + F.col("total_eps") - F.col("eps_rep"))
+        .cast("long")
+        .alias("est_upper"),
+    )
+    # <=64 candidate rows by construction (k=8 x 8 nodes) — the global
+    # ranking window is input-bounded, same declared class as the other
+    # survivors-of-top-k sites
+    w_rank = Window.orderBy(F.col("est_upper").desc(), "user_id")
+    return (
+        scored.withColumn("hh_rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("hh_rank") <= 5)
+        .select(
+            "hh_rank",
+            "user_id",
+            "exact_cnt",
+            "est_lower",
+            "est_upper",
+            (
+                (F.col("est_lower") <= F.col("exact_cnt"))
+                & (F.col("exact_cnt") <= F.col("est_upper"))
+            ).alias("bounds_hold"),
+        )
+    )

@@ -1318,3 +1318,129 @@ def pipeline_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stages.coalesce(1).sortWithinPartitions("stage")
+
+
+@register(
+    "pipeline_dpo_format",
+    oracle="""
+    WITH eligible AS (
+        SELECT doc_id, lang, text,
+               CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+                   AS score
+        FROM documents WHERE n_chars > 200
+    ),
+    ranked AS (
+        SELECT lang, text, score, doc_id,
+               row_number() OVER w AS rn,
+               lead(text) OVER w AS r_text,
+               lead(score) OVER w AS r_score
+        FROM eligible
+        WINDOW w AS (PARTITION BY lang ORDER BY score DESC, doc_id)
+    ),
+    pairs AS (
+        SELECT lang,
+               score - r_score AS margin,
+               substring(text, 1, 120) AS prompt,
+               substring(text, 121) AS chosen_resp,
+               substring(r_text, 121) AS rejected_resp
+        FROM ranked
+        WHERE rn % 2 = 1 AND r_text IS NOT NULL
+    ),
+    rendered AS (
+        SELECT lang, margin,
+               '<|user|>' || chr(10) || prompt
+                   || chr(10) || '<|chosen|>' || chr(10) || chosen_resp
+                   || chr(10) || '<|rejected|>' || chr(10) || rejected_resp
+                   || '<|end|>' AS sample,
+               CAST(len(str_split(chosen_resp, ' ')) AS BIGINT) AS c_toks,
+               CAST(len(str_split(rejected_resp, ' ')) AS BIGINT) AS r_toks
+        FROM pairs
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(CAST(margin AS DOUBLE)), 6) AS avg_margin,
+           CAST(sum(c_toks) AS BIGINT) AS chosen_tokens,
+           CAST(sum(r_toks) AS BIGINT) AS rejected_tokens,
+           CAST(sum(CAST('0x' || substring(md5(sample), 1, 8) AS BIGINT))
+                AS BIGINT) AS render_checksum
+    FROM rendered GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_dpo_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair formatting — the sibling of
+    pipeline_sft_format for preference optimization: eligible docs
+    (>200 chars) are ranked per language by a deterministic quality
+    proxy (distinct-token count, tiebreak doc_id) and paired
+    consecutively (rank 1-2, 3-4, ...), the higher-scoring member
+    becoming the CHOSEN response and the lower the REJECTED one, with
+    the chosen doc's first 120 chars as the shared prompt. Each pair
+    renders through a fixed chat template; per language the op emits
+    pair counts, the mean preference margin, chosen/rejected token
+    totals, and an order-independent md5 render checksum (sum of exact
+    32-bit hash prefixes) for shard verification — the same trainer
+    contract as the SFT key.
+
+    Exactness: the margin is an integer difference averaged once; all
+    other outputs are integer sums; documents.text is pure ASCII so
+    substring/md5 mirror across engines (repo rule).
+
+    Scale: one scan, one shuffle (the per-lang rank window); pairing
+    is lead() over the SAME window — no self-join, no second shuffle —
+    and the render/hash/token math is map-side into a <=|langs|
+    combine. At 100 TB the window sort is the cost; a real deployment
+    would bucket the rank space (rank ranges per reducer) exactly like
+    pack_sequences does."""
+    el = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 200).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    ranked = el.select(
+        "lang",
+        "text",
+        "score",
+        F.row_number().over(w).alias("rn"),
+        F.lead("text").over(w).alias("r_text"),
+        F.lead("score").over(w).alias("r_score"),
+    ).filter((F.col("rn") % 2 == 1) & F.col("r_text").isNotNull())
+    nl = F.lit("\n")
+    rendered = ranked.select(
+        "lang",
+        (F.col("score") - F.col("r_score")).alias("margin"),
+        F.concat(
+            F.lit("<|user|>"),
+            nl,
+            F.substring("text", 1, 120),
+            nl,
+            F.lit("<|chosen|>"),
+            nl,
+            F.expr("substring(text, 121)"),
+            nl,
+            F.lit("<|rejected|>"),
+            nl,
+            F.expr("substring(r_text, 121)"),
+            F.lit("<|end|>"),
+        ).alias("sample"),
+        F.size(F.split(F.expr("substring(text, 121)"), " ")).cast("long").alias("c_toks"),
+        F.size(F.split(F.expr("substring(r_text, 121)"), " ")).cast("long").alias("r_toks"),
+    )
+    return (
+        rendered.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg(F.col("margin").cast("double")), 6).alias("avg_margin"),
+            F.sum("c_toks").cast("long").alias("chosen_tokens"),
+            F.sum("r_toks").cast("long").alias("rejected_tokens"),
+            F.sum(
+                F.expr(
+                    "CAST(conv(substring(md5(sample), 1, 8), 16, 10) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("render_checksum"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("lang")
+    )

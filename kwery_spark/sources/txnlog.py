@@ -638,3 +638,204 @@ def warehouse_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("time_travel_ok", F.lit(time_travel_ok).cast("long"))
     )
+
+
+@register(
+    "stream_cdc_incremental_agg",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    bumped AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS newbal,
+               c_acctbal AS oldbal
+        FROM c
+    ),
+    deltas AS (
+        -- v0+v1 appends: every source row arrives once as an insert
+        SELECT c_mktsegment, 1 AS dc,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS db FROM c
+        UNION ALL
+        -- v2 replace: deletes (final balance negative)
+        SELECT c_mktsegment, -1, CAST(oldbal AS DECIMAL(18,2))
+        FROM bumped WHERE newbal < 0
+        UNION ALL
+        -- v2 replace: update preimages retract the old value
+        SELECT c_mktsegment, -1, CAST(oldbal AS DECIMAL(18,2))
+        FROM bumped WHERE newbal >= 0 AND newbal <> oldbal
+        UNION ALL
+        -- v2 replace: update postimages add the new value
+        SELECT c_mktsegment, 1, CAST(newbal AS DECIMAL(18,2))
+        FROM bumped WHERE newbal >= 0 AND newbal <> oldbal
+    ),
+    ivm AS (
+        SELECT c_mktsegment,
+               CAST(sum(dc) AS BIGINT) AS n_ivm,
+               sum(CASE WHEN dc = 1 THEN db ELSE -db END) AS s_ivm,
+               CAST(count(*) AS BIGINT) AS n_change_rows
+        FROM deltas GROUP BY c_mktsegment
+    ),
+    truth AS (
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+               sum(CAST(newbal AS DECIMAL(18,2))) AS s_truth
+        FROM bumped WHERE newbal >= 0 GROUP BY c_mktsegment
+    )
+    SELECT t.c_mktsegment, t.n_rows,
+           round(CAST(t.s_truth AS DOUBLE), 2) AS bal_sum,
+           i.n_change_rows,
+           i.n_ivm = t.n_rows AS ivm_count_matches,
+           i.s_ivm = t.s_truth AS ivm_sum_matches
+    FROM truth t JOIN ivm i USING (c_mktsegment)
+    ORDER BY t.c_mktsegment
+    """,
+)
+def stream_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance FED BY THE CHANGE FEED — the marriage
+    of warehouse_incremental_view (the delta algebra V' = V ⊕ I ⊖ D) and
+    stream_cdc_feed (the Delta-CDF-style row-level change derivation):
+    a per-mktsegment (count, balance-sum) view is maintained purely from
+    the transaction log's change records across three commits (two
+    appends, then a MERGE-style replace that bumps BUILDING balances
+    +100 and purges negatives), and the maintained view is verified
+    against a from-scratch aggregate of the final snapshot. This is the
+    Materialize / Delta Live Tables execution shape: the view never
+    re-reads the base table, only the feed.
+
+    Feed algebra: insert → (+1, +bal); delete → (−1, −bal); update →
+    preimage (−1, −old) + postimage (+1, +new). Count and DECIMAL(18,2)
+    sums are self-maintainable, so applying the signed deltas in ANY
+    order gives the exact rescan answer — the equality booleans are
+    theorems the oracle re-derives on the same commit algebra.
+
+    Scale: append commits feed straight from the committed files (zero
+    join work — the CDF cheap path); the replace commit pays one
+    primary-key full-outer diff of adjacent snapshots. Every aggregate
+    map-side-combines to <=|segments| groups; DECIMAL sums make ⊕/⊖
+    order-independent. At 100 TB each refresh touches one commit's
+    files, never the accumulated base."""
+    root = _txn_root(sf_dir, "cdc_ivm")
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxnLogTable(root)
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t.commit(spark, cust.filter(F.col("c_custkey") % 3 != 0), "append")
+    t.commit(spark, cust.filter(F.col("c_custkey") % 3 == 0), "append")
+    base = t.latest_version()
+    rewritten = t.read(spark, base).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")),
+    ).filter(F.col("c_acctbal") >= 0)
+    last = t.commit(spark, rewritten, "replace", base_version=base)
+
+    dec = "decimal(18,2)"
+    parts: list[DataFrame] = []
+    for v in range(last + 1):
+        entry = t._entry(v)
+        if entry["operation"] == "append":
+            # CDF cheap path: the feed IS the committed files
+            added = spark.read.parquet(
+                *[os.path.join(root, d) for d in entry["add"]]
+            )
+            parts.append(
+                added.select(
+                    "c_mktsegment",
+                    F.lit(1).alias("dc"),
+                    F.col("c_acctbal").cast(dec).alias("db"),
+                )
+            )
+            continue
+        prev = t.read(spark, v - 1).select(
+            F.col("c_custkey").alias("pk"),
+            F.col("c_mktsegment").alias("pre_seg"),
+            F.col("c_acctbal").alias("pre_bal"),
+        )
+        cur = t.read(spark, v).select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("post_seg"),
+            F.col("c_acctbal").alias("post_bal"),
+        )
+        # one full-outer key diff, entries exploded from an array so the
+        # snapshots are joined exactly once (same shape as stream_cdc_feed)
+        entry_arr = (
+            F.when(
+                F.col("ck").isNull(),
+                F.array(
+                    F.struct(
+                        F.col("pre_seg").alias("seg"),
+                        F.lit(-1).alias("dc"),
+                        F.col("pre_bal").alias("b"),
+                    )
+                ),
+            )
+            .when(
+                F.col("pk").isNull(),
+                F.array(
+                    F.struct(
+                        F.col("post_seg").alias("seg"),
+                        F.lit(1).alias("dc"),
+                        F.col("post_bal").alias("b"),
+                    )
+                ),
+            )
+            .when(
+                (F.col("pre_bal") != F.col("post_bal"))
+                | (F.col("pre_seg") != F.col("post_seg")),
+                F.array(
+                    F.struct(
+                        F.col("pre_seg").alias("seg"),
+                        F.lit(-1).alias("dc"),
+                        F.col("pre_bal").alias("b"),
+                    ),
+                    F.struct(
+                        F.col("post_seg").alias("seg"),
+                        F.lit(1).alias("dc"),
+                        F.col("post_bal").alias("b"),
+                    ),
+                ),
+            )
+            .otherwise(
+                F.array().cast("array<struct<seg:string,dc:int,b:double>>")
+            )
+        )
+        diff = prev.join(cur, prev.pk == cur.ck, "full")
+        parts.append(
+            diff.select(F.explode(entry_arr).alias("e")).select(
+                F.col("e.seg").alias("c_mktsegment"),
+                F.col("e.dc").alias("dc"),
+                F.col("e.b").cast(dec).alias("db"),
+            )
+        )
+    feed = parts[0]
+    for p in parts[1:]:
+        feed = feed.unionByName(p)
+    ivm = feed.groupBy("c_mktsegment").agg(
+        F.sum("dc").cast("long").alias("n_ivm"),
+        F.sum(
+            F.when(F.col("dc") == 1, F.col("db")).otherwise(-F.col("db"))
+        ).alias("s_ivm"),
+        F.count(F.lit(1)).cast("long").alias("n_change_rows"),
+    )
+    truth = (
+        t.read(spark, last)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("c_acctbal").cast(dec)).alias("s_truth"),
+        )
+    )
+    return (
+        truth.join(ivm, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_rows",
+            F.round(F.col("s_truth").cast("double"), 2).alias("bal_sum"),
+            "n_change_rows",
+            (F.col("n_ivm") == F.col("n_rows")).alias("ivm_count_matches"),
+            (F.col("s_ivm") == F.col("s_truth")).alias("ivm_sum_matches"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("c_mktsegment")
+    )

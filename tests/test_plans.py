@@ -838,3 +838,34 @@ def test_cuped_single_user_shuffle(spark, sf_dir):
     df = _q("events_cuped_adjust")(spark, sf_dir)
     plan = inspect.formatted_plan(df)
     assert "Window" not in plan, plan[:2000]
+
+
+def test_dpo_format_pairs_without_self_join(spark, sf_dir):
+    # r8: rank-adjacent pairing is lead() over the SAME lang window — a
+    # self-join formulation would shuffle the eligible docs twice and
+    # carry text through a join build side
+    df = _q("pipeline_dpo_format")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_heavy_hitters_broadcasts_candidate_summary(spark, sf_dir):
+    # r8: the exact-count verification join must broadcast the <=64-row
+    # merged summary, never shuffle the full per-user aggregate against
+    # it; the summary merge itself must not produce a cartesian
+    df = _q("agg_heavy_hitters")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_cdc_incremental_agg_single_fullouter_diff(spark, sf_dir):
+    # r8: append commits feed straight from committed files (no join);
+    # only the replace commit pays a key diff — exactly one FullOuter
+    # join in the whole maintained-view plan
+    df = _q("stream_cdc_incremental_agg")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    # formatted plans print each node twice (tree line + detail header),
+    # so ONE FullOuter node == exactly two occurrences of the string
+    assert plan.count("FullOuter") == 2, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:2000]

@@ -124,6 +124,11 @@ DECLARED = {
     "graph_assortativity": {"BNLJ"},  # crossJoin(broadcast(1-row intra-clique
                                      # edge-sum aggregate))
     "events_top_paths": {"BNLJ"},    # crossJoin(broadcast(1-row session total))
+    "agg_heavy_hitters": {"BNLJ", "GLOBAL_WIN"},  # crossJoin(broadcast(1-row
+                                     # total_eps aggregate)); final ranking
+                                     # window over the merged node summaries,
+                                     # <=64 rows by construction (8 nodes x
+                                     # top-8 candidates; both measured below)
 }
 
 
