@@ -1282,7 +1282,13 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     contents 10x — doc-df 40 vs content-df 4 straddles the 32 cap).
     Verified equal at sf1 where the divergence was live."""
     docs = table(spark, sf_dir, "documents")
-    keyed = docs.select("doc_id", F.md5("text").alias("ckey"))
+    # (doc_id, ckey) is read by three expansion legs and the contraction
+    # — checkpoint so documents is scanned and hashed ONCE (the r8
+    # dedup_simhash finding: un-checkpointed, every alias re-ran the
+    # scan+md5 pipeline; sf10 127 s -> see BASELINE.md r8)
+    keyed = docs.select(
+        "doc_id", F.md5("text").alias("ckey")
+    ).localCheckpoint(eager=True)
     groups = keyed.groupBy("ckey").agg(F.min("doc_id").alias("rep"))
     reps = groups.join(docs.select(F.col("doc_id").alias("rep"), "text"), "rep")
     toks = F.split("text", " ")
@@ -1296,12 +1302,45 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    shingled = reps.select(
-        "rep", "ckey", grams.alias("gs"), F.size(grams).alias("s")
-    ).filter(F.col("s") > 0)
-    # Exchange barrier: one shingle pass shared by the exploded df/cand
-    # legs and the pair-scoring join (same trick as dedup_minhash)
-    shingled = shingled.repartition("rep")
+    # TWO-STEP checkpoint (r8, measured 18.5 s -> 3.9 s at sf1): the
+    # interpreted HOF `grams` expression gets NO common-subexpression
+    # elimination, so a single projection computing gs + size(grams) +
+    # a b32 built from grams re-evaluates the whole shingle transform
+    # ~5x per row. Materialize the raw shingle arrays FIRST (one
+    # evaluation), then derive size / the bottom-32 KMV sketch / the
+    # emptiness filter from the STORED arrays. The sketch (one
+    # md5-sort-slice per distinct content, not per candidate pair) and
+    # the arrays are then shared by the exploded df/cand legs and BOTH
+    # pair-join sides — the r7 repartition("rep") exchange barrier only
+    # deduped plan-identical subtrees; the sa/sb aliases still
+    # re-shingled per side.
+    sh0 = reps.select("rep", "ckey", grams.alias("gs")).localCheckpoint(
+        eager=True
+    )
+    bottom32 = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("gs"),
+                    lambda g: F.struct(F.md5(g).alias("h"), g.alias("g")),
+                )
+            ),
+            1,
+            32,
+        ),
+        lambda p: p.getField("g"),
+    )
+    shingled = (
+        sh0.filter(F.size("gs") > 0)
+        .select(
+            "rep",
+            "ckey",
+            "gs",
+            F.size("gs").alias("s"),
+            bottom32.alias("b32"),
+        )
+        .localCheckpoint(eager=True)
+    )
     sh = shingled.select("rep", F.explode("gs").alias("g"))
     capped = (
         sh.groupBy("g")
@@ -1322,30 +1361,20 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ckey").alias("ckey_a"),
         F.col("gs").alias("gs_a"),
         F.col("s").alias("s_a"),
+        F.col("b32").alias("b32_a"),
     )
     sb = shingled.select(
         F.col("rep").alias("rep_b"),
         F.col("ckey").alias("ckey_b"),
         F.col("gs").alias("gs_b"),
         F.col("s").alias("s_b"),
+        F.col("b32").alias("b32_b"),
     )
     a_small = F.col("s_a") <= F.col("s_b")
-    g_small = F.when(a_small, F.col("gs_a")).otherwise(F.col("gs_b"))
     g_big = F.when(a_small, F.col("gs_b")).otherwise(F.col("gs_a"))
     s_small = F.least("s_a", "s_b")
     inter = F.size(F.array_intersect("gs_a", "gs_b"))
-    bottom = F.transform(
-        F.slice(
-            F.array_sort(
-                F.transform(
-                    g_small, lambda g: F.struct(F.md5(g).alias("h"), g.alias("g"))
-                )
-            ),
-            1,
-            32,
-        ),
-        lambda p: p.getField("g"),
-    )
+    bottom = F.when(a_small, F.col("b32_a")).otherwise(F.col("b32_b"))
     est = F.size(F.array_intersect(bottom, g_big)) / F.least(
         F.lit(32), s_small
     )

@@ -489,20 +489,25 @@ def test_asof_nearest_single_shuffle_no_join(spark, sf_dir):
 
 def test_minhash_containment_contracted_no_pair_space(spark, sf_dir):
     # r7: candidates come from the equi-join ON THE SHINGLE with a df
-    # cap — no cartesian/BNLJ pair space; the contraction groups on the
-    # content key before any shingle work
+    # cap — no cartesian/BNLJ pair space. r8: the content contraction
+    # (groupBy ckey) moved INSIDE the eager shingle checkpoint, so the
+    # final plan must be checkpoint-fed end to end (no parquet scan —
+    # one reappearing means the shingle pipeline is re-evaluated per
+    # join side, the 127 s sf10 regression the checkpoint removed);
+    # the pair join must still block on the shingle itself
     df = _q("text_minhash_containment")(spark, sf_dir)
     plan = inspect.formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Scan parquet" not in plan, plan
     import re
 
-    keys = [
+    join_keys = [
         re.sub(r"#\d+L?", "", ln.strip())
         for ln in plan.splitlines()
-        if ln.strip().startswith("Keys")
+        if ln.strip().startswith(("Left keys", "Right keys"))
     ]
-    assert any("ckey" in k for k in keys), keys
+    assert any(k.endswith("[g]") for k in join_keys), join_keys
 
 
 def test_cdc_feed_append_path_reads_only_added_files(spark, sf_dir):
