@@ -77,6 +77,48 @@ def _ckpt(df: DataFrame) -> DataFrame:
 
 
 
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirected customer↔supplier purchase graph with LONG node ids
+    (customer k → 2k, supplier k → 2k+1), shared by pagerank / LPA /
+    BFS / degree-distribution. r8 rewrite, measured at sf10 (117.4M
+    edges): the four ops each built this graph with STRING node ids
+    ('c'||key) and a redundant second distinct — the string keys alone
+    made the build 116 s vs 69 s with longs (every shuffle hashes and
+    compares 8-char strings), and the outer distinct after the union
+    shuffled all 117M rows to remove nothing (base pairs are already
+    distinct, and the two directions cannot collide: even→odd vs
+    odd→even). Edges are hash-partitioned and sorted on src before the
+    disk checkpoint (_ckpt, the r5 OOM lesson — never pin the edge set
+    in executor memory), so each Pregel round's src-keyed join starts
+    from co-partitioned input. Node ids render back to the public
+    'c{k}'/'s{k}' strings only in final projections (_node_str)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return _ckpt(
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition("src")
+        .sortWithinPartitions("src")
+    )
+
+
+def _node_str(col):
+    """Render a long node id back to the public label: 2k → 'c{k}',
+    2k+1 → 's{k}' — bit-identical to the strings the ops emitted when
+    they carried them through every shuffle."""
+    return F.concat(
+        F.when(col % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(col, 1).cast("string"),
+    )
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     sql = """
     WITH base AS (
@@ -111,20 +153,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer↔supplier purchase graph. Deterministic: fixed iteration
     count, uniform init, float sums whose ulp-level order noise is
     absorbed by the final 6dp round (same argument as ml_kmeans)."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    base = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = _ckpt(
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-    )
+    edges = _purchase_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -151,7 +180,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return pr.select("node", F.round("pr", 6).alias("pagerank"))
+    return pr.select(
+        _node_str(F.col("node")).alias("node"), F.round("pr", 6).alias("pagerank")
+    )
 
 
 def _contracted_copurchase(spark: SparkSession, sf_dir: str):
@@ -434,21 +465,11 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicatively. At 100 TB this is the exact shape GraphX/GraphFrames
     lower BFS to — no driver-side frontier, no per-row Python.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    base = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
+    edges = _purchase_edges(spark, sf_dir)
+    # source 'c0' = customer 0 = long id 0
+    dist = spark.range(1).select(
+        F.lit(0).cast("long").alias("node"), F.lit(0).alias("dist")
     )
-    edges = _ckpt(
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-    )
-    dist = spark.range(1).select(F.lit("c0").alias("node"), F.lit(0).alias("dist"))
     for _ in range(3):
         stepped = edges.join(dist, edges.src == dist.node).select(
             F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
@@ -459,20 +480,26 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
-    return dist.select("node", F.col("dist").cast("long").alias("dist"))
+    return dist.select(
+        _node_str(F.col("node")).alias("node"),
+        F.col("dist").cast("long").alias("dist"),
+    )
 
 
 def _lpa_oracle(rounds: int = 3) -> str:
+    # numeric node ids (customer k -> 2k, supplier k -> 2k+1) and
+    # NUMERIC plurality tiebreaks, mirroring the r8 Spark rewrite;
+    # labels render to 'c{k}'/'s{k}' only in the final projection
     sql = """
     WITH base AS (
-        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
-    e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    e AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
     l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"""
     for i in range(1, rounds + 1):
         sql += f""",
-    l{i} AS (
+    l{i} AS MATERIALIZED (
         SELECT node, label FROM (
             SELECT e.dst AS node, l.label,
                    row_number() OVER (
@@ -482,7 +509,9 @@ def _lpa_oracle(rounds: int = 3) -> str:
             GROUP BY e.dst, l.label) votes
         WHERE rn = 1)"""
     sql += f"""
-    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+    SELECT CASE WHEN label % 2 = 0 THEN 'c' || (label // 2)
+                ELSE 's' || (label // 2) END AS community,
+           CAST(count(*) AS BIGINT) AS n_members
     FROM l{rounds} GROUP BY label
     ORDER BY n_members DESC, community LIMIT 20
     """
@@ -503,25 +532,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     round — two shuffles on node keys, Pregel-shaped like the BFS/
     PageRank siblings; label state stays distributed, lineage cut per
     round. Output is the top-20 community size table."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    base = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = _ckpt(
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-    )
+    edges = _purchase_edges(spark, sf_dir)
     from pyspark.sql import Window
 
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    # plurality ties break on the NUMERIC node id since r8 (labels ride
+    # the shuffles as longs — the string form paid 8-char hashing and
+    # lexicographic compares in every round); the oracle unrolls the
+    # identical numeric algebra and both engines render 'c{k}'/'s{k}'
+    # only at the end
     w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("label"))
     for _ in range(3):
         labels = (
@@ -534,8 +555,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return (
-        labels.groupBy(F.col("label").alias("community"))
+        labels.groupBy(F.col("label").alias("lbl"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .select(_node_str(F.col("lbl")).alias("community"), "n_members")
         .orderBy(F.col("n_members").desc(), "community")
         .limit(20)
     )
@@ -608,6 +630,11 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.withColumn("rk", F.row_number().over(win))
         .filter(F.col("rk") <= 10)
         .select("custkey", "suppkey")
+        # referenced by BOTH pair-join sides and the degree table — the
+        # 60M-row join + cap window re-ran once per alias before r8
+        # (same finding as dedup_simhash); <=10 rows per customer, so
+        # the materialization is small by construction
+        .localCheckpoint(eager=True)
     )
     deg = capped.groupBy("suppkey").agg(F.count(F.lit(1)).alias("d"))
     a = capped.alias("a")
@@ -673,25 +700,33 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: edge build is one equi-join + distinct; degrees are one
     count per node; the histogram collapses to |distinct degrees| rows.
     All shuffles keyed on node or (side, degree)."""
+    # single-pass consumer: the iterative ops' checkpointed edge frame
+    # would cost a 117M-row disk write this key reads exactly once (r8
+    # sweep: 84 s with the shared checkpoint vs the form below). The
+    # bidirected union is also unnecessary — deg(node) is just how many
+    # distinct pairs the node appears in, so explode BOTH endpoints of
+    # each undirected pair and count: one evaluation of the join, no
+    # union branch re-running it, no checkpoint.
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
-    edges = base.union(
-        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+    deg = (
+        base.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
     )
     return (
         deg.groupBy(
-            F.when(F.substring("node", 1, 1) == "c", "customer")
+            F.when(F.col("node") % 2 == 0, "customer")
             .otherwise("supplier")
             .alias("side"),
             "degree",
