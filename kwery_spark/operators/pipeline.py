@@ -402,7 +402,28 @@ def pipeline_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.array_join(F.slice(ltoks, i, 8), " ").cast("binary")),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = docs.select("doc_id", F.explode(grams).alias("gh"))
+    # 8-gram hashes depend only on the text, and the bench/contaminated
+    # legs both consume them — before r8 the md5-per-position HOF ran
+    # TWICE over every document (sf10 sweep 95 s). Compute the gram set
+    # once per DISTINCT content (content-contraction discipline),
+    # checkpoint it, and expand to doc granularity with a cheap ckey
+    # join. (At sf10 every content has an exact clone on the bench side
+    # of the %97 split, so decontamination correctly removes the entire
+    # corpus — the 0-row sweep result is the right answer there; gate
+    # SFs have unique texts and stay non-empty.)
+    keyed = docs.select(
+        "doc_id", F.md5("text").alias("ckey")
+    ).localCheckpoint(eager=True)
+    creps = (
+        keyed.groupBy("ckey")
+        .agg(F.min("doc_id").alias("rep"))
+        .join(
+            docs.select(F.col("doc_id").alias("rep"), "text"), "rep"
+        )
+        .select("ckey", F.explode(grams).alias("gh"))
+        .localCheckpoint(eager=True)
+    )
+    g = keyed.join(creps, "ckey").select("doc_id", "gh")
     bench = g.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
     contaminated = (
         g.filter(F.col("doc_id") % 97 != 0).join(bench, "gh").select("doc_id").distinct()

@@ -84,20 +84,36 @@ def rec_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("v"))
     )
-    n2 = ub.groupBy("b").agg(
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("n2")
+    # r8 contraction (exact algebra, oracle unchanged): the pair
+    # contributions sum identically over DISTINCT brand vectors weighted
+    # by how many users share them — the corpus upscale clones users, so
+    # the O(|vector|^2) double explode was paying 10x at sf10 (sweep
+    # 68.8 s -> see BASELINE.md). collect_list is canonicalized with
+    # sort_array before grouping (the sorted-collect determinism rule).
+    vecs = (
+        ub.groupBy("u")
+        .agg(F.sort_array(F.collect_list(F.struct("b", "v"))).alias("bv"))
+        .groupBy("bv")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .localCheckpoint(eager=True)
     )
-    vecs = ub.groupBy("u").agg(
-        F.collect_list(F.struct("b", "v")).alias("bv")
+    n2 = (
+        vecs.select(F.explode("bv").alias("a"), "m")
+        .groupBy(F.col("a.b").alias("b"))
+        .agg(F.sum(F.col("m") * F.col("a.v") * F.col("a.v")).cast("long").alias("n2"))
     )
     dot = (
-        vecs.select(F.explode("bv").alias("a"), "bv")
-        .select("a", F.explode("bv").alias("c"))
+        vecs.select(F.explode("bv").alias("a"), "bv", "m")
+        .select("a", F.explode("bv").alias("c"), "m")
         .filter(F.col("a.b") != F.col("c.b"))
         .groupBy(
             F.col("a.b").alias("ba"), F.col("c.b").alias("bb")
         )
-        .agg(F.sum(F.col("a.v") * F.col("c.v")).cast("long").alias("dot"))
+        .agg(
+            F.sum(F.col("m") * F.col("a.v") * F.col("c.v"))
+            .cast("long")
+            .alias("dot")
+        )
     )
     nx = n2.select(F.col("b").alias("ba"), F.col("n2").alias("n2a"))
     ny = n2.select(F.col("b").alias("bb"), F.col("n2").alias("n2b"))
