@@ -75,23 +75,31 @@ def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB every stage stays linear in lineitem."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # r8: basket counts sum identically over DISTINCT basket contents
+    # weighted by multiplicity (exact algebra, oracle unchanged) — the
+    # upscale clones orders, so the double explode paid 10x at sf10;
+    # the checkpoint also stops the 60M join+collect_set from re-running
+    # once per consumer leg (it fed n, item_n AND pair_n before)
     sets = (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+        .groupBy("items")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .localCheckpoint(eager=True)
     )
-    n = sets.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    n = sets.agg(F.sum("m").cast("long").alias("n_baskets"))
     item_n = (
-        sets.select(F.explode("items").alias("item"))
+        sets.select(F.explode("items").alias("item"), "m")
         .groupBy("item")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+        .agg(F.sum("m").cast("long").alias("n_item"))
     )
     pair_n = (
-        sets.select(F.explode("items").alias("antecedent"), "items")
-        .select("antecedent", F.explode("items").alias("consequent"))
+        sets.select(F.explode("items").alias("antecedent"), "items", "m")
+        .select("antecedent", F.explode("items").alias("consequent"), "m")
         .filter(F.col("antecedent") != F.col("consequent"))
         .groupBy("antecedent", "consequent")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .agg(F.sum("m").cast("long").alias("n_ab"))
     )
     ia = item_n.select(
         F.col("item").alias("antecedent"), F.col("n_item").alias("n_ante")
