@@ -77,26 +77,32 @@ def _near_dup_content_graph(spark: SparkSession, sf_dir: str):
 
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
+    # eager checkpoints instead of the r5 repartition exchange barrier:
+    # ReuseExchange only dedupes plan-identical subtrees, and keyed/reps
+    # feed NON-identical aliases (groups, the rep-toks join, ka/kb/kc,
+    # both exact-verify sides) which each re-ran the scan+md5/token work
+    # (the r8 containment finding, 127 -> 13 s there; minhash sweep
+    # 108 -> see BASELINE.md)
     keyed = raw.select(
         "doc_id",
         "toks",
         F.md5(F.concat_ws(" ", F.array_sort("toks"))).alias("ckey"),
-    )
+    ).localCheckpoint(eager=True)
     groups = keyed.groupBy("ckey").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
     )
     reps = groups.join(
         keyed.select(F.col("doc_id").alias("rep"), "toks"), "rep"
-    )
-    # 256 min-hashes per representative: min over tokens of xxhash64(seed, tok)
+    ).select("rep", "ckey", "cnt", "toks").localCheckpoint(eager=True)
+    # 256 min-hashes per representative: min over tokens of xxhash64(seed, tok),
+    # computed from the STORED toks column (single evaluation per content)
     minhashes = F.transform(
         F.sequence(F.lit(0), F.lit(255)),
         lambda i: F.array_min(F.transform(F.col("toks"), lambda t: F.xxhash64(i, t))),
     )
-    # Exchange barrier: stops CollapseProject from inlining the signature
-    # build into every band slice and lets ReuseExchange share one
-    # signature pass across both sides of the candidate self-join
-    hashed = reps.select("rep", "toks", minhashes.alias("mh")).repartition("rep")
+    hashed = reps.select("rep", "toks", minhashes.alias("mh")).localCheckpoint(
+        eager=True
+    )
     # band j = rows [8j+1 .. 8j+8]; one row per (rep, band)
     bands = hashed.select(
         "rep",
@@ -370,18 +376,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |bucket|², not |lang|²."""
     docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    # guard: 1-token docs have no bigrams (sequence(1, 0) would generate
-    # a DESCENDING range, fabricating a gram the oracle's range() lacks)
+    # bigrams via zip_with(head, tail) — the prior sequence+element_at
+    # HOF paid an O(n) array traversal per interpreted lambda call
+    # (text_ngrams r8 A/B: 28.7 s vs 2.6 s at sf1); zip_with of two
+    # slices walks both arrays once, and slice(toks, 2, n-1) of a
+    # 1-token doc is empty, preserving the no-bigram guard
     grams = F.array_distinct(
-        F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     )
     # contract identical (lang, text) contents first (content-cardinality
     # rule, r5 sweep: the doc-level form timed out at sf10 where every
@@ -389,32 +394,32 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # representative and doc pairs expand linearly in the true output.
     keyed = docs.select(
         "doc_id", "lang", F.md5(F.concat_ws("\x1f", "lang", "text")).alias("ckey")
-    )
+    ).localCheckpoint(eager=True)
     cgroups = keyed.groupBy("lang", "ckey").agg(
         F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
     )
-    # first barrier: materialize the gram arrays so the 64-seed minhash
-    # transform reads a column instead of re-running split+concat per
-    # seed (CollapseProject would inline it); also shared by the exact
-    # verify joins below via ReuseExchange
+    # eager checkpoint instead of the r5 repartition("rep") exchange
+    # barrier: ReuseExchange only dedupes plan-identical subtrees, and
+    # the verify-join aliases below are NOT plan-identical (the r8
+    # text_minhash_containment finding, 127 -> 13 s) — a checkpoint
+    # materializes the gram build exactly once for every consumer
     g = (
         cgroups.join(
             docs.select(F.col("doc_id").alias("rep"), "text"), "rep"
         )
         .select("rep", "ckey", "lang", grams.alias("g"))
-        .repartition("rep")
+        .localCheckpoint(eager=True)
     )
-    # 64 min-hashes over the bigram set; band j = rows [2j+1, 2j+2]
+    # 64 min-hashes over the bigram set; band j = rows [2j+1, 2j+2].
+    # Computed from the STORED g column (single evaluation) and
+    # checkpointed — one 64-long signature row per distinct content.
     minhashes = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda i: F.array_min(F.transform(F.col("g"), lambda t: F.xxhash64(i, t))),
     )
-    # Exchange barrier: without it CollapseProject inlines the gram build
-    # into every band's slice of `mh` (64×32 recompute per row, measured
-    # 46 s → 3 s at sf0.001); the shuffle materializes the signatures once
-    # and ReuseExchange shares it across both sides of the candidate
-    # self-join.
-    hashed = g.select("rep", "lang", minhashes.alias("mh")).repartition("rep")
+    hashed = g.select("rep", "lang", minhashes.alias("mh")).localCheckpoint(
+        eager=True
+    )
     bands = hashed.select(
         "rep",
         "lang",
