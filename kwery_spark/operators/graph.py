@@ -77,7 +77,9 @@ def _ckpt(df: DataFrame) -> DataFrame:
 
 
 
-def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _purchase_edges(
+    spark: SparkSession, sf_dir: str, with_degree: bool = False
+) -> DataFrame:
     """Bidirected customer↔supplier purchase graph with LONG node ids
     (customer k → 2k, supplier k → 2k+1), shared by pagerank / LPA /
     BFS / degree-distribution. r8 rewrite, measured at sf10 (117.4M
@@ -102,11 +104,23 @@ def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _ckpt(
+    from pyspark.sql import Window
+
+    edges = (
         base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .repartition("src")
         .sortWithinPartitions("src")
     )
+    if with_degree:
+        # out-degree rides the SAME partitioning (partitionBy-only window
+        # over the already src-partitioned frame — no extra exchange), so
+        # pagerank needs neither a degree aggregate nor a second
+        # 117M-row join+checkpoint to weight its contributions. Opt-in:
+        # LPA/BFS don't consume it and shouldn't pay the window.
+        edges = edges.withColumn(
+            "srcdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    return _ckpt(edges)
 
 
 def _node_str(col):
@@ -153,12 +167,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer↔supplier purchase graph. Deterministic: fixed iteration
     count, uniform init, float sums whose ulp-level order noise is
     absorbed by the final 6dp round (same argument as ml_kmeans)."""
-    edges = _purchase_edges(spark, sf_dir)
+    edges = _purchase_edges(spark, sf_dir, with_degree=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # pre-join outdeg onto edges once: each iteration then only joins rank
-    ew = _ckpt(edges.join(deg, "src"))
+    # outdeg ships inside the edge checkpoint (srcdeg — computed by a
+    # partition-local window at build time), so no degree aggregate, no
+    # second 117M-row join+checkpoint
+    ew = edges
     pr = nodes.crossJoin(broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
@@ -166,7 +181,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = (
             ew.join(pr, ew.src == pr.node)
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("contrib"))
+            .agg(F.sum(F.col("pr") / F.col("srcdeg")).alias("contrib"))
         )
         pr = (
             nodes.join(contrib, nodes.node == contrib.dst, "left")
