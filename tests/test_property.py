@@ -377,3 +377,44 @@ def test_grid_blocking_covers_radius(pts):
             if d2 <= 25.0:
                 assert abs(cells[i][0] - cells[j][0]) <= 1, (pts[i], pts[j])
                 assert abs(cells[i][1] - cells[j][1]) <= 1, (pts[i], pts[j])
+
+
+@given(texts=TEXTS)
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_zipwith_bigrams_match_duckdb_indexed(spark, duck, texts):
+    """r8 rewrite equivalence fuzz: the zip_with(head, tail) bigram build
+    (adopted for text_ngrams / dedup_ngram_jaccard — the
+    sequence+element_at HOF pays an O(n) traversal per interpreted call)
+    must produce exactly the oracle's range-indexed bigram list on
+    arbitrary messy strings, including 0/1-token edge cases where
+    slice(toks, 2, n-1) must be empty, never a descending range."""
+    p = pd.DataFrame({"i": range(len(texts)), "s": texts}).astype(
+        {"i": "int64", "s": "object"}
+    )
+    spark.createDataFrame(p, "i long, s string").createOrReplaceTempView("zb")
+    duck.register("zb", p)
+    spark_sql = """
+      SELECT i,
+             coalesce(array_join(
+                 zip_with(slice(split(s, ' '), 1, size(split(s, ' ')) - 1),
+                          slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
+                          (a, b) -> concat_ws(' ', a, b)), '|'), '') AS bigrams
+      FROM zb
+    """
+    duck_sql = """
+      SELECT i,
+             coalesce(array_to_string(list_transform(
+                 range(1, len(str_split(s, ' '))),
+                 j -> str_split(s, ' ')[j] || ' ' || str_split(s, ' ')[j+1]),
+                 '|'), '') AS bigrams
+      FROM zb
+    """
+    sdf = spark.sql(spark_sql)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(duck_sql)
+    assert norm_rows(sdf.columns, srows) == norm_rows(list(rel.columns), rel.fetchall())
