@@ -141,6 +141,43 @@ def main() -> None:
         lambda: QUERIES["sim_knn_bruteforce"](spark, sf_dir).toPandas()
     )
 
+    # ---- q3 (bucketed path): per-stage twins under the same prep
+    from kwery_spark.catalog import bucketed_db
+
+    bdb = bucketed_db(spark, sf_dir)
+    if bdb is not None:
+        cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+        out["q3_lineitem_scan_agg"] = _best_of(
+            # the revenue-per-orderkey pre-aggregate alone (bucketed, so
+            # exchange-free) — the fact-side scan+decode+sum the query
+            # cannot avoid
+            lambda: spark.table(f"{bdb}.lineitem")
+            .filter(F.col("l_shipdate") > cutoff)
+            .groupBy("l_orderkey")
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("revenue")
+            )
+            .agg(F.count(F.lit(1)), F.avg("revenue"))
+            .toPandas()
+        )
+        out["q3_orders_scan"] = _best_of(
+            lambda: spark.table(f"{bdb}.orders")
+            .filter(F.col("o_orderdate") < cutoff)
+            .agg(F.count(F.lit(1)), F.avg("o_totalprice"))
+            .toPandas()
+        )
+        out["q3_customer_scan"] = _best_of(
+            lambda: table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .agg(F.count(F.lit(1)))
+            .toPandas()
+        )
+        out["q3_full"] = _best_of(
+            lambda: QUERIES["q3_shipping_priority"](spark, sf_dir).toPandas()
+        )
+
     print(json.dumps({k: round(v, 3) for k, v in out.items()}))
 
 
