@@ -73,10 +73,31 @@ LLM_KEYS = [
 ]
 
 
+# Extra interleaved repetition targets (VERDICT r8 item 2): the driver's
+# r8 box read q1/q3 2-2.5x above the same-week fresh-JVM numbers with no
+# code change — almost certainly background load during those keys'
+# best-of window. One more repetition per TPC-H key, taken AFTER the
+# whole headline pass (so it samples a different moment), narrows the
+# window a transient spike can poison.
+TPCH_TRIO = ["q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier"]
+
+
+def _loadavg() -> list[float]:
+    """1/5/15-min load, recorded per section so a bench reader can tell
+    'engine regressed' from 'box was busy' (VERDICT r8 what's-wrong #1:
+    the claim was inference; now it's measured)."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        return []
+
+
 def _measure_spark(
     spark, queries, sf_dir: str, runs: int = 4, keys: list[str] | None = None
 ) -> dict[str, float]:
-    """Per key: 1 warm-up + best of (runs-1), plan rebuilt every run."""
+    """Per key: 1 warm-up + best of (runs-1), plan rebuilt every run.
+    TPC-H trio keys get one extra interleaved repetition at the end of
+    the pass (see TPCH_TRIO)."""
     results: dict[str, float] = {}
     for key in keys if keys is not None else HEADLINE:
         fn = queries.get(key)
@@ -90,6 +111,13 @@ def _measure_spark(
             if i > 0:
                 times.append(dt)
         results[key] = round(min(times), 4)
+    for key in TPCH_TRIO:
+        fn = queries.get(key)
+        if fn is None or key not in results:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).toPandas()
+        results[key] = round(min(results[key], time.perf_counter() - t0), 4)
     return results
 
 
@@ -147,6 +175,15 @@ def _measure_duckdb(
             if i > 0:
                 times.append(dt)
         results[key] = round(min(times), 4)
+    # symmetric extra trio repetition (see TPCH_TRIO): more min-samples
+    # for Spark only would bias the ratio, so the baseline gets the same
+    for key in TPCH_TRIO:
+        sql = oracles.get(key)
+        if sql is None or key not in results:
+            continue
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        results[key] = round(min(results[key], time.perf_counter() - t0), 4)
     con.close()
     return results
 
@@ -217,8 +254,18 @@ def _scaled_sections(spark, queries, src_dir: str) -> dict[str, dict]:
     oracles = em.oracle_sql()
     out: dict[str, dict] = {}
     # sf10 runs 1 warm-up + best-of-2 (both engines, symmetric) to keep
-    # the whole bench inside the driver's patience; sf1/sf3 stay best-of-3
-    for name, factor, runs in (("sf1", 10, 4), ("sf3", 30, 4), ("sf10", 100, 3)):
+    # the whole bench inside the driver's patience; sf1/sf3 stay best-of-3.
+    # sf30 (the measured 0.76x crossover point, BASELINE.md r8) is opt-in
+    # via SPARK_GRAFT_SF30=1 — its corpus derivation + layout prep alone
+    # run ~10 min cold, which the default driver budget can't afford.
+    sections: list[tuple[str, int, int]] = [
+        ("sf1", 10, 4),
+        ("sf3", 30, 4),
+        ("sf10", 100, 3),
+    ]
+    if os.environ.get("SPARK_GRAFT_SF30", "0") == "1":
+        sections.append(("sf30", 300, 3))
+    for name, factor, runs in sections:
         try:
             sf_dir = ensure_scaled(src_dir, f"/root/repo/.data/{name}", factor)
         except Exception as e:  # corpus derivation must never sink the bench
@@ -230,6 +277,7 @@ def _scaled_sections(spark, queries, src_dir: str) -> dict[str, dict]:
         # section (q5 measured 1.6 s fresh-JVM vs 3.7 s late-session, r6).
         spark.catalog.clearCache()
         spark._jvm.System.gc()
+        load_before = _loadavg()
         base = _measure_duckdb(sf_dir, oracles, prep_tables=True, runs=runs)
         _prep(spark, sf_dir)
         res = _measure_spark(spark, queries, sf_dir, runs=runs)
@@ -251,6 +299,8 @@ def _scaled_sections(spark, queries, src_dir: str) -> dict[str, dict]:
         out[name] = {
             **llm,
             "queries": res,
+            "loadavg_before": load_before,
+            "loadavg_after": _loadavg(),
             "total": total,
             "baseline_queries": base,
             "baseline_total": btotal,
@@ -293,6 +343,7 @@ def main() -> None:
     # Both steps are fingerprint/metastore-cached across runs.
     _prep(spark, sf_dir)
     queries = entrymod.queries()
+    load_before = _loadavg()
     results = _measure_spark(spark, queries, sf_dir)
     total = round(sum(results.values()), 4)
     payload = {
@@ -300,6 +351,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": results,
+        "loadavg_before": load_before,
+        "loadavg_after": _loadavg(),
         "est_floor_sec": EST_FLOOR_SEC,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -98,6 +98,35 @@ def _events(spark: SparkSession, path: str) -> DataFrame:
     return _normalize_ts(df)
 
 
+def _exact_partition_tokens(spark: SparkSession, n: int) -> list[int]:
+    """For each target partition p in 0..n-1, the smallest non-negative
+    int token t with pmod(hash(t), n) == p under Spark's Murmur3 column
+    hash. Routing rows through these tokens turns hash repartitioning
+    into EXACT partition placement — bucket b lands in partition b, no
+    collisions, no sampling — which is how the v6 customer layout gets a
+    deterministic range split (ADVICE r9: repartitionByRange samples
+    boundaries with an RDD-id-derived seed, so the old layout was not
+    byte-reproducible across rebuilds). Driver-side cost: one bounded
+    metadata-scale job over 64*n candidate ints (n <= 32), offline in
+    optimize_layout — same sanctioned class as the spec-constant
+    collects."""
+    import pyspark.sql.functions as F
+
+    rows = (
+        spark.range(0, 64 * n)
+        .select(
+            F.col("id").cast("int").alias("tok"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.min("tok").alias("tok"))
+        .collect()
+    )
+    toks = {r["p"]: r["tok"] for r in rows}
+    assert len(toks) == n, f"hash bijection search incomplete: {sorted(toks)}"
+    return [toks[p] for p in range(n)]
+
+
 def _normalize_ts(df: DataFrame) -> DataFrame:
     """ts → µs TimestampType from any of the corpus encodings (shared by
     the batch catalog and the streaming source)."""
@@ -147,7 +176,7 @@ def optimize_layout(spark: SparkSession, sf_dir: str) -> str:
     embeds a layout version so an encoding change rebuilds stale dirs."""
     out = os.path.join(_SCRATCH, "optimized", os.path.basename(sf_dir.rstrip("/")))
     os.makedirs(out, exist_ok=True)
-    marker = os.path.join(out, "_OPTIMIZED_v5_" + _corpus_fingerprint(sf_dir))
+    marker = os.path.join(out, "_OPTIMIZED_v6_" + _corpus_fingerprint(sf_dir))
     if not os.path.exists(marker):
         import shutil
 
@@ -182,10 +211,28 @@ def optimize_layout(spark: SparkSession, sf_dir: str) -> str:
             # customer scan instead of reading every row group. Other
             # tables keep the plain compaction split (no single dominant
             # selective key).
+            # v6 (r9, ADVICE): the range split is now EXPLICIT instead of
+            # repartitionByRange's RDD-id-seeded boundary sampling, so the
+            # clustered layout is byte-reproducible across rebuilds —
+            # nationkey is a spec-fixed 25-value domain, so contiguous
+            # buckets of floor(key * n / 25) need no sampling at all.
             if name == "customer":
-                writer = raw.repartitionByRange(
-                    n_files, "c_nationkey", "c_custkey"
-                ).sortWithinPartitions("c_nationkey", "c_custkey")
+                import pyspark.sql.functions as F
+
+                nbuckets = min(n_files, 25)
+                toks = _exact_partition_tokens(spark, nbuckets)
+                route = F.element_at(
+                    F.array(*[F.lit(t) for t in toks]),
+                    (F.floor(F.col("c_nationkey") * nbuckets / 25) + 1).cast(
+                        "int"
+                    ),
+                )
+                writer = (
+                    raw.withColumn("_route", route.cast("int"))
+                    .repartition(nbuckets, "_route")
+                    .sortWithinPartitions("c_nationkey", "c_custkey")
+                    .drop("_route")
+                )
             else:
                 writer = raw.repartition(n_files)
             (

@@ -87,13 +87,15 @@ def sweep_scratch(ttl_hours: float | None = None) -> int:
     for fam in families:
         fam_dir = os.path.join(SCRATCH, fam)
         if not os.path.isdir(fam_dir):
-            # broken symlink / concurrently-removed entry: getmtime or
-            # unlink raises OSError, which must not abort the whole sweep
+            # broken symlink / concurrently-removed entry: stat or unlink
+            # raises OSError, which must not abort the whole sweep
             # (ADVICE r8 — _sweep_scratch_once swallows the exception, so
             # an abort here silently disables scratch GC for every later
-            # family)
+            # family). lstat, not getmtime: getmtime follows symlinks, so
+            # a BROKEN symlink raised before unlink and accumulated
+            # forever (ADVICE r9) — the link's own mtime is the right age.
             try:
-                if os.path.getmtime(fam_dir) < cutoff:
+                if os.lstat(fam_dir).st_mtime < cutoff:
                     os.unlink(fam_dir)
                     removed += 1
             except OSError:

@@ -83,9 +83,17 @@ class TxnLogTable:
         ]
         return max(versions) if versions else None
 
-    def _entry(self, version: int) -> dict:
+    def entry(self, version: int) -> dict:
+        """Commit metadata for one log version — the public read surface
+        for change-feed consumers (operation, add/remove dir lists,
+        base_version). ADVICE r9: stream_cdc_* consumed the private
+        _entry, coupling operators to log-internal layout; this is the
+        supported accessor."""
         with open(os.path.join(self.log_dir, f"{version:08d}.json")) as f:
             return json.load(f)
+
+    # internal alias kept for log plumbing call sites
+    _entry = entry
 
     def live_dirs(self, version: int | None = None) -> list[str]:
         """Replay commits 0..version → the data directories that
@@ -454,7 +462,7 @@ def stream_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts: list[DataFrame] = []
     for v in range(last + 1):
-        entry = t._entry(v)
+        entry = t.entry(v)
         ver = F.lit(v).cast("long")
         if entry["operation"] == "append":
             added = spark.read.parquet(
@@ -733,7 +741,7 @@ def stream_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(18,2)"
     parts: list[DataFrame] = []
     for v in range(last + 1):
-        entry = t._entry(v)
+        entry = t.entry(v)
         if entry["operation"] == "append":
             # CDF cheap path: the feed IS the committed files
             added = spark.read.parquet(

@@ -22,3 +22,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def oracle_sf_dir():
+    return SF_ORACLE
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-registry sweeps (~30s+); deselect with -m 'not slow'"
+    )

@@ -50,3 +50,23 @@ def test_bound_headroom_matches_largest_declared_side():
     # only; lineitem ~60k). If a declared side legitimately needs more,
     # raise the bound in the same commit that documents why.
     assert 128 < BNLJ_BUILD_ROW_BOUND < 60_000
+
+
+# -- scale-sweep structural-empty declarations (VERDICT r8 item 5) --------
+
+
+def test_undeclared_empty_is_a_sweep_failure():
+    from scale_sweep import EXPECTED_EMPTY_AT, empty_is_declared, sf_of
+
+    # declared key at/above its threshold: OK row
+    assert empty_is_declared("pipeline_pretraining_corpus", "/x/.data/sf10")
+    assert empty_is_declared("pipeline_pretraining_corpus", "/x/.data/sf3")
+    # declared key BELOW its threshold: still a failure (gate SFs must
+    # return rows — the sf0.01 CI ban owns that regime)
+    assert not empty_is_declared("pipeline_pretraining_corpus", "/x/.data/sf1")
+    # undeclared key: 0 rows is a failure at every SF
+    assert "dedup_exact" not in EXPECTED_EMPTY_AT
+    assert not empty_is_declared("dedup_exact", "/x/.data/sf30")
+    # dir-name parsing
+    assert sf_of("/root/repo/.data/sf10/") == 10.0
+    assert sf_of("/root/testdata/sf0.01") == 0.01

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from kwery_spark.catalog import analyze_tables, table
 from kwery_spark.registry import ORACLES, QUERIES, load_all
 
@@ -75,20 +77,27 @@ def test_cbo_stats_path_value_invariance(spark, sf_dir):
         assert "kwery_" not in inspect.formatted_plan(QUERIES[key](spark, sf_dir))
 
 
-def test_no_oracle_returns_empty_at_gate_sf():
+@pytest.mark.slow
+def test_no_oracle_returns_empty_at_gate_sf(oracle_sf_dir):
     """Empty-result ban (r7 verdict #1): a key whose oracle returns 0 rows
     at the gate SF passes its value-hash VACUOUSLY — the comparison has
     never seen a row, so a Spark-side bug returning empty for the wrong
     reason still passes (text_search and join_anti shipped that way for
     six rounds). Sweep every oracle in DuckDB at sf0.01 (the driver's
-    gate SF) and fail on any empty result. Full sweep measured ~31 s."""
+    gate SF) and fail on any empty result. Full sweep measured ~31 s
+    (marked slow — `-m 'not slow'` skips it; the default run keeps it,
+    it is the CI gate for the vacuous-oracle class)."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
     from check import duck_conn
 
     load_all()
-    conn = duck_conn("/root/testdata/sf0.01")
+    conn = duck_conn(oracle_sf_dir)
     empty = sorted(
         key for key, sql in ORACLES.items()
         if conn.execute(f"SELECT count(*) FROM ({sql}) _t").fetchone()[0] == 0

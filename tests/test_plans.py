@@ -870,7 +870,12 @@ def test_cdc_incremental_agg_single_fullouter_diff(spark, sf_dir):
     # join in the whole maintained-view plan
     df = _q("stream_cdc_incremental_agg")(spark, sf_dir)
     plan = inspect.formatted_plan(df)
-    # formatted plans print each node twice (tree line + detail header),
-    # so ONE FullOuter node == exactly two occurrences of the string
-    assert plan.count("FullOuter") == 2, plan[:3000]
+    # count join NODES via their detail sections, not raw substring hits
+    # (ADVICE r9: the tree line + detail header each repeat the string, so
+    # a raw count encodes the print format and two distinct FullOuter
+    # joins printed once each would falsely pass)
+    join_types = [
+        ln.strip() for ln in plan.splitlines() if ln.strip().startswith("Join type:")
+    ]
+    assert join_types.count("Join type: FullOuter") == 1, join_types
     assert "CartesianProduct" not in plan, plan[:2000]
