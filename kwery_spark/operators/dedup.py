@@ -588,6 +588,139 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (SELECT vec_id - 8 AS pid, v AS pv FROM v
+               WHERE vec_id BETWEEN 8 AND 15),
+    sig AS (
+        SELECT a.vec_id, CAST(sum(CASE WHEN list_dot_product(a.v, p.pv) > 0
+                      THEN (1::BIGINT << CAST(p.pid AS INTEGER))
+                      ELSE 0 END) AS BIGINT) AS bucket
+        FROM v a CROSS JOIN planes p GROUP BY a.vec_id),
+    d AS (
+        SELECT doc_id, bucket,
+               list_distinct(str_split(lower(text), ' ')) AS toks
+        FROM documents JOIN sig ON doc_id = vec_id)
+    SELECT doc_a, doc_b, containment FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.toks, b.toks)) * 1.0
+                     / least(len(a.toks), len(b.toks)), 6) AS containment
+        FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    WHERE containment >= 0.8
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs (r9, VERDICT item 7): EMBEDDING blocking +
+    TOKEN-CONTAINMENT verify — the composition SemDeDup-style pipelines
+    run at corpus scale. Candidates are document pairs whose embeddings
+    share an 8-bit random-hyperplane signature bucket (planes = corpus
+    vectors 8..15, fixed — the ann_lsh determinism trick, so the oracle
+    replays the identical buckets); each candidate is verified by exact
+    token-set containment |A∩B|/min(|A|,|B|) >= 0.8. The semantic block
+    finds near-dups that exact/shingle hashing misses (paraphrases land
+    in the same bucket), while the containment verify keeps the output a
+    checkable exact predicate rather than a similarity guess.
+
+    Scale: the pair space is bounded by DISTINCT (text, vector) content
+    (md5-contracted reps, the r5 content-cardinality rule — the upscale
+    clones docs 10x, so an uncontracted bucket join inflates 100x);
+    within-bucket rep pairs are 2^8-partitioned by construction; member
+    expansion is linear in the true output. One broadcast (8 plane
+    vectors), equi-joins only, no Python."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "v"
+    )
+    keyed = joined.withColumn(
+        "ckey", F.md5(F.to_json(F.struct("text", "v")))
+    ).select("doc_id", "ckey").localCheckpoint(eager=True)
+    reps = (
+        joined.withColumn("ckey", F.md5(F.to_json(F.struct("text", "v"))))
+        .groupBy("ckey")
+        .agg(F.min("doc_id").alias("rep"), F.first("text").alias("text"),
+             F.first("v").alias("v"))
+    )
+    planes = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
+        (F.col("vec_id") - 8).alias("pid"), F.col("v").alias("pv")
+    )
+    from kwery_spark.operators.similarity import dot
+
+    rsig = (
+        reps.crossJoin(F.broadcast(planes))
+        .select(
+            "ckey",
+            "text",
+            F.when(
+                dot("v", "pv") > 0, F.pow(F.lit(2.0), F.col("pid")).cast("long")
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bit"),
+        )
+        .groupBy("ckey")
+        .agg(F.first("text").alias("text"), F.sum("bit").cast("long").alias("bucket"))
+        .select(
+            "ckey",
+            "bucket",
+            F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"),
+        )
+        # consumed by both self-join sides — materialize once (the r8
+        # alias-re-execution rule); bounded by distinct content
+        .localCheckpoint(eager=True)
+    )
+    a, b = rsig.alias("a"), rsig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.ckey") < F.col("b.ckey")),
+        )
+        .select(
+            F.col("a.ckey").alias("ckey_a"),
+            F.col("b.ckey").alias("ckey_b"),
+            F.round(
+                F.size(F.array_intersect("a.toks", "b.toks"))
+                / F.least(F.size("a.toks"), F.size("b.toks")),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+    )
+    ka = keyed.select(F.col("ckey").alias("ckey_a"), F.col("doc_id").alias("da"))
+    kb = keyed.select(F.col("ckey").alias("ckey_b"), F.col("doc_id").alias("db"))
+    cross = (
+        cand.join(ka, "ckey_a")
+        .join(kb, "ckey_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "containment",
+        )
+    )
+    # identical-content member pairs: same text and vector, so same
+    # bucket and containment = |g∩g|/|g| = exactly 1.0 in both engines
+    # (token sets are never empty: split of any string yields >= 1 token)
+    within = (
+        keyed.alias("x")
+        .join(
+            keyed.alias("y"),
+            (F.col("x.ckey") == F.col("y.ckey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+@register(
     "dedup_clusters",
     oracle="""
     WITH RECURSIVE pairs AS (

@@ -411,6 +411,78 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_US = 6 * 3600 * 1_000_000  # 6-hour max staleness
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT event_id, user_id, purchase_ts,
+           CASE WHEN fresh THEN lv END AS last_view_ts,
+           CASE WHEN fresh
+                THEN round((epoch_us(purchase_ts) - epoch_us(lv)) / 1000000.0, 6)
+           END AS staleness_sec
+    FROM (
+        SELECT p.event_id, p.user_id,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               CAST(v.ts AS TIMESTAMP) AS lv,
+               v.ts IS NOT NULL
+                 AND epoch_us(CAST(v.ts AS TIMESTAMP))
+                     >= epoch_us(CAST(p.ts AS TIMESTAMP)) - {_ASOF_TOL_US} AS fresh
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts)
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with bounded staleness (r9, VERDICT item 7): each
+    purchase matched to the latest same-user view at-or-before its
+    timestamp, but a match older than the 6-hour tolerance is discarded
+    (NULL) — the feature-store default, where a stale feature is worse
+    than no feature. Also emits the staleness in seconds for the fresh
+    matches.
+
+    Built on the same union+window ``asof_join`` (one shuffle, no join);
+    the tolerance is a post-predicate on the matched event time, NOT a
+    window-frame change, so the plan is identical to join_asof plus one
+    projection. Staleness math in integer microseconds (unix_micros /
+    epoch_us on both engines — the sub-second-arithmetic rule), one
+    float division, rounded 6dp."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("last_view_ts")
+    )
+    j = asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_on="purchase_ts",
+        right_on="ts",
+        right_cols=["last_view_ts"],
+    )
+    fresh = F.col("last_view_ts").isNotNull() & (
+        F.unix_micros("last_view_ts")
+        >= F.unix_micros("purchase_ts") - F.lit(_ASOF_TOL_US)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.when(fresh, F.col("last_view_ts")).alias("last_view_ts"),
+        F.when(
+            fresh,
+            F.round(
+                (F.unix_micros("purchase_ts") - F.unix_micros("last_view_ts"))
+                / 1e6,
+                6,
+            ),
+        ).alias("staleness_sec"),
+    )
+
+
 @register(
     "join_self",
     oracle="""

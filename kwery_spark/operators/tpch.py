@@ -260,7 +260,12 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         ).select("o_orderkey", "o_custkey")
-        cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        # r9: served from the persisted 2-column projection when the
+        # optimized layout is active (catalog.slim_customer — the
+        # covering-projection parity note there); raw scan otherwise
+        from kwery_spark.catalog import slim_customer
+
+        cust = slim_customer(spark, sf_dir)
         # c_nationkey = s_nationkey + r_name='ASIA' implies c_nationkey is
         # one of the <=25 ASIA nation keys. nation is a spec-CONSTANT
         # 25-row table at every SF (TPC-H), so evaluating the key list

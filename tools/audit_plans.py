@@ -129,6 +129,7 @@ DECLARED = {
                                      # window over the merged node summaries,
                                      # <=64 rows by construction (8 nodes x
                                      # top-8 candidates; both measured below)
+    "dedup_semantic": {"BNLJ"},      # crossJoin(broadcast(8 hyperplane vectors))
 }
 
 
