@@ -44,6 +44,27 @@ def test_optimized_layout_value_invariance(spark, sf_dir):
     assert "optimized" not in plan
 
 
+def test_slim_customer_projection_value_identical(spark, sf_dir):
+    """The persisted (c_custkey, c_nationkey) projection (r9) must exist
+    after optimize_layout, serve q5's residual side with identical
+    values, and fall back to the raw scan without the layout."""
+    raw = sorted(
+        map(tuple, catalog.slim_customer(spark, sf_dir).collect())
+    )
+    out = catalog.optimize_layout(spark, sf_dir)
+    try:
+        assert os.path.exists(os.path.join(out, "customer_slim.parquet"))
+        df = catalog.slim_customer(spark, sf_dir)
+        assert df.columns == ["c_custkey", "c_nationkey"]
+        assert "customer_slim" in df._jdf.queryExecution().toString()
+        assert sorted(map(tuple, df.collect())) == raw
+    finally:
+        catalog._OPTIMIZED.pop(sf_dir, None)
+    assert "customer_slim" not in (
+        catalog.slim_customer(spark, sf_dir)._jdf.queryExecution().toString()
+    )
+
+
 def test_sweep_scratch_removes_stale_keeps_live(tmp_path, monkeypatch):
     # TTL sweep (judge r6 item 8): old entries and dead-pid dirs go,
     # young entries and the in-place bounded families stay.
