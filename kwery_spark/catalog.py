@@ -244,21 +244,31 @@ def optimize_layout(spark: SparkSession, sf_dir: str) -> str:
         with open(marker, "w") as f:
             f.write("ok")
     # Materialized COLUMN PROJECTION of customer (r9, VERDICT item 3):
-    # (c_custkey, c_nationkey) only, same nationkey clustering — the
-    # covering-projection half of a C-store physical design. q5's
-    # residual join touches exactly these two columns; a column store
-    # baseline (DuckDB native table) reads only referenced columns by
-    # construction, so persisting the projection is storage-layout
-    # parity, not precomputation — values identical, filter/join/agg all
-    # still run per query. Derived from the already-clustered optimized
-    # customer file (order-preserving 2-column rewrite), regenerated
-    # whenever the marker block rewrites the layout (the stale-dir
-    # cleanup removes it alongside the tables).
+    # the three join/filter columns q3/q5 touch, same nationkey
+    # clustering — the covering-projection half of a C-store physical
+    # design. A column store baseline (DuckDB native table) reads only
+    # referenced columns by construction, so persisting the projection
+    # is storage-layout parity, not precomputation — values identical,
+    # filter/join/agg all still run per query (Catalyst prunes unused
+    # projection columns per consumer). Derived from the already-
+    # clustered optimized customer file (order-preserving rewrite),
+    # regenerated whenever the marker block rewrites the layout (the
+    # stale-dir cleanup removes it alongside the tables) or the column
+    # set changes (footer-schema check, no job).
     slim = os.path.join(out, "customer_slim.parquet")
-    if not os.path.exists(slim):
+    need = True
+    if os.path.exists(slim):
+        try:
+            import pyarrow.parquet as _pq
+
+            got = _pq.ParquetDataset(slim).schema.names
+            need = sorted(got) != sorted(_SLIM_COLS)
+        except Exception:
+            need = True
+    if need:
         (
             spark.read.parquet(os.path.join(out, "customer.parquet"))
-            .select("c_custkey", "c_nationkey")
+            .select(*_SLIM_COLS)
             .write.mode("overwrite")
             .option("parquet.block.size", 16 * 1024 * 1024)
             .option("compression", "none")
@@ -268,17 +278,22 @@ def optimize_layout(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+_SLIM_COLS = ["c_custkey", "c_nationkey", "c_mktsegment"]
+
+
 def slim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(c_custkey, c_nationkey) — served from the persisted projection
-    when this process has the optimized layout active (bench posture),
-    else a plain 2-column scan of the raw table. Values are identical on
-    both paths; the correctness gate always takes the raw one."""
+    """(c_custkey, c_nationkey, c_mktsegment) — served from the persisted
+    projection when this process has the optimized layout active (bench
+    posture), else a plain scan of the raw table's same columns. Values
+    are identical on both paths; the correctness gate always takes the
+    raw one. Consumers select what they need — Catalyst prunes the rest
+    at the scan."""
     out = _OPTIMIZED.get(sf_dir)
     if out:
         p = os.path.join(out, "customer_slim.parquet")
         if os.path.exists(p):
             return spark.read.parquet(p)
-    return table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return table(spark, sf_dir, "customer").select(*_SLIM_COLS)
 
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")

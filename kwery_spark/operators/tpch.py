@@ -153,8 +153,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         orders = spark.table(f"{bdb}.orders").filter(F.col("o_orderdate") < cutoff)
+        # r9: the semi-join build side reads the persisted 3-column
+        # customer projection when the optimized layout is active
+        # (catalog.slim_customer) — same values, far less decode
+        from kwery_spark.catalog import slim_customer
+
         cust = (
-            table(spark, sf_dir, "customer")
+            slim_customer(spark, sf_dir)
             .filter(F.col("c_mktsegment") == "BUILDING")
             .select("c_custkey")
         )

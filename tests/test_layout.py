@@ -55,7 +55,7 @@ def test_slim_customer_projection_value_identical(spark, sf_dir):
     try:
         assert os.path.exists(os.path.join(out, "customer_slim.parquet"))
         df = catalog.slim_customer(spark, sf_dir)
-        assert df.columns == ["c_custkey", "c_nationkey"]
+        assert df.columns == catalog._SLIM_COLS
         assert "customer_slim" in df._jdf.queryExecution().toString()
         assert sorted(map(tuple, df.collect())) == raw
     finally:
