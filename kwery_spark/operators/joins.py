@@ -484,6 +484,69 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(min(CAST(v.ts AS TIMESTAMP)) AS TIMESTAMP) AS next_view_ts,
+           round(CASE WHEN min(CAST(v.ts AS TIMESTAMP)) IS NOT NULL
+                 THEN (epoch_us(min(CAST(v.ts AS TIMESTAMP)))
+                       - epoch_us(CAST(p.ts AS TIMESTAMP))) / 1000000.0
+                 END, 6) AS secs_to_next
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts >= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (r9): each purchase matched to the EARLIEST
+    same-user view at-or-after its timestamp — time-to-next-event, the
+    attribution/conversion-lag direction the backward family can't
+    answer. Completes the as-of suite (backward, backward+tolerance,
+    nearest, forward).
+
+    Implementation: the same union+window ``asof_join`` run on NEGATED
+    event time (integer microseconds) — forward-earliest on t is exactly
+    backward-latest on -t, ties included on both sides of the mapping.
+    Still one shuffle on the user key, no join. The oracle states the
+    semantics directly (min over a per-purchase inequality join) rather
+    than replaying the negation trick — DuckDB's group sizes at the gate
+    SF make the quadratic form cheap, and the independent formulation is
+    a stronger check than a mirrored one."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        (-F.unix_micros("ts")).alias("neg_t"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        (-F.unix_micros("ts")).alias("neg_t"),
+        F.col("ts").alias("next_view_ts"),
+    )
+    j = asof_join(
+        purchases,
+        views,
+        by=["user_id"],
+        left_on="neg_t",
+        right_on="neg_t",
+        right_cols=["next_view_ts"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        "next_view_ts",
+        F.round(
+            (F.unix_micros("next_view_ts") - F.unix_micros("purchase_ts")) / 1e6,
+            6,
+        ).alias("secs_to_next"),
+    )
+
+
+@register(
     "join_self",
     oracle="""
     SELECT o1.o_custkey AS custkey, count(*) AS n_pairs_30d

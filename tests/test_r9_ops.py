@@ -122,3 +122,36 @@ def test_lpa_runs_on_degree_capped_graph(spark, sf_dir):
     assert 0 < len(rows) <= 20
     sizes = [r.n_members for r in rows]
     assert sizes == sorted(sizes, reverse=True)
+
+
+def test_asof_forward_matches_bruteforce(spark, sf_dir):
+    """join_asof_forward == earliest same-user view at-or-after each
+    purchase (brute-force recomputation over the smoke corpus)."""
+    from collections import defaultdict
+
+    from kwery_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    views = defaultdict(list)
+    for r in ev.filter(F.col("event_type") == "view").collect():
+        views[r.user_id].append(r.ts)
+    for v in views.values():
+        v.sort()
+    rows = QUERIES["join_asof_forward"](spark, sf_dir).collect()
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purchases
+    import bisect
+
+    n_matched = 0
+    for r in rows:
+        cand = views.get(r.user_id, [])
+        i = bisect.bisect_left(cand, r.purchase_ts)
+        want = cand[i] if i < len(cand) else None
+        assert r.next_view_ts == want, (r, want)
+        if want is not None:
+            n_matched += 1
+            secs = (r.next_view_ts - r.purchase_ts).total_seconds()
+            assert secs >= 0 and abs(r.secs_to_next - round(secs, 6)) < 1e-6, r
+        else:
+            assert r.secs_to_next is None, r
+    assert n_matched > 0  # non-vacuous on the corpus
