@@ -6,8 +6,9 @@ ONE JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries":
 {...}, "sf": ..., "scaled": {...}}.
 
 Protocol mirrors BASELINE.md: one long-lived session, per query 1 warm-up
-run then best of 3 timed runs, timing = plan build + full result
-materialization. Materialization uses the engine's fast path — Arrow
+run then best of 3 timed runs (the TPC-H trio gets one extra interleaved
+repetition at the end of each pass, BOTH engines — see TPCH_TRIO), timing
+= plan build + full result materialization. Materialization uses the engine's fast path — Arrow
 columnar transfer (toPandas) — matching DuckDB's in-process columnar
 fetchall. Every timed run rebuilds the plan and re-executes all stages
 (no shuffle-output reuse; see the note in kwery_spark/registry.py).

@@ -633,17 +633,29 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
-        "doc_id", "text", "v"
+    # one materialization carries (doc_id, ckey, text, v): both the
+    # member map (`keyed`) and the content reps derive from it, so the
+    # join + md5-over-(text, vector) runs ONCE (r9 review — the first
+    # cut rebuilt the joined lineage for each consumer, the r8
+    # alias-re-execution class)
+    base = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "text",
+            "v",
+            F.md5(F.to_json(F.struct("text", "v"))).alias("ckey"),
+        )
+        .localCheckpoint(eager=True)
     )
-    keyed = joined.withColumn(
-        "ckey", F.md5(F.to_json(F.struct("text", "v")))
-    ).select("doc_id", "ckey").localCheckpoint(eager=True)
-    reps = (
-        joined.withColumn("ckey", F.md5(F.to_json(F.struct("text", "v"))))
-        .groupBy("ckey")
-        .agg(F.min("doc_id").alias("rep"), F.first("text").alias("text"),
-             F.first("v").alias("v"))
+    keyed = base.select("doc_id", "ckey")
+    # ckey is the md5 of exactly (text, v), so every group member carries
+    # identical text/v; min_by on the unique doc_id keeps the pick
+    # order-independent even if that invariant ever drifts (the bare
+    # first() the repo rules ban would not)
+    reps = base.groupBy("ckey").agg(
+        F.min_by("text", "doc_id").alias("text"),
+        F.min_by("v", "doc_id").alias("v"),
     )
     planes = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)).select(
         (F.col("vec_id") - 8).alias("pid"), F.col("v").alias("pv")
@@ -662,7 +674,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bit"),
         )
         .groupBy("ckey")
-        .agg(F.first("text").alias("text"), F.sum("bit").cast("long").alias("bucket"))
+        .agg(
+            # all 8 per-plane rows of a ckey carry the identical text;
+            # min() is fully order-independent
+            F.min("text").alias("text"),
+            F.sum("bit").cast("long").alias("bucket"),
+        )
         .select(
             "ckey",
             "bucket",

@@ -265,12 +265,13 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         ).select("o_orderkey", "o_custkey")
-        # r9: served from the persisted 2-column projection when the
-        # optimized layout is active (catalog.slim_customer — the
-        # covering-projection parity note there); raw scan otherwise
+        # r9: served from the persisted customer projection (_SLIM_COLS;
+        # catalog.slim_customer — the covering-projection parity note
+        # there) when the optimized layout is active; raw scan otherwise.
+        # Catalyst prunes the columns q5 doesn't reference at the scan.
         from kwery_spark.catalog import slim_customer
 
-        cust = slim_customer(spark, sf_dir)
+        cust = slim_customer(spark, sf_dir).select("c_custkey", "c_nationkey")
         # c_nationkey = s_nationkey + r_name='ASIA' implies c_nationkey is
         # one of the <=25 ASIA nation keys. nation is a spec-CONSTANT
         # 25-row table at every SF (TPC-H), so evaluating the key list

@@ -67,6 +67,11 @@ def test_undeclared_empty_is_a_sweep_failure():
     # undeclared key: 0 rows is a failure at every SF
     assert "dedup_exact" not in EXPECTED_EMPTY_AT
     assert not empty_is_declared("dedup_exact", "/x/.data/sf30")
-    # dir-name parsing
+    # dir-name parsing; non-canonical dirs fail LOUDLY instead of
+    # silently reading as SF 0 (r9 review)
     assert sf_of("/root/repo/.data/sf10/") == 10.0
     assert sf_of("/root/testdata/sf0.01") == 0.01
+    import pytest
+
+    with pytest.raises(ValueError):
+        sf_of("/x/.data/sf10_rebuild")

@@ -45,9 +45,10 @@ def test_optimized_layout_value_invariance(spark, sf_dir):
 
 
 def test_slim_customer_projection_value_identical(spark, sf_dir):
-    """The persisted (c_custkey, c_nationkey) projection (r9) must exist
-    after optimize_layout, serve q5's residual side with identical
-    values, and fall back to the raw scan without the layout."""
+    """The persisted customer projection (catalog._SLIM_COLS, r9) must
+    exist after optimize_layout, serve q3/q5's customer sides with
+    identical values, and fall back to the raw scan without the
+    layout."""
     raw = sorted(
         map(tuple, catalog.slim_customer(spark, sf_dir).collect())
     )

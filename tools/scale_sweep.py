@@ -49,9 +49,17 @@ EXPECTED_EMPTY_AT: dict[str, float] = {
 
 
 def sf_of(sf_dir: str) -> float:
-    """Scale factor parsed from the corpus dir name ('.../sf10' -> 10)."""
-    m = re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
-    return float(m.group(1)) if m else 0.0
+    """Scale factor parsed from the corpus dir name ('.../sf10' -> 10).
+    Raises on a non-canonical dir name instead of silently returning a
+    wrong scale (r9 review: a 0.0 fallback turned every declared
+    structural empty into a reported failure on renamed dirs)."""
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)$", sf_dir.rstrip("/"))
+    if not m:
+        raise ValueError(
+            f"cannot parse a scale factor from corpus dir {sf_dir!r}; "
+            "sweep dirs must end in sf<number> (e.g. .data/sf10)"
+        )
+    return float(m.group(1))
 
 
 def empty_is_declared(key: str, sf_dir: str) -> bool:
