@@ -154,6 +154,50 @@ def test_asof_join_matches_duckdb_native(spark, duck, lrows, rrows):
     )
 
 
+@given(lrows=ASOF_LEFT, rrows=ASOF_RIGHT)
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_forward_negation_matches_duckdb(spark, duck, lrows, rrows):
+    """join_asof_forward's negation trick (forward-earliest on t ==
+    backward-latest on -t through the same union+window helper) must
+    agree with an independent min-over-inequality formulation in DuckDB
+    on arbitrary key/time data, including no-match rows and equal-time
+    matches (>= includes them)."""
+    import pyspark.sql.functions as F
+
+    from kwery_spark.operators.joins import asof_join
+
+    pl = pd.DataFrame(lrows, columns=["k", "t"]).astype("int64")
+    pl["lid"] = range(len(pl))
+    pr = pd.DataFrame(rrows, columns=["k", "rt", "v"]).astype("int64")
+    sl = spark.createDataFrame(pl, "k long, t long, lid long").withColumn(
+        "nt", -F.col("t")
+    )
+    sr = spark.createDataFrame(pr, "k long, rt long, v long").withColumn(
+        "nt", -F.col("rt")
+    )
+    got = asof_join(
+        sl, sr, by=["k"], left_on="nt", right_on="nt", right_cols=["rt", "v"]
+    ).select("k", "t", "lid", "rt", "v")
+    duck.register("fl", pl)
+    duck.register("fr", pr)
+    rel = duck.sql(
+        """WITH m AS (
+               SELECT fl.k AS k, fl.t AS t, fl.lid AS lid, min(fr.rt) AS rt
+               FROM fl LEFT JOIN fr ON fl.k = fr.k AND fr.rt >= fl.t
+               GROUP BY fl.k, fl.t, fl.lid)
+           SELECT m.k, m.t, m.lid, m.rt, fr.v
+           FROM m LEFT JOIN fr ON fr.k = m.k AND fr.rt = m.rt"""
+    )
+    assert norm_rows(got.columns, [tuple(r) for r in got.collect()]) == norm_rows(
+        list(rel.columns), rel.fetchall()
+    )
+
+
 RANGE_EVENTS = st.lists(
     st.tuples(st.integers(0, 1), st.integers(0, 3000)),  # (is_error, seconds)
     min_size=1,
