@@ -161,3 +161,43 @@ def test_random_commit_sequences_replay_correctly(spark, tmp_path):
         for v, expected in enumerate(model_history):
             got = {r.id for r in t.read(spark, v).collect()}
             assert got == expected, (seed, v)
+
+
+def test_checkpoint_resume_and_time_travel_safety(spark, root):
+    """live_dirs resumes from the newest checkpoint <= the requested
+    version; a pinned version BELOW every checkpoint must fall back to
+    full replay (never read future state); checkpoint content equals
+    the full fold."""
+    t = TxnLogTable(root)
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t.commit(spark, df.filter(F.col("id") < 5), "append")          # v0
+    t.commit(spark, df.filter(F.col("id") >= 5), "append")         # v1
+    base = t.latest_version()
+    t.commit(spark, t.read(spark, base).filter(F.col("id") != 3),
+             "replace", base_version=base)                          # v2
+    assert t.write_checkpoint() == 2
+    t.commit(spark, df.filter(F.col("id") == 3), "append")         # v3
+
+    # checkpoint-path snapshot: resumed at v2, replayed only v3
+    dirs, cp_used, n_tail = t.snapshot_dirs()
+    assert cp_used == 2 and n_tail == 1
+    # equals the checkpoint-free full fold
+    full = []
+    for i in range(t.latest_version() + 1):
+        e = t.entry(i)
+        full = [d for d in full if d not in set(e.get("remove", []))]
+        full.extend(e.get("add", []))
+    assert dirs == full
+    # values: v2 dropped id=3, v3 re-added it
+    got = sorted(r.id for r in t.read(spark).collect())
+    assert got == list(range(10))
+    # time travel BELOW the checkpoint ignores it entirely
+    d1, cp1, n1 = t.snapshot_dirs(1)
+    assert cp1 is None and n1 == 2
+    assert sorted(r.id for r in t.read(spark, 1).collect()) == list(range(10))
+    # time travel AT the checkpoint uses it with an empty tail
+    d2, cp2, n2 = t.snapshot_dirs(2)
+    assert cp2 == 2 and n2 == 0
+    assert 3 not in {r.id for r in t.read(spark, 2).collect()}
+    # checkpoint files never masquerade as commit records
+    assert t.latest_version() == 3
