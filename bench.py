@@ -6,8 +6,8 @@ ONE JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries":
 {...}, "sf": ..., "scaled": {...}}.
 
 Protocol mirrors BASELINE.md: one long-lived session, per query 1 warm-up
-run then best of 3 timed runs (the TPC-H trio gets one extra interleaved
-repetition at the end of each pass, BOTH engines — see TPCH_TRIO), timing
+run then best of 3 timed runs (the TPC-H trio gets one extra repetition
+AFTER the full pass completes, BOTH engines — see TPCH_TRIO), timing
 = plan build + full result materialization. Materialization uses the engine's fast path — Arrow
 columnar transfer (toPandas) — matching DuckDB's in-process columnar
 fetchall. Every timed run rebuilds the plan and re-executes all stages
@@ -74,7 +74,7 @@ LLM_KEYS = [
 ]
 
 
-# Extra interleaved repetition targets (VERDICT r8 item 2): the driver's
+# Extra after-the-pass repetition targets (VERDICT r8 item 2): the driver's
 # r8 box read q1/q3 2-2.5x above the same-week fresh-JVM numbers with no
 # code change — almost certainly background load during those keys'
 # best-of window. One more repetition per TPC-H key, taken AFTER the
@@ -97,8 +97,10 @@ def _measure_spark(
     spark, queries, sf_dir: str, runs: int = 4, keys: list[str] | None = None
 ) -> dict[str, float]:
     """Per key: 1 warm-up + best of (runs-1), plan rebuilt every run.
-    TPC-H trio keys get one extra interleaved repetition at the end of
-    the pass (see TPCH_TRIO)."""
+    TPC-H trio keys get one extra repetition AFTER the whole pass
+    completes — back-to-back, not interleaved between sections — so the
+    extra sample lands at a different moment than the key's own
+    best-of window (see TPCH_TRIO)."""
     results: dict[str, float] = {}
     for key in keys if keys is not None else HEADLINE:
         fn = queries.get(key)

@@ -123,8 +123,40 @@ def _exact_partition_tokens(spark: SparkSession, n: int) -> list[int]:
         .collect()
     )
     toks = {r["p"]: r["tok"] for r in rows}
-    assert len(toks) == n, f"hash bijection search incomplete: {sorted(toks)}"
+    if len(toks) != n:  # not assert: must survive python -O (ADVICE r9)
+        raise RuntimeError(
+            f"hash bijection search incomplete ({len(toks)}/{n}): "
+            f"{sorted(toks)}"
+        )
     return [toks[p] for p in range(n)]
+
+
+def round6(col):
+    """Cross-engine-deterministic 6-decimal half-up rounding.
+
+    ``round(x, 6)`` is NOT safe across Spark and DuckDB when x can land
+    on an exact decimal tie (e.g. an average of integer microseconds
+    over an even count → half-integer µs → exactly .5 at the 7th
+    decimal): Spark rounds via BigDecimal on the double's shortest
+    string repr (HALF_UP) while DuckDB computes std::round(x*1e6)/1e6 —
+    two different ulp-lotteries that disagree ~half the time at a tie
+    (stream_asof_join flaked exactly this way in driver round 9).
+
+    ``floor(x*1e6 + 0.5)/1e6`` is built ONLY from IEEE-exact ops
+    (multiply, add, floor, divide), so identical input doubles yield
+    bit-identical outputs in both engines, always. Semantics equal
+    round-half-up except within one ulp of a tie, where it is simply
+    *consistent* rather than "correct" — which is all the value-hash
+    needs. Mirror in oracle SQL with ROUND6_SQL.
+    """
+    import pyspark.sql.functions as F
+
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def round6_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`round6` — same IEEE-exact op sequence."""
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:

@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from kwery_spark.catalog import table
+from kwery_spark.catalog import round6, table
 from kwery_spark.registry import register
 
 
@@ -1513,15 +1513,18 @@ def win_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lags AS (
         SELECT p.user_id,
-               (epoch_us(p.t_purchase) - epoch_us(v.t_view)) / 1000000.0
-                   AS lag_s
+               epoch_us(p.t_purchase) - epoch_us(v.t_view) AS lag_us
         FROM p JOIN v USING (user_id)
     )
     SELECT CAST(count(*) AS BIGINT) AS n_converters,
-           round(avg(lag_s), 6) AS avg_lag_s,
-           round(quantile_cont(lag_s, 0.5), 6) AS median_lag_s,
-           round(quantile_cont(lag_s, 0.9), 6) AS p90_lag_s,
-           round(min(lag_s), 6) AS min_lag_s
+           floor(CAST(CAST(sum(lag_us) AS BIGINT) AS DOUBLE) / count(*)
+                 / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS avg_lag_s,
+           floor(quantile_cont(lag_us, 0.5) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS median_lag_s,
+           floor(quantile_cont(lag_us, 0.9) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS p90_lag_s,
+           floor(CAST(min(lag_us) AS DOUBLE) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS min_lag_s
     FROM lags
     """,
 )
@@ -1531,11 +1534,16 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact interpolated median and p90, and the fastest conversion — the
     funnel-velocity readout that sits next to events_funnel's counts.
 
-    Determinism: lags are exact integer microsecond differences divided
-    once (sub-second rule: epoch_us, never second-truncated casts);
-    percentile interpolation (a + (b-a)*f) runs on identical doubles in
-    both engines (Spark percentile == DuckDB quantile_cont, both
-    linear), and every output rounds to 6dp.
+    Determinism: lags stay exact integer MICROSECONDS through every
+    aggregate (sub-second rule: epoch_us, never second-truncated
+    casts) — the mean is one BIGINT sum divided twice (float-summing
+    µs/1e6 doubles would be addition-order-dependent across engines);
+    percentile interpolation (a + (b-a)*f) runs on identical
+    integer-valued doubles in both engines (Spark percentile == DuckDB
+    quantile_cont, both linear); outputs round via catalog.round6
+    because a p50 of an even count is a half-µs EXACT tie where plain
+    round(x, 6) diverges per-ulp between engines (driver r9 flake
+    class).
 
     Scale: two user-keyed aggregates joined on user_id; the percentile
     is a single-pass sort-based exact aggregate over one row per
@@ -1555,16 +1563,24 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t_purchase"))
     )
     lags = p.join(v, "user_id").select(
-        (
-            (F.unix_micros("t_purchase") - F.unix_micros("t_view")) / 1000000.0
-        ).alias("lag_s")
+        (F.unix_micros("t_purchase") - F.unix_micros("t_view")).alias(
+            "lag_us"
+        )
     )
     return lags.agg(
         F.count(F.lit(1)).cast("long").alias("n_converters"),
-        F.round(F.avg("lag_s"), 6).alias("avg_lag_s"),
-        F.round(F.expr("percentile(lag_s, 0.5)"), 6).alias("median_lag_s"),
-        F.round(F.expr("percentile(lag_s, 0.9)"), 6).alias("p90_lag_s"),
-        F.round(F.min("lag_s"), 6).alias("min_lag_s"),
+        round6(
+            F.sum("lag_us").cast("long").cast("double")
+            / F.count(F.lit(1))
+            / 1000000.0
+        ).alias("avg_lag_s"),
+        round6(F.expr("percentile(lag_us, 0.5)") / 1000000.0).alias(
+            "median_lag_s"
+        ),
+        round6(F.expr("percentile(lag_us, 0.9)") / 1000000.0).alias(
+            "p90_lag_s"
+        ),
+        round6(F.min("lag_us").cast("double") / 1000000.0).alias("min_lag_s"),
     )
 
 
@@ -2579,9 +2595,10 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM g GROUP BY event_type
     )
     SELECT event_type, n_gaps,
-           round(CAST(s1 AS DOUBLE) / n_gaps / 1000000.0, 6)
-               AS mean_gap_sec,
-           round(med / 1000000.0, 6) AS median_gap_sec,
+           floor(CAST(s1 AS DOUBLE) / n_gaps / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_gap_sec,
+           floor(med / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
+               AS median_gap_sec,
            round(CAST(n_gaps AS DOUBLE) * 3600000000.0 / s1, 6)
                AS rate_per_hour,
            CASE WHEN n_gaps >= 2 THEN
@@ -2635,8 +2652,12 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.select(
             "event_type",
             "n_gaps",
-            F.round(mean_us / 1000000.0, 6).alias("mean_gap_sec"),
-            F.round(F.col("med") / 1000000.0, 6).alias("median_gap_sec"),
+            # round6, not round(.,6): mean/median of integer µs can hit
+            # an exact half-µs tie (even counts) where the two engines'
+            # round() implementations diverge per-ulp (driver r9 flake
+            # class — see catalog.round6)
+            round6(mean_us / 1000000.0).alias("mean_gap_sec"),
+            round6(F.col("med") / 1000000.0).alias("median_gap_sec"),
             F.round(
                 F.col("n_gaps").cast("double") * 3600000000.0 / F.col("s1"),
                 6,

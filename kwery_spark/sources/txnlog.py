@@ -122,7 +122,8 @@ class TxnLogTable:
             start = cp["version"] + 1
         for i in range(start, v + 1):
             e = self._entry(i)
-            live = [d for d in live if d not in set(e.get("remove", []))]
+            removed = set(e.get("remove", []))
+            live = [d for d in live if d not in removed]
             live.extend(e.get("add", []))
         return live, (cp["version"] if cp is not None else None), v + 1 - start
 
@@ -422,7 +423,8 @@ def warehouse_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     full: list[str] = []
     for i in range(t.latest_version() + 1):
         e = t.entry(i)
-        full = [d for d in full if d not in set(e.get("remove", []))]
+        removed = set(e.get("remove", []))
+        full = [d for d in full if d not in removed]
         full.extend(e.get("add", []))
     return (
         t.read(spark)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from kwery_spark.catalog import table
+from kwery_spark.catalog import round6, table
 from kwery_spark.registry import register
 
 
@@ -286,10 +286,11 @@ def stream_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(pt AS TIMESTAMP) AS purchase_hour,
            CAST(count(*) AS BIGINT) AS n_purchases,
            CAST(count(last_view_us) AS BIGINT) AS n_matched,
-           round(coalesce(
-               CAST(CAST(sum(us - last_view_us) AS BIGINT) AS DOUBLE)
-                   / count(last_view_us) / 1000000.0,
-               -1.0), 6) AS avg_lag_sec
+           coalesce(
+               floor(CAST(CAST(sum(us - last_view_us) AS BIGINT) AS DOUBLE)
+                     / count(last_view_us) / 1000000.0 * 1000000.0 + 0.5)
+                   / 1000000.0,
+               -1.0) AS avg_lag_sec
     FROM p GROUP BY pt
     """,
 )
@@ -307,7 +308,11 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     at equal timestamps, so an exactly-simultaneous view matches), and
     NO join node exists in the plan. Lags are exact microsecond
     integers (sub-second rule); the average is two float divisions on
-    the exact scalars, identical in both engines.
+    the exact scalars, identical in both engines, rounded via the
+    IEEE-exact catalog.round6 formula — plain round(x, 6) flaked in
+    driver round 9 because per-hour match counts are small enough for
+    sum/count to land on an exact half-microsecond tie, where Spark's
+    BigDecimal rounding and DuckDB's std::round disagree per-ulp.
 
     Scale: one shuffle on user_id, then a map-side-combined rollup to
     <=|hours| rows. The streaming deployment needs only O(|users|)
@@ -339,16 +344,15 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_purchases"),
             F.count("last_view_us").cast("long").alias("n_matched"),
-            F.round(
-                F.coalesce(
+            F.coalesce(
+                round6(
                     F.sum(F.col("us") - F.col("last_view_us"))
                     .cast("long")
                     .cast("double")
                     / F.count("last_view_us")
-                    / F.lit(1000000.0),
-                    F.lit(-1.0),
+                    / F.lit(1000000.0)
                 ),
-                6,
+                F.lit(-1.0),
             ).alias("avg_lag_sec"),
         )
         .coalesce(1)

@@ -85,6 +85,12 @@ def main() -> None:
         else:
             keys.append(a)
 
+    # Validate the corpus dir name ONCE, before any key runs — inside the
+    # per-key loop sf_of's ValueError would surface as scattered ERR rows
+    # (and only for keys that return 0 rows), not the loud upfront
+    # failure the contract intends (ADVICE r9).
+    sf_of(sf_dir)
+
     from kwery_spark.session import get_spark
 
     spark = get_spark("scale-sweep")
