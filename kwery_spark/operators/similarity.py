@@ -21,7 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
-from kwery_spark.catalog import table
+from kwery_spark.catalog import round6, table
 from kwery_spark.registry import register
 
 
@@ -1453,7 +1453,8 @@ def _silhouette_oracle(iters: int = 5, k: int = 8) -> str:
         FROM own o JOIN alt a ON o.vec_id = a.vec_id)
     SELECT cid AS cluster,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_silhouette
+           floor(CAST(sum(s) AS DOUBLE) / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_silhouette
     FROM si GROUP BY cid ORDER BY cid
     """
 
@@ -1506,8 +1507,10 @@ def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         si.groupBy("cid")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.round(
-                F.sum("s").cast("double") / F.count(F.lit(1)), 6
+            # round6, not round(.,6): exact-DECIMAL sum / count is the
+            # tie-capable ratio class (catalog.round6, driver r9 flake)
+            round6(
+                F.sum("s").cast("double") / F.count(F.lit(1))
             ).alias("mean_silhouette"),
         )
         .select(F.col("cid").alias("cluster"), "n_vecs", "mean_silhouette")

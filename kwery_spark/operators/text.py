@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from kwery_spark.catalog import table
+from kwery_spark.catalog import round6, table
 from kwery_spark.registry import register
 
 
@@ -828,7 +828,8 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     wscore AS (
         SELECT w,
-               round(CAST(sum(plen) AS DOUBLE) / count(*), 6) AS wscore
+               floor(CAST(sum(plen) AS DOUBLE) / count(*)
+                     * 1000000.0 + 0.5) / 1000000.0 AS wscore
         FROM pw GROUP BY w
     ),
     dp AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
@@ -878,7 +879,9 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("phrase"), " ")).alias("w"),
     )
     wscore = pw.groupBy("w").agg(
-        F.round(F.sum("plen").cast("double") / F.count(F.lit(1)), 6).alias("wscore")
+        # round6, not round(.,6): integer sum / count is the tie-capable
+        # ratio class (catalog.round6, driver r9 flake)
+        round6(F.sum("plen").cast("double") / F.count(F.lit(1))).alias("wscore")
     )
     dp = phrases.groupBy("phrase").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
     dpw = dp.select("phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w"))
