@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
-from kwery_spark.catalog import table
+from kwery_spark.catalog import round6, table
 from kwery_spark.registry import register
 
 
@@ -2048,3 +2048,458 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bounds_hold"),
         )
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DOUBLE) AS v,
+               CAST(l_quantity AS BIGINT) AS wt,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY CAST(l_extendedprice AS DOUBLE),
+                            l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cumw,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+               ) AS total_w
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(min(total_w) AS BIGINT) AS total_weight,
+           min(CASE WHEN 2 * cumw >= total_w THEN v END)
+               AS weighted_median_price
+    FROM w GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower): the smallest value whose cumulative
+    weight reaches half the group's total — quantity-weighted median
+    line price per return flag. The weighted companion to
+    agg_median_mode the same way agg_weighted pairs with agg_global's
+    plain mean: percentile() can't take per-row weights in either
+    engine, so the operator IS the cum-weight window idiom.
+
+    Exactness: weights are exact integers, so the running and total
+    sums are exact and `2*cumw >= total_w` is an integer comparison;
+    the window orders by (value, orderkey, linenumber) — a UNIQUE key —
+    so every row's cumw is fully deterministic, and the selected value
+    is an UNMODIFIED input cent-grid double (no rounding anywhere).
+
+    Scale: one shuffle on l_returnflag + an in-partition sort (same
+    cost class as any exact per-group quantile; |groups| = 3 — at
+    100 TB you'd bucket the histogram first or approx it, but exactness
+    is the contract here); the final reduce emits one row per group."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    scored = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(wcum).alias("cumw"),
+        F.sum("wt").over(wall).alias("total_w"),
+    )
+    return (
+        scored.groupBy("l_returnflag")
+        .agg(
+            F.min("total_w").cast("long").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("total_w"), F.col("v"))
+            ).alias("weighted_median_price"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag")
+    )
+
+
+@register(
+    "ml_gbdt_residual_boost",
+    oracle="""
+    WITH base AS MATERIALIZED (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS yc,
+               o_orderstatus AS f_status,
+               'm' || lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0')
+                   AS f_month,
+               'd' || CAST(datediff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE)) % 7 AS VARCHAR)
+                   AS f_wday
+        FROM orders
+    ),
+    tot AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(yc) AS BIGINT) AS s,
+               CAST(sum(CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS q
+        FROM base
+    ),
+    fv AS (SELECT 'status' AS feature, f_status AS val, yc FROM base
+           UNION ALL SELECT 'month', f_month, yc FROM base
+           UNION ALL SELECT 'wday', f_wday, yc FROM base),
+    cand1 AS MATERIALIZED (
+        SELECT feature, val, CAST(count(*) AS BIGINT) AS nm,
+               CAST(sum(yc) AS BIGINT) AS am
+        FROM fv GROUP BY feature, val
+    ),
+    g1 AS MATERIALIZED (
+        SELECT feature, val, nm,
+               CAST(CAST(t.n AS DECIMAL(19,0)) * CAST(c.am AS DECIMAL(19,0))
+                    - CAST(c.nm AS DECIMAL(19,0)) * CAST(t.s AS DECIMAL(19,0))
+                    AS DOUBLE) AS num1d,
+               CAST(c.nm AS DOUBLE) AS nmd,
+               CAST(t.n AS DOUBLE) AS nd
+        FROM cand1 c CROSS JOIN tot t
+    ),
+    g1s AS MATERIALIZED (
+        SELECT *,
+               CASE WHEN nmd = nd THEN -1.0
+                    ELSE ((num1d / nd) * (num1d / nd)) / nmd
+                         + ((num1d / nd) * (num1d / nd)) / (nd - nmd)
+               END AS gain1
+        FROM g1
+    ),
+    best1 AS MATERIALIZED (
+        SELECT * FROM (SELECT *, row_number() OVER (
+                           ORDER BY gain1 DESC, feature, val) AS rk FROM g1s)
+        WHERE rk = 1
+    ),
+    sc AS MATERIALIZED (
+        SELECT b.feature AS bf, b.val AS bv, b.nm AS n1m, b.gain1,
+               b.nd,
+               CAST(t.s AS DOUBLE) / b.nd AS mean,
+               b.num1d / (b.nd * b.nmd) AS gm,
+               (0.0 - b.num1d) / (b.nd * (b.nd - b.nmd)) AS gr,
+               CAST(t.s AS DOUBLE) AS sd,
+               CAST(t.q AS DOUBLE) AS qd,
+               t.n
+        FROM best1 b CROSS JOIN tot t
+    ),
+    base2 AS (
+        SELECT base.yc, base.f_status, base.f_month, base.f_wday,
+               CASE WHEN (sc.bf = 'status' AND base.f_status = sc.bv)
+                      OR (sc.bf = 'month' AND base.f_month = sc.bv)
+                      OR (sc.bf = 'wday' AND base.f_wday = sc.bv)
+                    THEN 1 ELSE 0 END AS in1
+        FROM base CROSS JOIN sc
+    ),
+    fv2 AS (SELECT 'status' AS feature, f_status AS val, yc, in1 FROM base2
+            UNION ALL SELECT 'month', f_month, yc, in1 FROM base2
+            UNION ALL SELECT 'wday', f_wday, yc, in1 FROM base2),
+    cand2 AS MATERIALIZED (
+        SELECT feature, val,
+               CAST(count(*) AS BIGINT) AS nm,
+               CAST(sum(yc) AS BIGINT) AS am,
+               CAST(sum(in1) AS BIGINT) AS kin
+        FROM fv2 GROUP BY feature, val
+    ),
+    g2 AS MATERIALIZED (
+        SELECT c.feature, c.val, c.nm,
+               CAST(c.nm AS DOUBLE) AS nmd,
+               (((CAST(c.am AS DOUBLE) - CAST(c.nm AS DOUBLE) * s.mean)
+                 - CAST(c.kin AS DOUBLE) * s.gm)
+                - CAST(c.nm - c.kin AS DOUBLE) * s.gr) AS sum2,
+               s.nd
+        FROM cand2 c CROSS JOIN sc s
+    ),
+    g2s AS MATERIALIZED (
+        SELECT *,
+               CASE WHEN nmd = nd THEN -1.0
+                    ELSE (sum2 * sum2) / nmd + (sum2 * sum2) / (nd - nmd)
+               END AS gain2
+        FROM g2
+    ),
+    best2 AS MATERIALIZED (
+        SELECT * FROM (SELECT *, row_number() OVER (
+                           ORDER BY gain2 DESC, feature, val) AS rk FROM g2s)
+        WHERE rk = 1
+    ),
+    fin AS MATERIALIZED (
+        SELECT s.*, b.feature AS f2, b.val AS v2, b.nm AS n2m,
+               b.nmd AS n2md, b.sum2, b.gain2,
+               ((s.qd - 2.0 * s.mean * s.sd) + s.nd * (s.mean * s.mean))
+                   AS sse0
+        FROM sc s CROSS JOIN best2 b
+    )
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS round,
+               '<baseline>' AS feature, '<baseline>' AS val,
+               n AS n_match,
+               0.0 AS leaf_delta_match, 0.0 AS leaf_delta_rest,
+               0.0 AS sse_reduction_frac,
+               floor(sqrt(sse0 / nd) / 100.0 * 1000000.0 + 0.5) / 1000000.0
+                   AS rmse
+        FROM fin
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), bf, bv, n1m,
+               floor(gm / 100.0 * 1000000.0 + 0.5) / 1000000.0,
+               floor(gr / 100.0 * 1000000.0 + 0.5) / 1000000.0,
+               floor(gain1 / sse0 * 1000000.0 + 0.5) / 1000000.0,
+               floor(sqrt((sse0 - gain1) / nd) / 100.0 * 1000000.0 + 0.5)
+                   / 1000000.0
+        FROM fin
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), f2, v2, n2m,
+               floor((sum2 / n2md) / 100.0 * 1000000.0 + 0.5) / 1000000.0,
+               floor(((0.0 - sum2) / (nd - n2md)) / 100.0 * 1000000.0 + 0.5)
+                   / 1000000.0,
+               floor(gain2 / (sse0 - gain1) * 1000000.0 + 0.5) / 1000000.0,
+               floor(sqrt(((sse0 - gain1) - gain2) / nd) / 100.0
+                     * 1000000.0 + 0.5) / 1000000.0
+        FROM fin
+    ) ORDER BY round
+    """,
+)
+def ml_gbdt_residual_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of L2 gradient boosting with categorical decision
+    stumps (Friedman 2001's least-squares boosting, depth-1 trees):
+    round 1 fits the best single-feature split of the order-value
+    residuals around the global mean, round 2 re-fits on the residuals
+    AFTER round 1's leaf adjustments — the additive-ensemble step that
+    separates boosting from ml_decision_stump's single split. Emits the
+    baseline and both rounds' chosen splits, leaf deltas, per-round SSE
+    reduction fraction, and train RMSE (monotone decreasing).
+
+    Exactness (the whole design): every statistic reduces to exact
+    integer/DECIMAL aggregates — residual sums over any row set S
+    satisfy sum_r(S) = (n*A_S - n_S*total)/n with all pieces exact, and
+    the round-2 residual sums expand the same way through the round-1
+    leaf means via the (count, cent-sum, in-leaf count) contingency per
+    candidate. Doubles appear ONLY in final scalar formulas whose op
+    sequences are written identically in both engines (IEEE ops on
+    identical inputs are bit-identical); per-round SSE uses the exact
+    L2 identity SSE_k = SSE_{k-1} - gain_k (leaf values ARE residual
+    means); outputs round via catalog.round6. No float is ever summed
+    across rows. Negations are written (0.0 - x) on both sides so a
+    zero never renders -0.0.
+
+    Scale: three scans of orders (moments, round-1 candidates, round-2
+    candidates), each fanned out x3 features INSIDE the scan stage and
+    map-side-combined to a <=22-row candidate grid; the cross-round
+    state is a 1-row localCheckpoint broadcast (the ml_logistic_irls
+    discipline — no re-expansion per consumer, bounded driver state).
+    More rounds = one more candidate scan each, embarrassingly
+    scalable; the oracle materializes every round CTE (the graph_kcore
+    fd-blowup rule)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderstatus", "o_orderdate"
+    )
+    base = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("yc"),
+        F.col("o_orderstatus").alias("f_status"),
+        F.concat(
+            F.lit("m"), F.lpad(F.month("o_orderdate").cast("string"), 2, "0")
+        ).alias("f_month"),
+        F.concat(
+            F.lit("d"),
+            F.expr(
+                "CAST(pmod(datediff(CAST(o_orderdate AS DATE), "
+                "DATE '1970-01-01'), 7) AS STRING)"
+            ),
+        ).alias("f_wday"),
+    )
+
+    def _fv(df):
+        cols = [c for c in df.columns if c not in ("f_status", "f_month", "f_wday")]
+        return df.select(
+            *cols,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("status").alias("feature"),
+                        F.col("f_status").alias("val"),
+                    ),
+                    F.struct(
+                        F.lit("month").alias("feature"),
+                        F.col("f_month").alias("val"),
+                    ),
+                    F.struct(
+                        F.lit("wday").alias("feature"),
+                        F.col("f_wday").alias("val"),
+                    ),
+                )
+            ).alias("c"),
+        ).select(*cols, "c.feature", "c.val")
+
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("s"),
+        F.sum(
+            F.col("yc").cast("decimal(19,0)") * F.col("yc").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("q"),
+    ).localCheckpoint(eager=True)
+
+    cand1 = _fv(base).groupBy("feature", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("nm"),
+        F.sum("yc").cast("long").alias("am"),
+    )
+    g1 = cand1.crossJoin(F.broadcast(tot)).select(
+        "feature",
+        "val",
+        "nm",
+        (
+            F.col("n").cast("decimal(19,0)") * F.col("am").cast("decimal(19,0)")
+            - F.col("nm").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("num1d"),
+        F.col("nm").cast("double").alias("nmd"),
+        F.col("n").cast("double").alias("nd"),
+    )
+    sum1 = F.col("num1d") / F.col("nd")
+    g1s = g1.select(
+        "*",
+        F.when(F.col("nmd") == F.col("nd"), F.lit(-1.0))
+        .otherwise(
+            (sum1 * sum1) / F.col("nmd")
+            + (sum1 * sum1) / (F.col("nd") - F.col("nmd"))
+        )
+        .alias("gain1"),
+    )
+    wr1 = Window.orderBy(F.col("gain1").desc(), "feature", "val")
+    best1 = (
+        g1s.withColumn("rk", F.row_number().over(wr1))
+        .filter(F.col("rk") == 1)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("feature").alias("bf"),
+            F.col("val").alias("bv"),
+            F.col("nm").alias("n1m"),
+            "gain1",
+            "nd",
+            (F.col("s").cast("double") / F.col("nd")).alias("mean"),
+            (F.col("num1d") / (F.col("nd") * F.col("nmd"))).alias("gm"),
+            (
+                (F.lit(0.0) - F.col("num1d"))
+                / (F.col("nd") * (F.col("nd") - F.col("nmd")))
+            ).alias("gr"),
+            F.col("s").cast("double").alias("sd"),
+            F.col("q").cast("double").alias("qd"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    in1 = (
+        F.when(
+            ((F.col("bf") == "status") & (F.col("f_status") == F.col("bv")))
+            | ((F.col("bf") == "month") & (F.col("f_month") == F.col("bv")))
+            | ((F.col("bf") == "wday") & (F.col("f_wday") == F.col("bv"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("in1")
+    )
+    base2 = base.crossJoin(F.broadcast(best1.select("bf", "bv"))).select(
+        "yc", "f_status", "f_month", "f_wday", in1
+    )
+    cand2 = _fv(base2).groupBy("feature", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("nm"),
+        F.sum("yc").cast("long").alias("am"),
+        F.sum("in1").cast("long").alias("kin"),
+    )
+    g2 = cand2.crossJoin(F.broadcast(best1)).select(
+        "feature",
+        "val",
+        "nm",
+        F.col("nm").cast("double").alias("nmd"),
+        (
+            (
+                (F.col("am").cast("double") - F.col("nm").cast("double") * F.col("mean"))
+                - F.col("kin").cast("double") * F.col("gm")
+            )
+            - (F.col("nm") - F.col("kin")).cast("double") * F.col("gr")
+        ).alias("sum2"),
+        "nd",
+    )
+    g2s = g2.select(
+        "*",
+        F.when(F.col("nmd") == F.col("nd"), F.lit(-1.0))
+        .otherwise(
+            (F.col("sum2") * F.col("sum2")) / F.col("nmd")
+            + (F.col("sum2") * F.col("sum2")) / (F.col("nd") - F.col("nmd"))
+        )
+        .alias("gain2"),
+    )
+    wr2 = Window.orderBy(F.col("gain2").desc(), "feature", "val")
+    best2 = (
+        g2s.withColumn("rk", F.row_number().over(wr2))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("feature").alias("f2"),
+            F.col("val").alias("v2"),
+            F.col("nm").alias("n2m"),
+            F.col("nmd").alias("n2md"),
+            "sum2",
+            "gain2",
+        )
+    )
+    fin = best1.crossJoin(F.broadcast(best2)).select(
+        "*",
+        (
+            (F.col("qd") - 2.0 * F.col("mean") * F.col("sd"))
+            + F.col("nd") * (F.col("mean") * F.col("mean"))
+        ).alias("sse0"),
+    ).localCheckpoint(eager=True)
+
+    r0 = fin.select(
+        F.lit(0).cast("long").alias("round"),
+        F.lit("<baseline>").alias("feature"),
+        F.lit("<baseline>").alias("val"),
+        F.col("n").alias("n_match"),
+        F.lit(0.0).alias("leaf_delta_match"),
+        F.lit(0.0).alias("leaf_delta_rest"),
+        F.lit(0.0).alias("sse_reduction_frac"),
+        round6(F.sqrt(F.col("sse0") / F.col("nd")) / 100.0).alias("rmse"),
+    )
+    r1 = fin.select(
+        F.lit(1).cast("long").alias("round"),
+        F.col("bf").alias("feature"),
+        F.col("bv").alias("val"),
+        F.col("n1m").alias("n_match"),
+        round6(F.col("gm") / 100.0).alias("leaf_delta_match"),
+        round6(F.col("gr") / 100.0).alias("leaf_delta_rest"),
+        round6(F.col("gain1") / F.col("sse0")).alias("sse_reduction_frac"),
+        round6(
+            F.sqrt((F.col("sse0") - F.col("gain1")) / F.col("nd")) / 100.0
+        ).alias("rmse"),
+    )
+    r2 = fin.select(
+        F.lit(2).cast("long").alias("round"),
+        F.col("f2").alias("feature"),
+        F.col("v2").alias("val"),
+        F.col("n2m").alias("n_match"),
+        round6((F.col("sum2") / F.col("n2md")) / 100.0).alias(
+            "leaf_delta_match"
+        ),
+        round6(
+            ((F.lit(0.0) - F.col("sum2")) / (F.col("nd") - F.col("n2md")))
+            / 100.0
+        ).alias("leaf_delta_rest"),
+        round6(
+            F.col("gain2") / (F.col("sse0") - F.col("gain1"))
+        ).alias("sse_reduction_frac"),
+        round6(
+            F.sqrt(
+                ((F.col("sse0") - F.col("gain1")) - F.col("gain2"))
+                / F.col("nd")
+            )
+            / 100.0
+        ).alias("rmse"),
+    )
+    return r0.unionAll(r1).unionAll(r2).coalesce(1).sortWithinPartitions("round")

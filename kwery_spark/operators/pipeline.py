@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from kwery_spark.catalog import table
+from kwery_spark.catalog import round6, table
 from kwery_spark.registry import register
 
 # Email-ish, phone-ish, and long-digit-run patterns; the corpus is synthetic
@@ -1461,6 +1461,79 @@ def pipeline_dpo_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("render_checksum"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("lang")
+    )
+
+
+@register(
+    "pipeline_tokenizer_fertility",
+    oracle="""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(sum(len(text)) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+    ),
+    en AS (
+        SELECT CAST(total_chars AS DOUBLE) / total_tokens AS en_cpt
+        FROM per_lang WHERE lang = 'en'
+    )
+    SELECT lang, n_docs, total_tokens, total_chars,
+           floor(CAST(total_chars AS DOUBLE) / total_tokens
+                 * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token,
+           floor(CAST(total_tokens AS DOUBLE) * 100.0 / total_chars
+                 * 1000000.0 + 0.5) / 1000000.0 AS tokens_per_100_chars,
+           floor(CAST(total_chars AS DOUBLE) / total_tokens / en.en_cpt
+                 * 1000000.0 + 0.5) / 1000000.0 AS fertility_vs_en
+    FROM per_lang CROSS JOIN en
+    ORDER BY lang
+    """,
+)
+def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: per language, tokens and characters
+    under the pipeline's whitespace tokenizer, chars-per-token
+    (fertility), token density per 100 chars, and the fertility ratio
+    against the English reference row — the standard multilingual
+    tokenizer-efficiency report (a language whose fertility_vs_en drifts
+    high is being over-segmented, i.e. paying more sequence length per
+    character of content, which skews mixture weights and training
+    cost). Complements text_token_count (per-doc counts) with the
+    per-language budget view an LLM data pipeline actually plans on.
+
+    Exactness: token/char totals are exact BIGINT sums; every ratio is a
+    single division of exact integers rounded via catalog.round6 (the
+    driver-r9 tie class — integer-ratio quotients CAN land on exact
+    6th-decimal ties); the cross-language ratio divides two identical
+    doubles in both engines.
+
+    Scale: one scan, partial-aggregated to |langs| rows; the English
+    reference joins back as a 1-row broadcast. At 100 TB this is the
+    same plan — the shuffle carries five rows per input partition."""
+    docs = table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+    cpt = F.col("total_chars").cast("double") / F.col("total_tokens")
+    en = per_lang.filter(F.col("lang") == "en").select(cpt.alias("en_cpt"))
+    return (
+        per_lang.crossJoin(F.broadcast(en))
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            round6(cpt).alias("chars_per_token"),
+            round6(
+                F.col("total_tokens").cast("double")
+                * 100.0
+                / F.col("total_chars")
+            ).alias("tokens_per_100_chars"),
+            round6(cpt / F.col("en_cpt")).alias("fertility_vs_en"),
         )
         .coalesce(1)
         .sortWithinPartitions("lang")

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from kwery_spark.catalog import table
+from kwery_spark.catalog import round6, table
 from kwery_spark.registry import register
 
 
@@ -624,3 +624,101 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = row if rows is None else rows.unionAll(row)
     return rows.coalesce(1).sortWithinPartitions("fk")
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH q AS (
+        SELECT o_orderpriority,
+               quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS q1,
+               quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS q3
+        FROM orders GROUP BY o_orderpriority
+    ),
+    f AS (
+        SELECT o_orderpriority, q1, q3,
+               q1 - 1.5 * (q3 - q1) AS lo,
+               q3 + 1.5 * (q3 - q1) AS hi
+        FROM q
+    )
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN CAST(o.o_totalprice AS DOUBLE) < f.lo
+                           OR CAST(o.o_totalprice AS DOUBLE) > f.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           floor(CAST(sum(CASE WHEN CAST(o.o_totalprice AS DOUBLE) < f.lo
+                                 OR CAST(o.o_totalprice AS DOUBLE) > f.hi
+                               THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS outlier_frac,
+           floor(f.q1 * 1000000.0 + 0.5) / 1000000.0 AS q1,
+           floor(f.q3 * 1000000.0 + 0.5) / 1000000.0 AS q3,
+           floor(max(CASE WHEN CAST(o.o_totalprice AS DOUBLE) > f.hi
+                          THEN CAST(o.o_totalprice AS DOUBLE) END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS max_high_outlier
+    FROM orders o JOIN f ON o.o_orderpriority = f.o_orderpriority
+    GROUP BY o.o_orderpriority, f.q1, f.q3, f.lo, f.hi
+    ORDER BY priority
+    """,
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier screen per group: exact q1/q3 of order
+    value per priority class, fences at 1.5x IQR, and the count /
+    fraction / worst offender outside them — the distribution-shaped
+    data-quality gate that catches fat tails dq_expectations' fixed
+    thresholds can't (fences adapt to each group's own spread).
+
+    Exactness: quantile interpolation runs on identical doubles in both
+    engines (Spark percentile == DuckDB quantile_cont, same positional
+    formula over the same cast-to-double cent-grid values); fence
+    arithmetic is IEEE +/-/* of those identical doubles, so the
+    per-row fence comparison is bit-deterministic; the outlier fraction
+    is an integer ratio rounded via catalog.round6 (the driver-r9 tie
+    class).
+
+    Scale: phase 1 aggregates the exact per-group quantiles (|groups| =
+    5; at 100 TB swap percentile -> approx_percentile, same plan shape);
+    phase 2 re-scans with the 5-row fence table broadcast — counting is
+    map-side-combined, nothing is collected driver-side."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("v")
+    )
+    q = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(v, 0.25)").alias("q1"),
+        F.expr("percentile(v, 0.75)").alias("q3"),
+    )
+    f = q.select(
+        "o_orderpriority",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    is_out = (F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi"))
+    return (
+        o.join(F.broadcast(f), "o_orderpriority")
+        .groupBy(F.col("o_orderpriority").alias("priority"), "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias(
+                "n_outliers"
+            ),
+            round6(
+                F.sum(F.when(is_out, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("outlier_frac"),
+            round6(
+                F.max(F.when(F.col("v") > F.col("hi"), F.col("v")))
+            ).alias("max_high_outlier"),
+        )
+        .select(
+            "priority",
+            "n_rows",
+            "n_outliers",
+            "outlier_frac",
+            round6(F.col("q1")).alias("q1"),
+            round6(F.col("q3")).alias("q3"),
+            "max_high_outlier",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("priority")
+    )

@@ -71,3 +71,104 @@ def test_tie_capable_keys_use_round6_not_round(spark):
         # inputs stay integer µs so interpolation is exact both sides
         assert "round(cast(s1" not in sql and "round(med" not in sql, key
         assert "round(avg(" not in sql and "round(quantile" not in sql, key
+
+
+def _q(name):
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()[name]
+
+
+def test_weighted_median_brute_force(spark, sf_dir):
+    """agg_weighted_median == the pandas cum-weight definition."""
+    import pyspark.sql.functions as F
+
+    from kwery_spark.catalog import table
+
+    got = {
+        r.l_returnflag: (r.total_weight, r.weighted_median_price)
+        for r in _q("agg_weighted_median")(spark, sf_dir).collect()
+    }
+    pdf = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("double").alias("v"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .toPandas()
+    )
+    for flag, g in pdf.groupby("l_returnflag"):
+        g = g.sort_values("v")
+        tw = int(g.w.sum())
+        cum = g.w.cumsum()
+        expect = float(g.v[2 * cum >= tw].iloc[0])
+        assert got[flag] == (tw, expect), (flag, got[flag], tw, expect)
+
+
+def test_weighted_median_single_shuffle(spark, sf_dir):
+    """The groupBy must reuse the window's l_returnflag partitioning —
+    exactly ONE Exchange in the whole plan."""
+    from kwery_spark.plans import inspect
+
+    df = _q("agg_weighted_median")(spark, sf_dir)
+    assert inspect.shuffle_count(df) == 1, inspect.formatted_plan(df)
+
+
+def test_outlier_iqr_fences_and_fraction(spark, sf_dir):
+    """Fences sane (q1 <= q3), outliers consistent with their fraction,
+    and the fence join stays a broadcast hash join over a pruned scan."""
+    from kwery_spark.plans import inspect
+
+    df = _q("dq_outlier_iqr")(spark, sf_dir)
+    assert inspect.has_broadcast_join(df)
+    assert set(inspect.read_schema_columns(df)) == {
+        "o_totalprice",
+        "o_orderpriority",
+    }
+    for r in df.collect():
+        assert r.q1 <= r.q3, r
+        assert 0 <= r.n_outliers <= r.n_rows, r
+        assert abs(r.outlier_frac - r.n_outliers / r.n_rows) < 1e-6, r
+        if r.max_high_outlier is not None:
+            assert r.max_high_outlier > r.q3, r
+
+
+def test_tokenizer_fertility_en_reference(spark, sf_dir):
+    """The English row's fertility ratio is exactly 1 and every ratio is
+    consistent with its integer totals; the reference joins as a 1-row
+    broadcast (declared BNLJ), never a shuffle."""
+    from kwery_spark.plans import inspect
+
+    df = _q("pipeline_tokenizer_fertility")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan
+    rows = {r.lang: r for r in df.collect()}
+    en = rows["en"]
+    assert en.fertility_vs_en == 1.0, en
+    for r in rows.values():
+        assert r.total_tokens > 0 and r.total_chars > 0, r
+        assert (
+            abs(r.chars_per_token - r.total_chars / r.total_tokens) < 1e-6
+        ), r
+        assert r.chars_per_token > 1.0, r  # words are longer than 1 char
+
+
+def test_gbdt_boost_monotone_and_checkpointed(spark, sf_dir):
+    """Train RMSE strictly decreases per boosting round, leaf deltas
+    oppose (residual sums cancel), splits are non-degenerate, and the
+    final plan reads only the checkpointed 1-row state (the
+    ml_logistic_irls discipline) — no parquet re-scan per output row."""
+    from kwery_spark.plans import inspect
+
+    df = _q("ml_gbdt_residual_boost")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert "Parquet" not in plan and "parquet" not in plan, plan[:2000]
+    rows = sorted(df.collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == [0, 1, 2]
+    n = rows[0].n_match
+    assert rows[0].rmse > rows[1].rmse > rows[2].rmse, rows
+    for r in rows[1:]:
+        assert 0 < r.n_match < n, r
+        assert r.leaf_delta_match * r.leaf_delta_rest < 0, r
+        assert 0 < r.sse_reduction_frac < 1, r

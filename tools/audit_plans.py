@@ -130,6 +130,13 @@ DECLARED = {
                                      # <=64 rows by construction (8 nodes x
                                      # top-8 candidates; both measured below)
     "dedup_semantic": {"BNLJ"},      # crossJoin(broadcast(8 hyperplane vectors))
+    "ml_gbdt_residual_boost": {"BNLJ", "GLOBAL_WIN"},  # 1-row moment/best-split
+                                     # broadcasts between boosting rounds (the
+                                     # ml_decision_stump pattern x2); ranking
+                                     # windows over the <=22-candidate grids
+                                     # (measured below)
+    "pipeline_tokenizer_fertility": {"BNLJ"},  # crossJoin(broadcast(1-row
+                                     # English fertility reference))
 }
 
 
