@@ -50,8 +50,9 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         event_type,
         count(*) AS n_events,
-        sum(value) AS total_value,
-        avg(value) AS avg_value,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            AS avg_value,
         CAST(min(ts) AS TIMESTAMP) AS first_ts,
         CAST(max(ts) AS TIMESTAMP) AS last_ts
     FROM events
@@ -65,8 +66,13 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
-            F.avg("value").alias("avg_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
         )

@@ -178,7 +178,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-               count(*) AS n, round(avg(value), 6) AS avg_v
+               count(*) AS n,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_v
         FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -211,7 +213,11 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts"))
     hourly = ev.groupBy(F.col("event_type"), hour.alias("h")).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_v")
+        F.count(F.lit(1)).alias("n"),
+        round6(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_v"),
     )
     bounds = ev.agg(
         F.min(hour).alias("h0"), F.max(hour).alias("h1")

@@ -594,7 +594,7 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT 0, 'gold'
     )
-    SELECT d.tier, count(*) AS n_events, round(sum(f.value), 2) AS total_value
+    SELECT d.tier, count(*) AS n_events, CAST(sum(CAST(f.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM fact f JOIN dim d ON f.skew_key = d.skew_key
     GROUP BY d.tier
     """,
@@ -638,7 +638,9 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
     )
 

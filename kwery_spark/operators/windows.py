@@ -241,7 +241,8 @@ def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
            CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
-           round(sum(value) OVER w, 4) AS value_last_hour
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS value_last_hour
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -259,7 +260,8 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT event_id, user_id, ts,
                CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
-               round(sum(value) OVER w, 4) AS value_last_hour
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS value_last_hour
         FROM __wtr_events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)

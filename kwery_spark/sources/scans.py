@@ -353,7 +353,7 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_compacted",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM events GROUP BY event_type
     """,
 )
@@ -389,7 +389,9 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
         )
     )
 

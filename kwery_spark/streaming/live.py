@@ -133,16 +133,24 @@ def _stateful_via_apply_in_pandas(stream: DataFrame, out_schema: str) -> DataFra
     """Fallback path: applyInPandasWithState (Spark 3.4+ API)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    state_schema = "n bigint, total double"
+    state_schema = "n bigint, total_cents bigint"
 
     def update(key, pdf_iter, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        # accumulate exact integer CENTS, never floats — float state
+        # would make the per-user total depend on micro-batch addition
+        # order, diverging from the oracle's sum order (the sum-order
+        # flake class); one final division renders dollars
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
         )
 
     return stream.groupBy("user_id").applyInPandasWithState(
@@ -161,16 +169,25 @@ def _stateful_via_tws(stream: DataFrame, out_schema: str) -> DataFrame:
 
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._agg = handle.getValueState("agg", "n bigint, total double")
+            self._agg = handle.getValueState(
+                "agg", "n bigint, total_cents bigint"
+            )
 
         def handleInputRows(self, key, rows, timer_values):
-            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            # exact integer cents — see the fallback path's comment
+            n, cents = self._agg.get() if self._agg.exists() else (0, 0)
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._agg.update((n, total))
+                cents += int(
+                    (pdf["value"] * 100).round().astype("int64").sum()
+                )
+            self._agg.update((n, cents))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
             )
 
         def close(self) -> None:
@@ -187,7 +204,8 @@ def _stateful_via_tws(stream: DataFrame, out_schema: str) -> DataFrame:
 @register(
     "stream_stateful",
     oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -195,8 +213,9 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming op: per-user running event counter +
     total value, state surviving across micro-batches. After the stream
     drains, the final per-user state equals the batch aggregate, which
-    the oracle recomputes (totals rounded 6dp on both sides — summation
-    order differs between engines).
+    the oracle recomputes exactly (state accumulates integer cents, the
+    oracle sums DECIMAL(18,2) — both order-independent, one final float
+    division each).
 
     The implementation capability-probes Spark 4's
     transformWithStateInPandas (the modern StatefulProcessor API) at
@@ -217,7 +236,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update-mode memory sink may hold one row per state update; keep last
     return result.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.round(F.max("total_value"), 6).alias("total_value"),
+        F.max("total_value").alias("total_value"),
     )
 
 
