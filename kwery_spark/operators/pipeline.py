@@ -1538,3 +1538,71 @@ def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("lang")
     )
+
+
+@register(
+    "pipeline_context_budget",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           floor(quantile_cont(toks, 0.5) * 1000000.0 + 0.5) / 1000000.0
+               AS p50_tokens,
+           floor(quantile_cont(toks, 0.95) * 1000000.0 + 0.5) / 1000000.0
+               AS p95_tokens,
+           CAST(max(toks) AS BIGINT) AS max_tokens,
+           CAST(sum(CASE WHEN toks > 64 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_over_64,
+           floor(CAST(sum(least(toks, 64)) AS DOUBLE) / sum(toks)
+                 * 1000000.0 + 0.5) / 1000000.0 AS retention_at_64
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length budgeting report: per language, the token-length
+    distribution (exact p50/p95, max) and what survives truncation at a
+    64-token context — docs over the limit and the token-retention
+    fraction sum(min(tokens, L))/sum(tokens). This is the question a
+    pretraining run asks before choosing sequence length and packing
+    strategy; complements pack_sequences (which packs at a GIVEN length)
+    and pipeline_tokenizer_fertility (per-language cost per char).
+
+    Exactness: token counts are exact integers; quantile interpolation
+    runs on identical integer-valued doubles in both engines and is
+    rounded via catalog.round6 (a p50 of an even count is an exact .5
+    tie — the driver-r9 class); the retention ratio is one division of
+    exact BIGINT sums, also round6.
+
+    Scale: one scan; the per-language percentile is exact over the
+    grouped token counts (at 100 TB swap in approx_percentile — same
+    plan shape, the corpus fits the exact form the oracle needs)."""
+    toks = F.size(F.split("text", " ")).cast("long")
+    t = table(spark, sf_dir, "documents").select(
+        "lang", toks.alias("toks")
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            round6(F.expr("percentile(toks, 0.5)")).alias("p50_tokens"),
+            round6(F.expr("percentile(toks, 0.95)")).alias("p95_tokens"),
+            F.max("toks").cast("long").alias("max_tokens"),
+            F.sum(F.when(F.col("toks") > 64, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_over_64"),
+            round6(
+                F.sum(F.least(F.col("toks"), F.lit(64)))
+                .cast("long")
+                .cast("double")
+                / F.sum("toks")
+            ).alias("retention_at_64"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("lang")
+    )

@@ -977,3 +977,55 @@ def scan_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("pred")
     )
+
+
+@register(
+    "scan_parquet_bloom",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id IN (11, 4242)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter point lookup: events rewritten once with a
+    writer-side bloom filter on user_id (parquet.bloom.filter.enabled —
+    the row-group-level membership structure that lets a point predicate
+    skip row groups whose min/max range COVERS the key but whose rows
+    don't contain it; zone maps alone can't skip those, see
+    scan_zonemap_skipping for the min/max half). The read-back runs an
+    IN point lookup; correctness is checked against the same predicate
+    on the original table — the bloom layout must be a pure storage
+    change.
+
+    Scale: this is the needle-in-haystack pattern for id lookups on
+    100 TB of logs — the predicate is pushed (PushedFilters: In) and
+    bloom pages bound the false-positive row groups at ~1% FPP. The
+    one-time rewrite is the same offline prep class as optimize_layout;
+    the value sum uses the exact DECIMAL form (r10 sum-order rule)."""
+    dst = _scratch("bloomtab", f"events_pid{os.getpid()}")
+    sweep_dead_pid_dirs(os.path.dirname(dst))
+    ev = table(spark, sf_dir, "events")
+    if not os.path.isdir(dst):
+        (
+            ev.write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#user_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#user_id", "20000")
+            .parquet(dst)
+        )
+    return (
+        spark.read.parquet(dst)
+        .filter(F.col("user_id").isin(11, 4242))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("event_type")
+    )

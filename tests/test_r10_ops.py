@@ -172,3 +172,41 @@ def test_gbdt_boost_monotone_and_checkpointed(spark, sf_dir):
         assert 0 < r.n_match < n, r
         assert r.leaf_delta_match * r.leaf_delta_rest < 0, r
         assert 0 < r.sse_reduction_frac < 1, r
+
+
+def test_context_budget_retention_consistent(spark, sf_dir):
+    """Retention at 64 tokens is the exact min-sum ratio, quantiles are
+    ordered, and over-limit docs imply retention < 1."""
+    rows = _q("pipeline_context_budget")(spark, sf_dir).collect()
+    assert rows, "non-empty"
+    for r in rows:
+        assert r.p50_tokens <= r.p95_tokens <= r.max_tokens, r
+        assert 0 < r.retention_at_64 <= 1.0, r
+        if r.docs_over_64 > 0:
+            assert r.retention_at_64 < 1.0, r
+        else:
+            assert r.retention_at_64 == 1.0, r
+        assert 0 <= r.docs_over_64 <= r.n_docs, r
+
+
+def test_parquet_bloom_pushes_point_lookup(spark, sf_dir):
+    """The IN point predicate must reach the parquet reader of the
+    bloom-rewritten copy (PushedFilters), and the lookup result equals
+    the same predicate on the original table."""
+    import pyspark.sql.functions as F
+
+    from kwery_spark.catalog import table
+    from kwery_spark.plans import inspect
+
+    df = _q("scan_parquet_bloom")(spark, sf_dir)
+    assert inspect.has_pushed_filters(df), inspect.formatted_plan(df)
+    got = {(r.event_type, r.n) for r in df.collect()}
+    want = {
+        (r.event_type, r.n)
+        for r in table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isin(11, 4242))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want, (got, want)
