@@ -1832,7 +1832,8 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     binned AS (
         SELECT least(CAST(floor(s * 10.0) AS BIGINT), 9) AS bin,
-               CAST(round(s, 9) AS DECIMAL(12,9)) AS s9,
+               CAST(floor(s * 1000000000.0 + 0.5) / 1000000000.0
+                    AS DECIMAL(12,9)) AS s9,
                converted
         FROM scored
     ),
@@ -1850,16 +1851,18 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b
     ),
     e AS (
-        SELECT CAST(sum(CAST(round(abs(mean_score - conv_rate), 9)
+        SELECT CAST(sum(CAST(floor(abs(mean_score - conv_rate)
+                                    * 1000000000.0 + 0.5) / 1000000000.0
                              AS DECIMAL(28,9)) * n) AS DOUBLE)
                    / CAST(sum(n) AS BIGINT) AS ece
         FROM g
     )
     SELECT bin, n, n_conv,
-           round(mean_score, 6) AS mean_score,
-           round(conv_rate, 6) AS conv_rate,
-           round(mean_score - conv_rate, 6) AS gap,
-           round((SELECT ece FROM e), 6) AS ece
+           floor(mean_score * 1000000.0 + 0.5) / 1000000.0 AS mean_score,
+           floor(conv_rate * 1000000.0 + 0.5) / 1000000.0 AS conv_rate,
+           floor((mean_score - conv_rate) * 1000000.0 + 0.5) / 1000000.0
+               AS gap,
+           floor((SELECT ece FROM e) * 1000000.0 + 0.5) / 1000000.0 AS ece
     FROM g ORDER BY bin
     """,
 )
@@ -1894,7 +1897,9 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.floor(s * 10.0).cast("long"), F.lit(9).cast("long")).alias(
             "bin"
         ),
-        F.round(s, 9).cast("decimal(12,9)").alias("s9"),
+        (F.floor(s * F.lit(1000000000.0) + F.lit(0.5)) / F.lit(1000000000.0))
+        .cast("decimal(12,9)")
+        .alias("s9"),
         "converted",
     )
     b = binned.groupBy("bin").agg(
@@ -1912,7 +1917,14 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = g.agg(
         (
             F.sum(
-                F.round(F.abs(F.col("mean_score") - F.col("conv_rate")), 9)
+                (
+                    F.floor(
+                        F.abs(F.col("mean_score") - F.col("conv_rate"))
+                        * F.lit(1000000000.0)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1000000000.0)
+                )
                 .cast("decimal(28,9)")
                 * F.col("n")
             ).cast("double")
@@ -1925,10 +1937,12 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "n",
             "n_conv",
-            F.round("mean_score", 6).alias("mean_score"),
-            F.round("conv_rate", 6).alias("conv_rate"),
-            F.round(F.col("mean_score") - F.col("conv_rate"), 6).alias("gap"),
-            F.round("ece", 6).alias("ece"),
+            # round6: per-bin conv_rate/mean_score are integer-ratio
+            # quotients — the tie-capable class (catalog.round6)
+            round6(F.col("mean_score")).alias("mean_score"),
+            round6(F.col("conv_rate")).alias("conv_rate"),
+            round6(F.col("mean_score") - F.col("conv_rate")).alias("gap"),
+            round6(F.col("ece")).alias("ece"),
         )
         .coalesce(1)
         .sortWithinPartitions("bin")

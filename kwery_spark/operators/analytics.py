@@ -1765,16 +1765,18 @@ _POISSON1_CDF_CASE = """CASE WHEN {u} < 0.36787944117144233 THEN 0
     ci AS (
         SELECT event_type,
                CAST(max(nb) AS BIGINT) AS n_reps,
-               round(max(CASE WHEN rk = 2 THEN mean_b END), 6) AS ci_lo,
-               round(max(CASE WHEN rk = nb - 1 THEN mean_b END), 6) AS ci_hi
+               floor(max(CASE WHEN rk = 2 THEN mean_b END)
+                     * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+               floor(max(CASE WHEN rk = nb - 1 THEN mean_b END)
+                     * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
         FROM ranked
         GROUP BY event_type
     ),
     base AS (
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                     / count(*), 6) AS mean_obs
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_obs
         FROM events
         GROUP BY event_type
     )
@@ -1830,20 +1832,21 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.max("nb").alias("n_reps"),
-            F.round(
-                F.max(F.when(F.col("rk") == 2, F.col("mean_b"))), 6
+            # round6: bootstrap means are exact-sum/count ratios — the
+            # tie-capable class (catalog.round6, driver-r9 flake)
+            round6(
+                F.max(F.when(F.col("rk") == 2, F.col("mean_b")))
             ).alias("ci_lo"),
-            F.round(
-                F.max(F.when(F.col("rk") == F.col("nb") - 1, F.col("mean_b"))), 6
+            round6(
+                F.max(F.when(F.col("rk") == F.col("nb") - 1, F.col("mean_b")))
             ).alias("ci_hi"),
         )
     )
     base = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
+        round6(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("mean_obs"),
     )
     return (
@@ -2417,11 +2420,12 @@ def events_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     )
     SELECT event_type, n,
-           round(mean_v, 6) AS mean_v,
-           round(var_v, 6) AS var_v,
-           round(sqrt(7.848887 * 2.0 * var_v / n), 6) AS mde_abs,
-           round(sqrt(7.848887 * 2.0 * var_v / n)
-                 / mean_v, 6) AS mde_rel,
+           floor(mean_v * 1000000.0 + 0.5) / 1000000.0 AS mean_v,
+           floor(var_v * 1000000.0 + 0.5) / 1000000.0 AS var_v,
+           floor(sqrt(7.848887 * 2.0 * var_v / n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mde_abs,
+           floor(sqrt(7.848887 * 2.0 * var_v / n)
+                 / mean_v * 1000000.0 + 0.5) / 1000000.0 AS mde_rel,
            CAST(ceil(7.848887 * 2.0 * var_v
                      / ((0.05 * mean_v) * (0.05 * mean_v))) AS BIGINT)
                AS n_per_arm_for_5pct
@@ -2462,10 +2466,12 @@ def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.select(
             "event_type",
             "n",
-            F.round("mean_v", 6).alias("mean_v"),
-            F.round("var_v", 6).alias("var_v"),
-            F.round(mde, 6).alias("mde_abs"),
-            F.round(mde / F.col("mean_v"), 6).alias("mde_rel"),
+            # round6: mean/var are exact-moment integer ratios — the
+            # tie-capable class (catalog.round6, driver-r9 flake)
+            round6(F.col("mean_v")).alias("mean_v"),
+            round6(F.col("var_v")).alias("var_v"),
+            round6(mde).alias("mde_abs"),
+            round6(mde / F.col("mean_v")).alias("mde_rel"),
             F.ceil(zsq2 * F.col("var_v") / (delta * delta))
             .cast("long")
             .alias("n_per_arm_for_5pct"),

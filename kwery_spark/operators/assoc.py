@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from kwery_spark.catalog import table
+from kwery_spark.catalog import round6, table
 from kwery_spark.registry import register
 
 
@@ -43,10 +43,13 @@ from kwery_spark.registry import register
     )
     SELECT p.antecedent, p.consequent, p.n_ab,
            ia.n_item AS n_ante, ic.n_item AS n_cons, n.n_baskets,
-           round(CAST(p.n_ab AS DOUBLE) / n.n_baskets, 6) AS support,
-           round(CAST(p.n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
-           round((CAST(p.n_ab AS DOUBLE) * n.n_baskets)
-                 / (CAST(ia.n_item AS DOUBLE) * ic.n_item), 6) AS lift
+           floor(CAST(p.n_ab AS DOUBLE) / n.n_baskets
+                 * 1000000.0 + 0.5) / 1000000.0 AS support,
+           floor(CAST(p.n_ab AS DOUBLE) / ia.n_item
+                 * 1000000.0 + 0.5) / 1000000.0 AS confidence,
+           floor((CAST(p.n_ab AS DOUBLE) * n.n_baskets)
+                 / (CAST(ia.n_item AS DOUBLE) * ic.n_item)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
     FROM pair_n p
     JOIN item_n ia ON p.antecedent = ia.item
     JOIN item_n ic ON p.consequent = ic.item
@@ -64,7 +67,8 @@ def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: all counts are integers; support/confidence are single
     divisions and lift is one division of two exact integer-valued
     double products (counts stay far below 2^53 per factor), so both
-    engines compute bit-identical doubles before the shared round(6).
+    engines compute bit-identical doubles before the shared round6
+    (floor-based — plain round diverges per-ulp at exact integer-ratio ties).
 
     Scale: lineitem joins part on the key (shuffle or AQE-broadcast —
     Catalyst's choice), baskets aggregate per order with map-side
@@ -122,12 +126,13 @@ def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ante",
             "n_cons",
             "n_baskets",
-            F.round(ab / F.col("n_baskets"), 6).alias("support"),
-            F.round(ab / F.col("n_ante"), 6).alias("confidence"),
-            F.round(
+            # round6, not round(.,6): integer-count ratios can land on
+            # exact 6th-decimal ties (catalog.round6, driver-r9 class)
+            round6(ab / F.col("n_baskets")).alias("support"),
+            round6(ab / F.col("n_ante")).alias("confidence"),
+            round6(
                 (ab * F.col("n_baskets"))
-                / (F.col("n_ante").cast("double") * F.col("n_cons")),
-                6,
+                / (F.col("n_ante").cast("double") * F.col("n_cons"))
             ).alias("lift"),
         )
         .coalesce(1)

@@ -890,11 +890,13 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
            CAST(count(DISTINCT content_hash) AS BIGINT) AS n_unique_contents,
-           round(1.0 - count(DISTINCT content_hash) * 1.0 / count(*), 6)
-               AS exact_dup_rate,
-           round(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           floor((1.0 - count(DISTINCT content_hash) * 1.0 / count(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS exact_dup_rate,
+           floor(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0
                AS quality_pass_rate,
-           round(avg(n_tokens), 6) AS avg_tokens_per_doc
+           floor(CAST(sum(n_tokens) AS DOUBLE) / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_tokens_per_doc
     FROM per_doc
     """,
 )
@@ -924,16 +926,20 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum("n_tokens").cast("long").alias("total_ws_tokens"),
         F.countDistinct("content_hash").cast("long").alias("n_unique_contents"),
-        F.round(
-            1.0 - F.countDistinct("content_hash") * 1.0 / F.count(F.lit(1)), 6
+        # round6: integer-count ratios are the tie-capable class
+        # (catalog.round6, driver-r9 flake); the token mean is one exact
+        # BIGINT sum divided once
+        round6(
+            1.0 - F.countDistinct("content_hash") * 1.0 / F.count(F.lit(1))
         ).alias("exact_dup_rate"),
-        F.round(
+        round6(
             F.sum(F.when(F.col("quality_ok"), 1).otherwise(0))
             * 1.0
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("quality_pass_rate"),
-        F.round(F.avg("n_tokens"), 6).alias("avg_tokens_per_doc"),
+        round6(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1))
+        ).alias("avg_tokens_per_doc"),
     )
 
 

@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-from kwery_spark.catalog import table
+from kwery_spark.catalog import round6, table
 from kwery_spark.registry import register
 
 # Local scratch for sink round-trips; at cluster scale this would be an
@@ -910,10 +910,10 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                               OR CAST(zmin AS DATE) > hi
                          THEN n_rows ELSE 0 END) AS BIGINT)
                AS rows_skipped,
-           round(CAST(sum(CASE WHEN CAST(zmax AS DATE) < lo
-                                    OR CAST(zmin AS DATE) > hi
-                               THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS skip_frac
+           floor(CAST(sum(CASE WHEN CAST(zmax AS DATE) < lo
+                                     OR CAST(zmin AS DATE) > hi
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS skip_frac
     FROM zones CROSS JOIN preds
     GROUP BY pred
     ORDER BY pred
@@ -968,10 +968,10 @@ def scan_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(skipped, F.col("n_rows")).otherwise(0))
             .cast("long")
             .alias("rows_skipped"),
-            F.round(
+            # round6: integer-count ratio, the tie-capable class
+            round6(
                 F.sum(F.when(skipped, 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("skip_frac"),
         )
         .coalesce(1)

@@ -210,3 +210,51 @@ def test_parquet_bloom_pushes_point_lookup(spark, sf_dir):
         .collect()
     }
     assert got == want, (got, want)
+
+
+def test_no_new_tie_capable_rounds_in_oracles():
+    """Static guard against reintroducing the driver-r9 flake class:
+    oracle SQL must not round() an integer-ratio quotient (a division
+    whose denominator is a count-like term, or a µs-unit expression) —
+    those can land on exact decimal ties where the engines' round()
+    implementations disagree per-ulp. Use the floor-based
+    catalog.round6_sql form instead. Keys in the whitelist were assessed
+    individually (ties unreachable: huge denominators, sqrt/ln-derived
+    values, or exact ≤6-decimal grids that round-trip identically)."""
+    import re
+
+    from kwery_spark.registry import ORACLES
+
+    SAFE = {
+        # cov/var ratios of large exact-DECIMAL moments — denominators
+        # are corpus-scale aggregates, exact ties unreachable
+        "events_cuped_adjust",
+        # gini: 2*rank_weighted/(n*total) — denominator is a product of
+        # corpus-scale exact integers
+        "events_lorenz_gini",
+        # normal-equation solve: determinant denominators, huge exact
+        "ml_ols_normal_equations",
+        # single µs difference / 1e6 — an exact ≤6-decimal grid value;
+        # round() recovers the grid identically in both engines
+        "join_asof_tolerance",
+        # ln()-derived sampling keys — irrational-ish, ties unreachable
+        "sample_weighted",
+        # rate: n*3.6e9/s1 with s1 ~ 1e13 µs; cv: sqrt-derived
+        "events_inter_arrival",
+    }
+    pat_div_count = re.compile(
+        r"round\s*\([^;]*?/\s*(?:count\s*\(|n_gaps|cnt\b|n\b)[^;]*?,\s*\d",
+        re.I | re.S,
+    )
+    pat_us = re.compile(
+        r"round\s*\([^)]*(?:epoch_us|unix_micros|1000000\.0)[^;]*?,\s*\d",
+        re.I | re.S,
+    )
+    offenders = {
+        k
+        for k, sql in ORACLES.items()
+        if k not in SAFE and (pat_div_count.search(sql) or pat_us.search(sql))
+    }
+    assert not offenders, (
+        f"tie-capable round() in oracles (use round6_sql): {sorted(offenders)}"
+    )
