@@ -2952,3 +2952,130 @@ def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("event_type")
     )
+
+
+@register(
+    "events_funnel_windowed",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(epoch_us(ts)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) >= v.t_view
+          AND epoch_us(e.ts) - v.t_view <= 86400000000
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) >= c.t_click
+          AND epoch_us(e.ts) - c.t_click <= 86400000000
+        GROUP BY e.user_id
+    ),
+    stages AS (
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage,
+               (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_users
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click_within_24h',
+               (SELECT CAST(count(*) AS BIGINT) FROM c)
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase_within_24h',
+               (SELECT CAST(count(*) AS BIGINT) FROM p)
+    )
+    SELECT step, stage, n_users,
+           floor(CAST(n_users AS DOUBLE)
+                 / max(n_users) OVER ()
+                 * 1000000.0 + 0.5) / 1000000.0 AS frac_of_top,
+           floor(CAST(n_users AS DOUBLE)
+                 / lag(n_users, 1, n_users) OVER (ORDER BY step)
+                 * 1000000.0 + 0.5) / 1000000.0 AS step_conversion
+    FROM stages ORDER BY step
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSION-WINDOW funnel (the Amplitude/Mixpanel semantics):
+    view -> click -> purchase where each step must land within 24 HOURS
+    of the previous step's first occurrence — unlike events_funnel,
+    whose steps are unbounded-in-time (at the gate SF: 150 -> 60 -> 25
+    users windowed vs 150 -> 150 -> 150 unbounded — the window binds hard). A user who clicks a week after
+    viewing counts there but not here; the windowed form is what
+    product funnels actually report, and the gap between the two keys
+    IS the abandonment-latency signal.
+
+    Exactness: step times are exact min() microsecond integers
+    (sub-second rule — the 24-hour bound compares exact µs differences,
+    never second-truncated casts); stage fractions are integer ratios
+    rounded via catalog.round6 (the driver-r9 tie class).
+
+    Scale: three user-keyed min-aggregates chained by equi-joins — each
+    stage shrinks the key set, so the joins get cheaper as the funnel
+    deepens; the final 3-row ranking is driver-free. At 100 TB this is
+    the same plan with the user-keyed shuffles co-partitioned."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    win_us = 86_400_000_000  # 24h: binding at every SF (1h is degenerate
+    # at sf0.001 — 0 step-3 users — on this sparse synthetic corpus)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("us") >= F.col("t_view"))
+            & (F.col("us") - F.col("t_view") <= win_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("us") >= F.col("t_click"))
+            & (F.col("us") - F.col("t_click") <= win_us)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_purchase"))
+    )
+
+    def stage(step, name, df):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(step).cast("long").alias("step"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+
+    stages = (
+        stage(1, "view", v)
+        .unionAll(stage(2, "click_within_24h", c))
+        .unionAll(stage(3, "purchase_within_24h", p))
+    )
+    w_all = Window.partitionBy()
+    w_lag = Window.orderBy("step")
+    return (
+        stages.select(
+            "step",
+            "stage",
+            "n_users",
+            round6(
+                F.col("n_users").cast("double") / F.max("n_users").over(w_all)
+            ).alias("frac_of_top"),
+            round6(
+                F.col("n_users").cast("double")
+                / F.coalesce(
+                    F.lag("n_users", 1).over(w_lag), F.col("n_users")
+                ).cast("double")
+            ).alias("step_conversion"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("step")
+    )

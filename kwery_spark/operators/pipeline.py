@@ -1612,3 +1612,127 @@ def pipeline_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("lang")
     )
+
+
+@register(
+    "sample_balanced_classes",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    floor_n AS (SELECT min(n) AS k FROM counts),
+    ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    ),
+    kept AS (
+        SELECT r.* FROM ranked r CROSS JOIN floor_n f WHERE r.rk <= f.k
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           floor(CAST(sum(n_chars) AS DOUBLE) / count(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_chars_kept
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-BALANCED downsampling: every language keeps exactly
+    min(class size) documents — the equalizing sampler behind balanced
+    eval sets and per-language training quotas. Distinct from
+    sample_stratified, which PRESERVES the class proportions; this one
+    flattens them. Selection is the md5(doc_id) rank per class — the
+    repo's reproducible-sampling rule — so membership is identical
+    across engines, re-runs, and cluster sizes.
+
+    Exactness: rank ties are impossible (doc_id is unique within the
+    tiebreak); the per-class floor arrives as a 1-row broadcast; the id
+    checksum is an exact BIGINT sum; the kept-average is one exact
+    integer ratio rounded via catalog.round6.
+
+    Scale: one rank window per class (shuffle on lang, bounded
+    cardinality) + a 1-row broadcast bound — no collect, no cross
+    join with data. At 100 TB the same plan holds; the rank window is
+    the standard per-class top-k."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    floor_n = counts.agg(F.min("n").cast("long").alias("k"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    kept = (
+        docs.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("k"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            round6(
+                F.sum("n_chars").cast("long").cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_chars_kept"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("lang")
+    )
+
+
+@register(
+    "pipeline_interleave_sources",
+    oracle="""
+    WITH ordered AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ),
+    sched AS (
+        SELECT source, doc_id, rn,
+               row_number() OVER (ORDER BY rn, source, doc_id) AS position
+        FROM ordered
+    )
+    SELECT position, source, doc_id
+    FROM sched
+    WHERE position <= 50
+    ORDER BY position
+    """,
+)
+def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source interleaving: the training-order schedule
+    that alternates between sources round-robin (rank r of every source
+    before rank r+1 of any source) — the tf.data / interleave_datasets
+    pattern that stops a run from seeing one source in a long block.
+    Within a source the order is the md5(doc_id) shuffle (reproducible
+    across engines and re-runs); across sources at equal rank the
+    tiebreak is (source, doc_id). Emits the first 50 schedule
+    positions.
+
+    Scale: one rank window per source; the GLOBAL position is only
+    materialized for the bounded top-50 (orderBy+limit fuses to
+    TakeOrderedAndProject — no full global sort), which is exactly how
+    a real pipeline would page the schedule out lazily."""
+    docs = table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ordered = docs.select("source", "doc_id").withColumn(
+        "rn", F.row_number().over(w_src)
+    )
+    top = ordered.orderBy("rn", "source", "doc_id").limit(50)
+    w_pos = Window.orderBy("rn", "source", "doc_id")
+    return (
+        top.withColumn("position", F.row_number().over(w_pos).cast("long"))
+        .select("position", "source", "doc_id")
+        .coalesce(1)
+        .sortWithinPartitions("position")
+    )

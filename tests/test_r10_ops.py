@@ -258,3 +258,57 @@ def test_no_new_tie_capable_rounds_in_oracles():
     assert not offenders, (
         f"tie-capable round() in oracles (use round6_sql): {sorted(offenders)}"
     )
+
+
+def test_balanced_classes_equalizes(spark, sf_dir):
+    """Every class keeps exactly min(class size) rows, and membership is
+    the md5-rank prefix (reproducible, engine-portable)."""
+    import pyspark.sql.functions as F
+
+    from kwery_spark.catalog import table
+
+    rows = _q("sample_balanced_classes")(spark, sf_dir).collect()
+    kept = {r.lang: r.n_kept for r in rows}
+    true_counts = {
+        r.lang: r.n
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    floor = min(true_counts.values())
+    assert set(kept) == set(true_counts)
+    assert all(v == floor for v in kept.values()), kept
+
+
+def test_interleave_schedule_round_robin(spark, sf_dir):
+    """Positions are 1..50 with no gaps; within the schedule every
+    source's rank-r doc precedes any source's rank-(r+1) doc (the
+    round-robin property), and the global sort is fused to a bounded
+    TakeOrderedAndProject, not a full sort."""
+    from kwery_spark.plans import inspect
+
+    df = _q("pipeline_interleave_sources")(spark, sf_dir)
+    assert inspect.has_take_ordered(df), inspect.formatted_plan(df)
+    rows = sorted(df.collect(), key=lambda r: r.position)
+    assert [r.position for r in rows] == list(range(1, len(rows) + 1))
+    seen_per_source = {}
+    for r in rows:
+        seen_per_source[r.source] = seen_per_source.get(r.source, 0) + 1
+        # a source can lead by at most 1 over the least-seen source
+        assert seen_per_source[r.source] - min(seen_per_source.values()) <= 1, rows
+
+
+def test_windowed_funnel_is_subset_of_unbounded(spark, sf_dir):
+    """Each windowed stage count is <= the unbounded funnel's stage
+    count, counts are monotone down the funnel, and fractions are
+    consistent."""
+    win = {r.stage: r for r in _q("events_funnel_windowed")(spark, sf_dir).collect()}
+    unb = {r.stage: r.n_users for r in _q("events_funnel")(spark, sf_dir).collect()}
+    assert win["view"].n_users == unb["view"]
+    assert win["click_within_24h"].n_users <= unb["click"]
+    assert win["purchase_within_24h"].n_users <= unb["purchase"]
+    ns = [win["view"].n_users, win["click_within_24h"].n_users,
+          win["purchase_within_24h"].n_users]
+    assert ns[0] >= ns[1] >= ns[2] > 0, ns
+    assert win["view"].frac_of_top == 1.0 and win["view"].step_conversion == 1.0

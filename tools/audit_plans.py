@@ -137,6 +137,13 @@ DECLARED = {
                                      # (measured below)
     "pipeline_tokenizer_fertility": {"BNLJ"},  # crossJoin(broadcast(1-row
                                      # English fertility reference))
+    "sample_balanced_classes": {"BNLJ"},  # crossJoin(broadcast(1-row
+                                     # min-class-size floor))
+    "pipeline_interleave_sources": {"GLOBAL_WIN"},  # position window over
+                                     # the 50 survivors of orderBy+limit(50)
+                                     # (TakeOrderedAndProject; measured below)
+    "events_funnel_windowed": {"GLOBAL_WIN"},  # frac/lag windows over the
+                                     # 3-row stage table (measured below)
 }
 
 
