@@ -2965,7 +2965,7 @@ def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
         FROM events e JOIN v ON e.user_id = v.user_id
         WHERE e.event_type = 'click'
-          AND epoch_us(e.ts) >= v.t_view
+          AND epoch_us(e.ts) > v.t_view
           AND epoch_us(e.ts) - v.t_view <= 86400000000
         GROUP BY e.user_id
     ),
@@ -2973,7 +2973,7 @@ def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
         FROM events e JOIN c ON e.user_id = c.user_id
         WHERE e.event_type = 'purchase'
-          AND epoch_us(e.ts) >= c.t_click
+          AND epoch_us(e.ts) > c.t_click
           AND epoch_us(e.ts) - c.t_click <= 86400000000
         GROUP BY e.user_id
     ),
@@ -2999,8 +2999,10 @@ def events_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONVERSION-WINDOW funnel (the Amplitude/Mixpanel semantics):
-    view -> click -> purchase where each step must land within 24 HOURS
-    of the previous step's first occurrence — unlike events_funnel,
+    view -> click -> purchase where each step must land STRICTLY after
+    and within 24 HOURS of the previous step's first occurrence (strict
+    > lower bound matching events_funnel, so windowed-is-a-subset holds
+    by construction — ADVICE r10) — unlike events_funnel,
     whose steps are unbounded-in-time (at the gate SF: 150 -> 60 -> 25
     users windowed vs 150 -> 150 -> 150 unbounded — the window binds hard). A user who clicks a week after
     viewing counts there but not here; the windowed form is what
@@ -3030,7 +3032,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(
-            (F.col("us") >= F.col("t_view"))
+            (F.col("us") > F.col("t_view"))
             & (F.col("us") - F.col("t_view") <= win_us)
         )
         .groupBy("user_id")
@@ -3040,7 +3042,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
         .filter(
-            (F.col("us") >= F.col("t_click"))
+            (F.col("us") > F.col("t_click"))
             & (F.col("us") - F.col("t_click") <= win_us)
         )
         .groupBy("user_id")

@@ -1005,19 +1005,27 @@ def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB of logs — the predicate is pushed (PushedFilters: In) and
     bloom pages bound the false-positive row groups at ~1% FPP. The
     one-time rewrite is the same offline prep class as optimize_layout;
-    the value sum uses the exact DECIMAL form (r10 sum-order rule)."""
-    dst = _scratch("bloomtab", f"events_pid{os.getpid()}")
-    sweep_dead_pid_dirs(os.path.dirname(dst))
-    ev = table(spark, sf_dir, "events")
-    if not os.path.isdir(dst):
+    the value sum uses the exact DECIMAL form (r10 sum-order rule).
+
+    The staged copy is keyed by sf_dir + corpus fingerprint via
+    _stage_once (ADVICE r10: the earlier pid-keyed dir ignored both, so
+    a multi-SF session or a regenerated corpus could silently read the
+    wrong copy, and a partial dir from a crashed writer looked valid)."""
+    stage_dir = _scratch("bloomtab", f"events_{os.path.basename(sf_dir.rstrip('/'))}")
+    data_dir = os.path.join(stage_dir, "data")
+
+    def write():
         (
-            ev.write.mode("overwrite")
+            table(spark, sf_dir, "events")
+            .write.mode("overwrite")
             .option("parquet.bloom.filter.enabled#user_id", "true")
             .option("parquet.bloom.filter.expected.ndv#user_id", "20000")
-            .parquet(dst)
+            .parquet(data_dir)
         )
+
+    _stage_once(stage_dir, _corpus_fingerprint(sf_dir, "events"), write)
     return (
-        spark.read.parquet(dst)
+        spark.read.parquet(data_dir)
         .filter(F.col("user_id").isin(11, 4242))
         .groupBy("event_type")
         .agg(

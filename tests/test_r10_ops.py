@@ -200,13 +200,21 @@ def test_parquet_bloom_pushes_point_lookup(spark, sf_dir):
 
     df = _q("scan_parquet_bloom")(spark, sf_dir)
     assert inspect.has_pushed_filters(df), inspect.formatted_plan(df)
-    got = {(r.event_type, r.n) for r in df.collect()}
+    # total_value included (ADVICE r10): counts alone would pass against
+    # a value-corrupting stale copy; the DECIMAL sum is exact, so the
+    # comparison is equality, not tolerance.
+    got = {(r.event_type, r.n, r.total_value) for r in df.collect()}
     want = {
-        (r.event_type, r.n)
+        (r.event_type, r.n, r.total_value)
         for r in table(spark, sf_dir, "events")
         .filter(F.col("user_id").isin(11, 4242))
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
         .collect()
     }
     assert got == want, (got, want)
