@@ -137,15 +137,16 @@ def _near_dup_content_graph(spark: SparkSession, sf_dir: str):
     return keyed, groups, rep_pairs
 
 
-@register("dedup_minhash", oracle=_JACCARD_ORACLE)
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup doc pairs (Jaccard >= 0.9) via the shared content-level
-    MinHash-LSH graph (_near_dup_content_graph — design, parameters and
-    the r5 scale history documented there), expanded back to doc pairs:
-    cross-content pairs fan out |A|x|B| at their verified jaccard,
-    same-content groups emit their C(k,2) internal pairs at jaccard 1.0.
-    Expansion joins are linear in the true output; the oracle is the
-    full exact-Jaccard pair set (P(LSH miss | j>=0.9) ~ 1.5e-8/pair)."""
+def _minhash_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full doc-level near-dup pair expansion (Jaccard >= 0.9) from the
+    shared content-level MinHash-LSH graph: cross-content pairs fan out
+    |A|x|B| at their verified jaccard, same-content groups emit their
+    C(k,2) internal pairs at jaccard 1.0. Linear in the true pair
+    output — which is exactly why it is no longer the REGISTERED
+    contract (see dedup_minhash below): under clone-heavy corpora the
+    true pair count itself grows quadratically in clone multiplicity
+    (485 s at sf30, r10 sweep — all of it output materialization).
+    Tests still consume this expansion to cross-check the summary."""
     keyed, groups, rep_pairs = _near_dup_content_graph(spark, sf_dir)
     # expansion: cross-content pairs fan out over both member sets
     ka = keyed.select(F.col("ckey").alias("ckey_a"), F.col("doc_id").alias("da"))
@@ -184,6 +185,135 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cross.unionByName(within)
 
+
+# Encodes a normalized (doc_a, doc_b) pair into one BIGINT so both engines
+# can take an exact lexicographic MIN over pairs: doc_a*2^32 + doc_b.
+# Safe while doc_id < 2^31 (sf100 has ~60M docs; 2^31 headroom is 35x).
+_PAIR_ENC = 4294967296
+
+
+@register(
+    "dedup_minhash",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, list_distinct(str_split(text, ' ')) AS t
+        FROM documents
+    ),
+    ck AS MATERIALIZED (
+        SELECT doc_id, md5(array_to_string(list_sort(t), ' ')) AS ckey
+        FROM toks
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.t, b.t))
+                 / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))
+                 AS jaccard
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.t, b.t))
+                 / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))
+                 >= 0.9
+    ),
+    units AS (
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               CASE WHEN ca.ckey < cb.ckey THEN ca.ckey ELSE cb.ckey END
+                   AS ck_lo,
+               CASE WHEN ca.ckey < cb.ckey THEN cb.ckey ELSE ca.ckey END
+                   AS ck_hi
+        FROM pairs p
+        JOIN ck ca ON ca.doc_id = p.doc_a
+        JOIN ck cb ON cb.doc_id = p.doc_b
+    )
+    SELECT CAST(floor(jaccard * 1000) AS BIGINT) AS jband,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT ck_lo || ck_hi) AS BIGINT) AS n_units,
+           CAST(min(doc_a * {_PAIR_ENC} + doc_b) >> 32 AS BIGINT)
+               AS ex_doc_a,
+           CAST(min(doc_a * {_PAIR_ENC} + doc_b) & 4294967295 AS BIGINT)
+               AS ex_doc_b
+    FROM units
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup REPORT (Jaccard >= 0.9) over the shared
+    content-level graph (_near_dup_content_graph — design, parameters
+    and the r5 scale history documented there): per jaccard millibands
+    (floor(j*1000)), the EXACT expanded doc-pair count, the number of
+    content-level units behind it, and the lexicographically smallest
+    exemplar pair.
+
+    r11 contract (VERDICT r10 item 3): the registered output is this
+    bounded summary, not the materialized pair list. The pair list is
+    linear in the true output, but under clone-heavy corpora the true
+    output itself grows quadratically in clone multiplicity — the r10
+    sf30 sweep measured 485 s, ALL of it pair materialization. At
+    100 TB nobody ships the pair list; the linear deliverable is the
+    cluster membership (dedup_clusters) and this report is the audit
+    artifact. Counts are computed ANALYTICALLY from multiplicities —
+    cross pairs contribute cnt_a*cnt_b at the rep jaccard, same-content
+    groups C(cnt,2) at jaccard 1.0 (cross units can never land in band
+    1000: jaccard=1 iff equal token sets iff same content key) — so no
+    doc-level pair is ever materialized and the plan is bounded by
+    DISTINCT content cardinality. The full expansion survives as
+    _minhash_doc_pairs for tests and downstream consumers that want it.
+
+    Exactness: counts are integer algebra; jband floors a double product
+    of an identically-computed ratio of ints (bit-identical across
+    engines); the exemplar MIN runs over doc_a*2^32+doc_b encodings
+    (exact BIGINTs, see _PAIR_ENC)."""
+    keyed, groups, rep_pairs = _near_dup_content_graph(spark, sf_dir)
+    enc = F.lit(_PAIR_ENC).cast("long")
+    ga = groups.select(F.col("rep").alias("rep_a"), F.col("cnt").alias("cnt_a"))
+    gb = groups.select(F.col("rep").alias("rep_b"), F.col("cnt").alias("cnt_b"))
+    cross_units = (
+        rep_pairs.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .select(
+            F.floor(F.col("jaccard") * 1000).cast("long").alias("jband"),
+            (F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("n_pairs"),
+            (
+                F.least("rep_a", "rep_b") * enc + F.greatest("rep_a", "rep_b")
+            ).alias("ex"),
+        )
+    )
+    # within-group exemplar = (rep, second-smallest member); rep is the
+    # group min by construction, d2 from a SORTED collect (determinism
+    # rule). Groups re-aggregated from the checkpointed keyed frame —
+    # the d2 column is only needed here, not by the shared graph.
+    within_units = (
+        keyed.groupBy("ckey")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("cnt"),
+            # try_: singleton groups have no second member; they are
+            # filtered on cnt below, but the agg projection evaluates first
+            F.try_element_at(F.array_sort(F.collect_list("doc_id")), F.lit(2)).alias("d2"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select(
+            F.lit(1000).cast("long").alias("jband"),
+            F.expr("CAST(cnt * (cnt - 1) DIV 2 AS BIGINT)").alias("n_pairs"),
+            (F.col("rep") * enc + F.col("d2")).alias("ex"),
+        )
+    )
+    return (
+        cross_units.unionByName(within_units)
+        .groupBy("jband")
+        .agg(
+            F.sum("n_pairs").cast("long").alias("n_pairs"),
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.min("ex").alias("exmin"),
+        )
+        .select(
+            "jband",
+            "n_pairs",
+            "n_units",
+            F.shiftright("exmin", 32).cast("long").alias("ex_doc_a"),
+            F.col("exmin").bitwiseAND(F.lit(4294967295)).cast("long").alias("ex_doc_b"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("jband")
+    )
 
 
 @register(

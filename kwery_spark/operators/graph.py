@@ -27,6 +27,55 @@ from kwery_spark.registry import register
 _D = 0.85  # damping
 
 
+# ---------------------------------------------------------------------------
+# Session-scoped shared-artifact cache (VERDICT r10 item 4): the graph
+# family's keys all derive from the same weighted customer-supplier pair
+# table, and at sf30 each key paid the ~350M-edge build again — the r9
+# decomposition proved the BUILD dominates every iterative key, not the
+# rounds. Checkpointed artifacts are memoized per (Spark application,
+# resolved sf_dir, lineitem corpus fingerprint), so:
+#   * a standalone run (check.py, driver gate, audit) builds exactly what
+#     it always built — first-touch plans are unchanged;
+#   * a multi-key session (scale sweep, full gate, bench) pays each build
+#     once and every later consumer starts from the checkpoint scan.
+# Keying on the corpus fingerprint means a regenerated corpus can never
+# serve stale edges; keying on applicationId means a stopped session's
+# entries can never be handed to a new context (their checkpoint RDDs
+# would be dead). Bounded LRU — evicted entries release their checkpoint
+# files through the session's cleanCheckpoints GC hook.
+from collections import OrderedDict
+
+_SHARED: "OrderedDict[tuple, object]" = OrderedDict()
+_SHARED_CAP = 8
+
+
+def _shared_key(spark: SparkSession, sf_dir: str, table_name: str, artifact: str):
+    import os
+
+    from kwery_spark.sources.scans import _corpus_fingerprint
+
+    return (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        _corpus_fingerprint(sf_dir, table_name),
+        artifact,
+    )
+
+
+def _shared_get(spark, sf_dir, artifact, table_name="lineitem"):
+    key = _shared_key(spark, sf_dir, table_name, artifact)
+    hit = _SHARED.get(key)
+    if hit is not None:
+        _SHARED.move_to_end(key)
+    return hit
+
+
+def _shared_put(spark, sf_dir, artifact, value, table_name="lineitem"):
+    _SHARED[_shared_key(spark, sf_dir, table_name, artifact)] = value
+    while len(_SHARED) > _SHARED_CAP:
+        _SHARED.popitem(last=False)
+
+
 def _ckpt(df: DataFrame) -> DataFrame:
     """Disk-backed lineage truncation for iterative state. localCheckpoint
     pins partitions in executor memory — fine for the per-round rank/label
@@ -77,6 +126,35 @@ def _ckpt(df: DataFrame) -> DataFrame:
 
 
 
+def _pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical shared graph artifact (r11): the weighted distinct
+    customer-supplier pair table (c=2*custkey, s=2*suppkey+1, wt =
+    lineitem multiplicity), c-partitioned and disk-checkpointed, memoized
+    per session+corpus (_SHARED). Every graph key is a projection of it:
+    the bidirected edge set is its key set, LPA's degree caps are windows
+    over wt, common-neighbor weights ARE wt, degrees are its per-key
+    counts. One 60M-row (sf10) join feeds the whole family instead of
+    each key re-paying it — at sf30 the build dominated all three
+    iterative keys (r9 decomposition)."""
+    hit = _shared_get(spark, sf_dir, "pair_weights")
+    if hit is not None:
+        return hit
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w = _ckpt(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .repartition("c")
+        .sortWithinPartitions("c")
+    )
+    _shared_put(spark, sf_dir, "pair_weights", w)
+    return w
+
+
 def _purchase_edges(
     spark: SparkSession, sf_dir: str, with_degree: bool = False
 ) -> DataFrame:
@@ -93,21 +171,27 @@ def _purchase_edges(
     disk checkpoint (_ckpt, the r5 OOM lesson — never pin the edge set
     in executor memory), so each Pregel round's src-keyed join starts
     from co-partitioned input. Node ids render back to the public
-    'c{k}'/'s{k}' strings only in final projections (_node_str)."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    base = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
+    'c{k}'/'s{k}' strings only in final projections (_node_str).
+
+    r11: the distinct pair set comes from _pair_weights (its key set —
+    groupBy replaces the old distinct, same single shuffle, identical
+    rows), and the finished edge frame is memoized per session+corpus,
+    so pagerank's with-degree build also serves BFS (srcdeg dropped)
+    and any later consumer in the same session."""
+    variant = "edges_deg" if with_degree else "edges"
+    hit = _shared_get(spark, sf_dir, variant)
+    if hit is not None:
+        return hit
+    if not with_degree:
+        deg = _shared_get(spark, sf_dir, "edges_deg")
+        if deg is not None:
+            return deg.drop("srcdeg")
+    base = _pair_weights(spark, sf_dir).select("c", "s")
     from pyspark.sql import Window
 
     edges = (
-        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .union(base.select(F.col("s").alias("src"), F.col("c").alias("dst")))
         .repartition("src")
         .sortWithinPartitions("src")
     )
@@ -120,7 +204,9 @@ def _purchase_edges(
         edges = edges.withColumn(
             "srcdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
         )
-    return _ckpt(edges)
+    edges = _ckpt(edges)
+    _shared_put(spark, sf_dir, variant, edges)
+    return edges
 
 
 def _node_str(col):
@@ -211,7 +297,15 @@ def _contracted_copurchase(spark: SparkSession, sf_dir: str):
     multiplicities. Returns (groups, redges), both localCheckpointed:
     groups = (ck, m, hs, clique) where clique=1 iff the group's users
     form an internal clique (|H| >= 2 shared hours, the w>=2 denoise);
-    redges = (ca, cb, ma, mb) rep pairs sharing >= 2 hours, ca < cb."""
+    redges = (ca, cb, ma, mb) rep pairs sharing >= 2 hours, ca < cb.
+
+    r11: memoized per session+corpus (_SHARED, fingerprinted on events —
+    triangle census, k-core and assortativity all consume the identical
+    contraction; in a sweep session the events scan + rep join now run
+    once for the three of them)."""
+    hit = _shared_get(spark, sf_dir, "contracted", table_name="events")
+    if hit is not None:
+        return hit
     purch = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -253,6 +347,7 @@ def _contracted_copurchase(spark: SparkSession, sf_dir: str):
         .select("ca", "cb", "ma", "mb")
     )
     redges = redges.localCheckpoint(eager=True)
+    _shared_put(spark, sf_dir, "contracted", (groups, redges), table_name="events")
     return groups, redges
 
 
@@ -521,19 +616,15 @@ def _capped_purchase_edges(spark: SparkSession, sf_dir: str, k: int = _LPA_CAP) 
     checkpointed once (it feeds both direction caps — differently-
     partitioned windows would otherwise re-run the 60M-row join each,
     the r8 alias-re-execution lesson) and written c-partitioned so the
-    customer-side cap window is exchange-free."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    w = _ckpt(
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .agg(F.count(F.lit(1)).alias("wt"))
-        .repartition("c")
-        .sortWithinPartitions("c")
-    )
+    customer-side cap window is exchange-free. r11: that weighted pair
+    table IS _pair_weights (identical construction), so the build is
+    shared with the rest of the family and the finished capped edge set
+    is memoized per session+corpus."""
+    artifact = f"edges_capped_{k}"
+    hit = _shared_get(spark, sf_dir, artifact)
+    if hit is not None:
+        return hit
+    w = _pair_weights(spark, sf_dir)
     wc = Window.partitionBy("c").orderBy(F.col("wt").desc(), F.col("s"))
     ws = Window.partitionBy("s").orderBy(F.col("wt").desc(), F.col("c"))
     fwd = (
@@ -549,9 +640,11 @@ def _capped_purchase_edges(spark: SparkSession, sf_dir: str, k: int = _LPA_CAP) 
     # the two directions cannot collide (even->odd vs odd->even), so the
     # union needs no distinct; src-partitioned like _purchase_edges so
     # each vote round's join starts co-partitioned
-    return _ckpt(
+    capped = _ckpt(
         fwd.union(rev).repartition("src").sortWithinPartitions("src")
     )
+    _shared_put(spark, sf_dir, artifact, capped)
+    return capped
 
 
 def _lpa_oracle(rounds: int = 3, k: int = _LPA_CAP) -> str:
@@ -703,17 +796,32 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 is a TakeOrdered, not a global sort.
 
     Determinism: counts are integral; jaccard is one division rounded
-    to 6dp; ordering ties broken by (s1, s2)."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    w = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("custkey"),
-            F.col("l_suppkey").alias("suppkey"),
+    to 6dp; ordering ties broken by (s1, s2).
+
+    r11 shared-build fast path: if the session already holds the family's
+    checkpointed _pair_weights (a multi-key sweep/gate session), decode it
+    (custkey = c>>1, suppkey = s>>1, nl = wt — exact) instead of re-paying
+    the 60M-row join; standalone runs keep the original single-pass plan
+    (this key reads the weight table once, so it must not pay a
+    checkpoint write of its own — the degree_distribution rule)."""
+    w_shared = _shared_get(spark, sf_dir, "pair_weights")
+    if w_shared is not None:
+        w = w_shared.select(
+            F.shiftright("c", 1).alias("custkey"),
+            F.shiftright("s", 1).alias("suppkey"),
+            F.col("wt").alias("nl"),
         )
-        .agg(F.count(F.lit(1)).alias("nl"))
-    )
+    else:
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        w = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(
+                F.col("o_custkey").alias("custkey"),
+                F.col("l_suppkey").alias("suppkey"),
+            )
+            .agg(F.count(F.lit(1)).alias("nl"))
+        )
     win = Window.partitionBy("custkey").orderBy(
         F.col("nl").desc(), F.col("suppkey")
     )
@@ -797,17 +905,25 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bidirected union is also unnecessary — deg(node) is just how many
     # distinct pairs the node appears in, so explode BOTH endpoints of
     # each undirected pair and count: one evaluation of the join, no
-    # union branch re-running it, no checkpoint.
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    base = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    # union branch re-running it, no checkpoint. r11: in a multi-key
+    # session that already paid the family's _pair_weights checkpoint,
+    # read the pair set from it instead (exact same rows).
+    w_shared = _shared_get(spark, sf_dir, "pair_weights")
+    if w_shared is not None:
+        base = w_shared.select(
+            F.col("c").alias("src"), F.col("s").alias("dst")
         )
-        .distinct()
-    )
+    else:
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        base = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
+        )
     deg = (
         base.select(
             F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")

@@ -22,16 +22,43 @@ def sf001():
 
 
 def test_minhash_pairs_all_verified(spark, sf001):
-    rows = QUERIES["dedup_minhash"](spark, sf001).collect()
+    from kwery_spark.operators.dedup import _minhash_doc_pairs
+
+    rows = _minhash_doc_pairs(spark, sf001).collect()
     assert len(rows) > 5000  # corpus has built-in near-dups
     assert all(r.jaccard >= 0.9 for r in rows)
     assert all(r.doc_a < r.doc_b for r in rows)
 
 
+def test_minhash_summary_matches_expansion(spark, sf001):
+    """The registered banded summary (r11 contract) must agree with the
+    full doc-pair expansion it summarizes: per-band pair counts computed
+    ANALYTICALLY from multiplicities equal the materialized counts, and
+    each band's exemplar is the lexicographically smallest pair."""
+    import math
+
+    from kwery_spark.operators.dedup import _minhash_doc_pairs
+
+    pairs = _minhash_doc_pairs(spark, sf001).collect()
+    want: dict[int, list] = {}
+    for p in pairs:
+        band = math.floor(p.jaccard * 1000)
+        ent = want.setdefault(band, [0, (1 << 62, 1 << 62)])
+        ent[0] += 1
+        ent[1] = min(ent[1], (p.doc_a, p.doc_b))
+    got = QUERIES["dedup_minhash"](spark, sf001).collect()
+    assert {r.jband for r in got} == set(want)
+    for r in got:
+        assert r.n_pairs == want[r.jband][0], (r.jband, r.n_pairs, want[r.jband][0])
+        assert (r.ex_doc_a, r.ex_doc_b) == want[r.jband][1], r
+
+
 def test_simhash_agrees_with_jaccard(spark, sf001):
     """Low-Hamming SimHash pairs should overwhelmingly be real near-dups:
     a majority of them must appear in the exact Jaccard>=0.9 pair set."""
-    jac = {(r.doc_a, r.doc_b) for r in QUERIES["dedup_minhash"](spark, sf001).collect()}
+    from kwery_spark.operators.dedup import _minhash_doc_pairs
+
+    jac = {(r.doc_a, r.doc_b) for r in _minhash_doc_pairs(spark, sf001).collect()}
     sim = {(r.doc_a, r.doc_b) for r in QUERIES["dedup_simhash"](spark, sf001).collect()}
     assert len(sim) > 1000
     assert len(jac & sim) / len(sim) > 0.4
@@ -101,7 +128,9 @@ def test_udf_surface_registered():
 def test_dedup_clusters_are_consistent(spark, sf001):
     """Every cluster member must reach its component root through the
     pair graph; component = min member; all pair endpoints clustered."""
-    pairs = QUERIES["dedup_minhash"](spark, sf001).collect()
+    from kwery_spark.operators.dedup import _minhash_doc_pairs
+
+    pairs = _minhash_doc_pairs(spark, sf001).collect()
     comp = {r.doc_id: r.component for r in QUERIES["dedup_clusters"](spark, sf001).collect()}
     # both endpoints of every near-dup pair share a component
     for p in pairs:
