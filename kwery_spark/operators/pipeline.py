@@ -1736,3 +1736,107 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("position")
     )
+
+
+@register(
+    "pipeline_pack_balanced",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, len(str_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    sized AS (
+        SELECT lang, doc_id, n_tokens,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_tokens DESC, doc_id) - 1 AS r,
+               CAST(ceil(CAST(sum(n_tokens) OVER (PARTITION BY lang)
+                              AS DOUBLE) / 4096) AS BIGINT) AS k
+        FROM toks
+    ),
+    placed AS (
+        SELECT lang, n_tokens, k,
+               CASE WHEN (r // k) % 2 = 0 THEN r % k
+                    ELSE k - 1 - (r % k) END AS bin
+        FROM sized
+    ),
+    bins AS (
+        SELECT lang, k, bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM placed GROUP BY lang, k, bin
+    )
+    SELECT lang,
+           CAST(max(k) AS BIGINT) AS n_bins,
+           CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(bin_tokens) AS BIGINT) AS min_bin_tokens,
+           CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+           floor(CAST(max(bin_tokens) AS DOUBLE) * max(k)
+                 / sum(bin_tokens) * 1000000.0 + 0.5) / 1000000.0
+               AS makespan_ratio
+    FROM bins GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_pack_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decreasing-first BALANCED sequence packing (VERDICT r10 item 5):
+    the training-efficiency complement of pack_sequences' greedy
+    order-preserving packer. Per language, docs are sorted by token
+    count DESC and dealt serpentine (boustrophedon) across
+    k = ceil(total/4096) bins — LPT-style longest-first placement, the
+    distributable member of the decreasing-packing family: true
+    best-fit-decreasing's per-item bin search is inherently sequential
+    (a priority queue over bin loads), while serpentine-LPT is pure
+    window algebra with the same training-relevant property (big
+    sequences placed first, batch loads balanced; LPT carries the
+    classic 4/3 makespan bound). Output: per-lang bin census + the
+    max-load/ideal-load makespan ratio.
+
+    Scale: one window per lang stratum (rank + total), one bounded
+    groupBy — no driver loop, no iteration; at 100 TB the stratum key
+    gains a shard component exactly like pack_sequences. Determinism:
+    rank ties break on doc_id; counts are exact BIGINTs; the ratio is
+    an integer-ratio round — catalog.round6 (the driver-r9 tie class)."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    wl = Window.partitionBy("lang")
+    sized = docs.select("doc_id", "lang", n_tokens.alias("n_tokens")).select(
+        "lang",
+        "n_tokens",
+        (
+            F.row_number().over(wl.orderBy(F.col("n_tokens").desc(), "doc_id"))
+            - 1
+        ).alias("r"),
+        F.ceil(
+            F.sum("n_tokens").over(wl).cast("double") / 4096
+        ).cast("long").alias("k"),
+    )
+    placed = sized.select(
+        "lang",
+        "n_tokens",
+        "k",
+        F.when(
+            F.expr("r DIV k") % 2 == 0,
+            F.col("r") % F.col("k"),
+        )
+        .otherwise(F.col("k") - 1 - (F.col("r") % F.col("k")))
+        .alias("bin"),
+    )
+    bins = placed.groupBy("lang", "k", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+    return (
+        bins.groupBy("lang")
+        .agg(
+            F.max("k").cast("long").alias("n_bins"),
+            F.sum("bin_tokens").cast("long").alias("total_tokens"),
+            F.min("bin_tokens").cast("long").alias("min_bin_tokens"),
+            F.max("bin_tokens").cast("long").alias("max_bin_tokens"),
+            round6(
+                F.max("bin_tokens").cast("double")
+                * F.max("k")
+                / F.sum("bin_tokens")
+            ).alias("makespan_ratio"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("lang")
+    )

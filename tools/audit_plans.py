@@ -55,6 +55,7 @@ DECLARED = {
     "ml_naive_bayes": {"BNLJ"},      # crossJoin(broadcast(5-row lang priors, 1-row vocab/total))
     "graph_triangle_count": {"BNLJ"},  # crossJoin(broadcast(1-row edge/wedge counters))
     "layout_zorder": {"BNLJ"},       # crossJoin(broadcast(1-row key bounds / match count))
+    "maintain_zorder_compact": {"BNLJ"},  # crossJoin(broadcast(1-row key bounds)), the layout_zorder pattern
     "text_perplexity_proxy": {"BNLJ"},  # crossJoin(broadcast(1-row corpus total))
     "graph_pagerank": {"BNLJ"},      # crossJoin(broadcast(1-row node count))
     "embedding_mrl_truncate": {"BNLJ"},  # crossJoin(broadcast(5 query vectors))
