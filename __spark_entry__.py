@@ -36,6 +36,20 @@ def _family(key: str) -> str:
     return "tpch" if head[:1] == "q" and head[1:].isdigit() else head
 
 
+# Keys whose registered CONTRACT changed in a given round AFTER they had
+# already earned a green driver row: their historical row no longer
+# attests the current output, so they rotate to the FRONT of the sample
+# window until a CORRECTNESS file from >= that round shows them green
+# again. r11: dedup_minhash moved to the banded-summary schema;
+# events_funnel_windowed tightened to strict lower bounds;
+# scan_parquet_bloom's staging path was rekeyed.
+_REVERIFY_FROM_ROUND = {
+    "dedup_minhash": 11,
+    "events_funnel_windowed": 11,
+    "scan_parquet_bloom": 11,
+}
+
+
 def _rotation_order(keys: list[str]) -> list[str]:
     """Order keys so external verification coverage grows every round.
 
@@ -56,13 +70,18 @@ def _rotation_order(keys: list[str]) -> list[str]:
         try:
             with open(path) as f:
                 rows = json.load(f)
+            rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         except Exception:
             continue
         # a key counts as externally verified only once it has a GREEN
         # driver row — a sampled-but-failed key (r6: agg_skew_twophase
         # hash mismatch, since fixed) must rotate back into the window to
-        # re-earn its row rather than fall to the back of the order
+        # re-earn its row rather than fall to the back of the order.
+        # A contract-changed key (_REVERIFY_FROM_ROUND) only counts from
+        # rows produced at or after the change round.
         for k, v in rows.items():
+            if rnd < _REVERIFY_FROM_ROUND.get(k, 0):
+                continue
             if not isinstance(v, dict) or (
                 v.get("hash_match")
                 and v.get("rows_match")
