@@ -40,11 +40,12 @@ def _family(key: str) -> str:
 # already earned a green driver row: their historical row no longer
 # attests the current output, so they rotate to the FRONT of the sample
 # window until a CORRECTNESS file from >= that round shows them green
-# again. r11: dedup_minhash moved to the banded-summary schema;
-# events_funnel_windowed tightened to strict lower bounds;
-# scan_parquet_bloom's staging path was rekeyed.
+# again. r11: dedup_minhash AND dedup_simhash moved to the
+# banded-summary schema; events_funnel_windowed tightened to strict
+# lower bounds; scan_parquet_bloom's staging path was rekeyed.
 _REVERIFY_FROM_ROUND = {
     "dedup_minhash": 11,
+    "dedup_simhash": 11,
     "events_funnel_windowed": 11,
     "scan_parquet_bloom": 11,
 }

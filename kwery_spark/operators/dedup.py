@@ -316,33 +316,203 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_content_graph(spark: SparkSession, sf_dir: str):
+    """Shared content-level SimHash graph: keyed (doc_id, ckey,
+    checkpointed), and rep_pairs — bucket-blocked content-representative
+    pairs at Hamming <= 8 carrying (rep_a, rep_b, ckey_a, ckey_b,
+    cnt_a, cnt_b, hamming). Design notes live on dedup_simhash below;
+    split out in r11 so the registered summary and the full expansion
+    (_simhash_doc_pairs) consume one build."""
+    raw = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    keyed = raw.select(
+        "doc_id", F.md5(F.concat_ws(" ", F.array_sort("toks"))).alias("ckey")
+    ).localCheckpoint(eager=True)
+    groups = keyed.groupBy("ckey").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
+    )
+    docs = (
+        groups.join(
+            raw.select(F.col("doc_id").alias("rep"), "toks"), "rep"
+        )
+        .select(
+            "rep",
+            "ckey",
+            "cnt",
+            F.transform(
+                F.col("toks"),
+                lambda t: F.conv(
+                    F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10
+                ).cast("long"),
+            ).alias("th"),
+        )
+    )
+    # Per-bit ±1 vote sums over token hashes, one codegen'd SUM per bit;
+    # split() never yields an empty array, so explode drops no content.
+    votes = (
+        docs.select("rep", "ckey", "cnt", F.explode("th").alias("h"))
+        .groupBy("rep", "ckey", "cnt")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                        1,
+                    ).otherwise(-1)
+                ).alias(f"v{b}")
+                for b in range(60)
+            ]
+        )
+    )
+    assembled = F.lit(0).cast("long")
+    for b in range(60):
+        assembled = assembled.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = votes.select(
+        "rep", "ckey", "cnt", assembled.alias("simhash")
+    ).localCheckpoint(eager=True)
+    # prefix-bucketed pair search over content representatives
+    bucketed = sig.withColumn("bucket", F.shiftrightunsigned("simhash", 44))
+    rep_pairs = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            F.col("a.ckey").alias("ckey_a"),
+            F.col("b.ckey").alias("ckey_b"),
+            F.col("a.cnt").alias("cnt_a"),
+            F.col("b.cnt").alias("cnt_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+    )
+    return keyed, rep_pairs
+
+
+def _simhash_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full doc-level SimHash pair expansion (Hamming <= 8): cross-content
+    pairs fan out |A|x|B| at the rep Hamming distance, same-content
+    members at Hamming 0. Linear in the true pair output — which under
+    clone-heavy corpora is itself clone-quadratic (14.9e9 rows / 206 s
+    at sf30, r11 sweep — all output materialization), so since r11 it is
+    no longer the REGISTERED contract (see dedup_simhash). Tests still
+    consume this expansion to cross-check the summary."""
+    keyed, rep_pairs = _simhash_content_graph(spark, sf_dir)
+    ka = keyed.select(F.col("ckey").alias("ckey_a"), F.col("doc_id").alias("da"))
+    kb = keyed.select(F.col("ckey").alias("ckey_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ka, "ckey_a")
+        .join(kb, "ckey_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    kc = keyed.select("ckey", "doc_id")
+    within = (
+        kc.alias("x")
+        .join(
+            kc.alias("y"),
+            (F.col("x.ckey") == F.col("y.ckey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
+
+
 @register(
     "dedup_simhash",
-    oracle="""
-    WITH docs AS (
-        SELECT doc_id,
-               list_transform(list_distinct(str_split(text, ' ')),
-                   t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS th
+    oracle=f"""
+    WITH docs AS MATERIALIZED (
+        SELECT doc_id, list_distinct(str_split(text, ' ')) AS t
         FROM documents),
-    sigs AS (
+    th AS MATERIALIZED (
         SELECT doc_id,
+               md5(array_to_string(list_sort(t), ' ')) AS ckey,
+               list_transform(t,
+                   x -> CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))
+                   AS th
+        FROM docs),
+    sigs AS MATERIALIZED (
+        SELECT doc_id, ckey,
                CAST(list_sum(list_transform(range(0, 60), b ->
                    CASE WHEN list_sum(list_transform(th, h ->
                             CASE WHEN ((h >> CAST(b AS INTEGER)) & 1) = 1
                                  THEN 1 ELSE -1 END)) > 0
                         THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END))
                     AS BIGINT) AS simhash
-        FROM docs),
-    b AS (SELECT doc_id, simhash, simhash >> 44 AS bucket FROM sigs)
-    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
-    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
-    WHERE bit_count(xor(a.simhash, b2.simhash)) <= 8
+        FROM th),
+    b AS MATERIALIZED (
+        SELECT doc_id, ckey, simhash, simhash >> 44 AS bucket FROM sigs),
+    pairs AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT)
+                   AS hamming,
+               CASE WHEN a.ckey < b2.ckey THEN a.ckey ELSE b2.ckey END
+                   AS ck_lo,
+               CASE WHEN a.ckey < b2.ckey THEN b2.ckey ELSE a.ckey END
+                   AS ck_hi
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.simhash, b2.simhash)) <= 8)
+    SELECT hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT ck_lo || ck_hi) AS BIGINT) AS n_units,
+           CAST(min(doc_a * {_PAIR_ENC} + doc_b) >> 32 AS BIGINT)
+               AS ex_doc_a,
+           CAST(min(doc_a * {_PAIR_ENC} + doc_b) & 4294967295 AS BIGINT)
+               AS ex_doc_b
+    FROM pairs GROUP BY 1 ORDER BY 1
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 60-bit signature = sign of per-bit sums of token
-    hashes; near-dups = pairs with small Hamming distance.
+    """SimHash near-dup REPORT: 60-bit signature = sign of per-bit sums of
+    token hashes; near-dups = pairs with small Hamming distance — emitted
+    per Hamming band (0..8) as the EXACT expanded doc-pair count, the
+    number of content-level units behind it, and the lexicographically
+    smallest exemplar pair.
+
+    r11 contract (same reformulation as dedup_minhash, VERDICT r10
+    item 3): the registered output is this bounded summary, not the
+    materialized pair list. The expansion is linear in the true pair
+    output, but under clone-heavy corpora the true output itself grows
+    quadratically in clone multiplicity — the r11 sf30 sweep measured
+    14.9e9 output rows / 206 s, all of it pair materialization. At
+    100 TB the linear deliverable is cluster membership (dedup_clusters);
+    this report is the audit artifact. Counts are computed ANALYTICALLY
+    from multiplicities — cross units contribute cnt_a*cnt_b at the rep
+    Hamming distance, same-content groups C(cnt,2) at Hamming 0 (unlike
+    the Jaccard case, cross units CAN land in band 0: distinct token
+    sets may collide on all 60 signature bits — band 0 simply sums both
+    unit kinds, identically in the oracle) — so no doc-level pair is
+    ever materialized and the plan is bounded by DISTINCT content
+    cardinality. The full expansion survives as _simhash_doc_pairs for
+    tests and downstream consumers.
+
+    Exactness: counts are integer algebra; hamming is a bit_count of
+    identical integer signatures; the exemplar MIN runs over
+    doc_a*2^32+doc_b encodings (exact BIGINTs, _PAIR_ENC). The unit
+    exemplar (least(rep_a,rep_b), greatest(rep_a,rep_b)) IS the unit's
+    lexicographic min pair: reps are group minima, so the smaller rep is
+    the unit's global min doc and its smallest partner in the OTHER
+    group is that group's rep (within-group exemplar: (rep, d2) from a
+    sorted collect, the minhash pattern).
 
     Pure expression pipeline (no UDF). The token hash is the md5 hex
     prefix (15 hex chars = 60 bits) parsed base-16 — an engine-portable
@@ -375,101 +545,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whole-stage codegen) instead of a nested interpreted HOF lambda —
     measured bit-identical and ~2x faster; the groupBy(rep) reuses the
     rep-join's partitioning, so the explode adds no exchange."""
-    raw = table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    keyed, rep_pairs = _simhash_content_graph(spark, sf_dir)
+    enc = F.lit(_PAIR_ENC).cast("long")
+    cross_units = rep_pairs.select(
+        F.col("hamming"),
+        (F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("n_pairs"),
+        (
+            F.least("rep_a", "rep_b") * enc + F.greatest("rep_a", "rep_b")
+        ).alias("ex"),
     )
-    keyed = raw.select(
-        "doc_id", F.md5(F.concat_ws(" ", F.array_sort("toks"))).alias("ckey")
-    ).localCheckpoint(eager=True)
-    groups = keyed.groupBy("ckey").agg(
-        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
-    )
-    docs = (
-        groups.join(
-            raw.select(F.col("doc_id").alias("rep"), "toks"), "rep"
-        )
-        .select(
-            "rep",
-            "ckey",
-            F.transform(
-                F.col("toks"),
-                lambda t: F.conv(
-                    F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10
-                ).cast("long"),
-            ).alias("th"),
-        )
-    )
-    # Per-bit ±1 vote sums over token hashes, one codegen'd SUM per bit;
-    # split() never yields an empty array, so explode drops no content.
-    votes = (
-        docs.select("rep", "ckey", F.explode("th").alias("h"))
-        .groupBy("rep", "ckey")
+    # within-group exemplar = (rep, second-smallest member); d2 from a
+    # SORTED collect (determinism rule). Groups re-aggregated from the
+    # checkpointed keyed frame (the dedup_minhash pattern).
+    within_units = (
+        keyed.groupBy("ckey")
         .agg(
-            *[
-                F.sum(
-                    F.when(
-                        F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                        1,
-                    ).otherwise(-1)
-                ).alias(f"v{b}")
-                for b in range(60)
-            ]
+            F.min("doc_id").alias("rep"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.try_element_at(
+                F.array_sort(F.collect_list("doc_id")), F.lit(2)
+            ).alias("d2"),
         )
-    )
-    assembled = F.lit(0).cast("long")
-    for b in range(60):
-        assembled = assembled.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    sig = votes.select(
-        "rep", "ckey", assembled.alias("simhash")
-    ).localCheckpoint(eager=True)
-    # prefix-bucketed pair search over content representatives
-    bucketed = sig.withColumn("bucket", F.shiftrightunsigned("simhash", 44))
-    rep_pairs = (
-        bucketed.alias("a")
-        .join(
-            bucketed.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.rep") < F.col("b.rep")),
-        )
+        .filter(F.col("cnt") >= 2)
         .select(
-            F.col("a.ckey").alias("ckey_a"),
-            F.col("b.ckey").alias("ckey_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 8)
-    )
-    ka = keyed.select(F.col("ckey").alias("ckey_a"), F.col("doc_id").alias("da"))
-    kb = keyed.select(F.col("ckey").alias("ckey_b"), F.col("doc_id").alias("db"))
-    cross = (
-        rep_pairs.join(ka, "ckey_a")
-        .join(kb, "ckey_b")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "hamming",
-        )
-    )
-    kc = keyed.select("ckey", "doc_id")
-    within = (
-        kc.alias("x")
-        .join(
-            kc.alias("y"),
-            (F.col("x.ckey") == F.col("y.ckey"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
             F.lit(0).cast("long").alias("hamming"),
+            F.expr("CAST(cnt * (cnt - 1) DIV 2 AS BIGINT)").alias("n_pairs"),
+            (F.col("rep") * enc + F.col("d2")).alias("ex"),
         )
     )
-    return cross.unionByName(within)
+    return (
+        cross_units.unionByName(within_units)
+        .groupBy("hamming")
+        .agg(
+            F.sum("n_pairs").cast("long").alias("n_pairs"),
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.min("ex").alias("exmin"),
+        )
+        .select(
+            "hamming",
+            "n_pairs",
+            "n_units",
+            F.shiftright("exmin", 32).cast("long").alias("ex_doc_a"),
+            F.col("exmin").bitwiseAND(F.lit(4294967295)).cast("long").alias("ex_doc_b"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("hamming")
+    )
 
 
 @register(

@@ -55,13 +55,35 @@ def test_minhash_summary_matches_expansion(spark, sf001):
 
 def test_simhash_agrees_with_jaccard(spark, sf001):
     """Low-Hamming SimHash pairs should overwhelmingly be real near-dups:
-    a majority of them must appear in the exact Jaccard>=0.9 pair set."""
-    from kwery_spark.operators.dedup import _minhash_doc_pairs
+    a majority of them must appear in the exact Jaccard>=0.9 pair set.
+    (Consumes the full expansion — the registered key is the banded
+    summary since r11.)"""
+    from kwery_spark.operators.dedup import _minhash_doc_pairs, _simhash_doc_pairs
 
     jac = {(r.doc_a, r.doc_b) for r in _minhash_doc_pairs(spark, sf001).collect()}
-    sim = {(r.doc_a, r.doc_b) for r in QUERIES["dedup_simhash"](spark, sf001).collect()}
+    sim = {(r.doc_a, r.doc_b) for r in _simhash_doc_pairs(spark, sf001).collect()}
     assert len(sim) > 1000
     assert len(jac & sim) / len(sim) > 0.4
+
+
+def test_simhash_summary_matches_full_expansion(spark, sf001):
+    """The registered banded summary (r11 contract) must agree with the
+    materialized doc-pair expansion band by band: pair counts and the
+    lexicographic min exemplar per Hamming band (the dedup_minhash
+    cross-check, applied to simhash)."""
+    from kwery_spark.operators.dedup import _simhash_doc_pairs
+
+    pairs = _simhash_doc_pairs(spark, sf001).collect()
+    want: dict[int, list] = {}
+    for p in pairs:
+        ent = want.setdefault(p.hamming, [0, (1 << 62, 1 << 62)])
+        ent[0] += 1
+        ent[1] = min(ent[1], (p.doc_a, p.doc_b))
+    got = QUERIES["dedup_simhash"](spark, sf001).collect()
+    assert {r.hamming for r in got} == set(want)
+    for r in got:
+        assert r.n_pairs == want[r.hamming][0], (r.hamming, r.n_pairs)
+        assert (r.ex_doc_a, r.ex_doc_b) == want[r.hamming][1], r
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark, sf001):
