@@ -46,6 +46,7 @@ def _family(key: str) -> str:
 _REVERIFY_FROM_ROUND = {
     "dedup_minhash": 11,
     "dedup_simhash": 11,
+    "sim_maxsim": 11,
     "events_funnel_windowed": 11,
     "scan_parquet_bloom": 11,
 }

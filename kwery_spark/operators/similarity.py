@@ -654,16 +654,19 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE label = 0),
+    qd AS (SELECT v AS qv, min(vec_id) AS rep, CAST(count(*) AS BIGINT) AS m
+           FROM v WHERE label = 0 GROUP BY v),
+    dd AS (SELECT DISTINCT label, v FROM v WHERE label <> 0),
     best AS (
-        SELECT d.label, q.q_id,
-               max(round(list_dot_product(d.v, q.qv), 6)) AS best_dot
-        FROM v d CROSS JOIN q
-        WHERE d.label <> 0
-        GROUP BY d.label, q.q_id
+        SELECT dd.label, qd.rep, qd.m,
+               max(round(list_dot_product(dd.v, qd.qv), 6)) AS best_dot
+        FROM dd CROSS JOIN qd
+        GROUP BY dd.label, qd.rep, qd.m
     )
-    SELECT label, round(sum(best_dot), 6) AS maxsim_score,
-           count(*) AS n_query_vecs
+    SELECT label,
+           CAST(sum(CAST(CAST(best_dot AS DECIMAL(18,6)) * m
+                         AS DECIMAL(28,6))) AS DOUBLE) AS maxsim_score,
+           CAST(sum(m) AS BIGINT) AS n_query_vecs
     FROM best
     GROUP BY label
     """,
@@ -673,24 +676,50 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     label's vectors as one document's token embeddings and label 0 as the
     query's; score(doc) = Σ over query vectors of the best dot against
     any doc vector. The query side is tiny and broadcast; the per-(doc,
-    query-vector) max is a partial aggregate, so the plan is one scan +
-    one bounded shuffle — the shape that scales MaxSim to a corpus: block
-    by candidate set (here: label), never all-pairs. Dots round to 6dp
-    BEFORE max/sum so tie-breaks and totals match the oracle exactly."""
+    query-vector) max is a partial aggregate — the shape that scales
+    MaxSim to a corpus: block by candidate set (here: label), never
+    all-pairs. Dots round to 6dp BEFORE max/sum so tie-breaks and totals
+    match the oracle exactly.
+
+    r11 contraction (the content-cardinality doctrine, measured 19.9 s
+    sf10 / 71.1 s sf30 before): the upscale clones BOTH sides — at sf30
+    the query side is 59,700 rows but 199 DISTINCT vectors, so the
+    crossJoin paid ~3e10 dot products for ~360k distinct ones. max over
+    a label's doc rows ≡ max over its DISTINCT vectors (duplicates add
+    nothing), and Σ over query ids of best ≡ Σ over distinct query
+    vectors of multiplicity × best — so dots run on DISTINCT (label, v)
+    × DISTINCT qv only, and the expansion is exact DECIMAL algebra
+    (per-term product capped at DECIMAL(28,6): the CLAUDE.md
+    shared-arithmetic rule — order-independent, bit-identical across
+    engines; the old float sum of ~20k rounded doubles was
+    order-dependent). n_query_vecs = Σ m. The distinct contractions are
+    map-side partial aggregates; the exchange carries only distinct
+    vectors."""
     vecs = _vecs(spark, sf_dir)
-    q = vecs.filter(F.col("label") == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    return (
-        vecs.filter(F.col("label") != 0)
-        .crossJoin(broadcast(q))
-        .groupBy("label", "q_id")
-        .agg(F.max(F.round(dot("v", "qv"), 6)).alias("best_dot"))
-        .groupBy("label")
+    qd = (
+        vecs.filter(F.col("label") == 0)
+        .groupBy("v")
         .agg(
-            F.round(F.sum("best_dot"), 6).alias("maxsim_score"),
-            F.count(F.lit(1)).alias("n_query_vecs"),
+            F.min("vec_id").alias("rep"),
+            F.count(F.lit(1)).cast("long").alias("m"),
         )
+        .select(F.col("v").alias("qv"), "rep", "m")
+    )
+    dd = vecs.filter(F.col("label") != 0).select("label", "v").distinct()
+    best = (
+        dd.crossJoin(broadcast(qd))
+        .groupBy("label", "rep", "m")
+        .agg(F.max(F.round(dot("v", "qv"), 6)).alias("best_dot"))
+    )
+    return best.groupBy("label").agg(
+        F.sum(
+            (F.col("best_dot").cast("decimal(18,6)") * F.col("m")).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("maxsim_score"),
+        F.sum("m").cast("long").alias("n_query_vecs"),
     )
 
 

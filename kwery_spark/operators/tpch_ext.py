@@ -906,20 +906,27 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the distinct-pair reduction is the only full shuffle; the
     excluded-supplier list is a broadcast anti-join (supplier is a
-    dimension); COUNT(DISTINCT suppkey) expands to a two-phase
-    partial/final aggregate; integer counts only, no FP anywhere.
+    dimension) applied BEFORE the distinct — the anti-join is a
+    row-wise filter on l_suppkey, so it commutes with DISTINCT and
+    runs map-side ahead of the shuffle, shrinking the exchange by the
+    excluded-supplier fraction (r11); COUNT(DISTINCT suppkey) expands
+    to a two-phase partial/final aggregate; integer counts only, no FP
+    anywhere.
     """
     li = table(spark, sf_dir, "lineitem")
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
     part = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#13") & (F.col("p_type") != "PROMO")
     )
     bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select(
         "s_suppkey"
     )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .distinct()
+    )
     return (
-        pairs.join(broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
-        .join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        pairs.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")

@@ -142,3 +142,42 @@ def test_maintain_zorder_buckets_are_quadrants(spark, sf001):
     for r in rows:
         assert r.ux_min // 64 == r.ux_max // 64
         assert r.dx_min // 64 == r.dx_max // 64
+
+
+def test_maxsim_contraction_equals_naive(spark, sf001):
+    """The r11 distinct-vector contraction of sim_maxsim must agree with
+    the naive per-row formulation (every doc row × every query row,
+    float-summed then rounded) to the old contract's own noise bound:
+    the naive float sum of ~N rounded doubles carries order-dependent
+    error, so compare at 1e-6 × n_query_vecs rather than exactly; counts
+    and labels must match exactly."""
+    import pyspark.sql.functions as F
+
+    from kwery_spark.operators.similarity import _vecs, dot
+
+    vecs = _vecs(spark, sf001)
+    q = vecs.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    naive = (
+        vecs.filter(F.col("label") != 0)
+        .crossJoin(F.broadcast(q))
+        .groupBy("label", "q_id")
+        .agg(F.max(F.round(dot("v", "qv"), 6)).alias("best_dot"))
+        .groupBy("label")
+        .agg(
+            F.round(F.sum("best_dot"), 6).alias("maxsim_score"),
+            F.count(F.lit(1)).alias("n_query_vecs"),
+        )
+        .collect()
+    )
+    want = {r.label: r for r in naive}
+    got = QUERIES["sim_maxsim"](spark, sf001).collect()
+    assert {r.label for r in got} == set(want)
+    for r in got:
+        w = want[r.label]
+        assert r.n_query_vecs == w.n_query_vecs, r
+        assert abs(r.maxsim_score - w.maxsim_score) <= 1e-6 * r.n_query_vecs, (
+            r,
+            w,
+        )
