@@ -552,18 +552,34 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines derive the bit-identical 0.2*avg threshold and the < compare
     can never straddle an ulp.
 
-    Scale: the brand filter reduces the probe side before the join; the
-    per-part avg shuffles on l_partkey (same key as the join — at scale
-    one co-partitioned exchange serves both). Single-row output.
+    Scale (r11 restructure, was 9.4 s sf10 / 37.2 s sf30): the brand
+    filter keeps ~4% of parts and acts on the GROUP KEY of the
+    threshold aggregate, so it commutes with the per-part AVG — BOTH
+    legs (the probe rows and the thresholds build) are broadcast-semi-
+    filtered map-side before any shuffle, shrinking the per-part avg
+    exchange ~25x. The pre-agg plan used to average the whole fact
+    table and then discard 96% of the thresholds. Surviving parts keep
+    bit-identical thresholds (the filter removes whole partkey groups,
+    never rows within one); the per-part avg shuffles on l_partkey
+    (same key as the join — at scale one co-partitioned exchange serves
+    both). Single-row output.
     """
-    li = table(spark, sf_dir, "lineitem")
-    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_keys = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    lif = li.join(
+        broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    thresholds = lif.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
     )
-    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
     return (
-        li.join(part, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
-        .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
+        lif.join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
@@ -783,33 +799,73 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, so both sides of the compare carry the same bit
     pattern.
 
-    Scale: supply is one shuffle on (partkey, suppkey); part/supplier/
-    nation/region are dimension broadcasts (region+nation fixed-size,
-    part/supplier pruned by their filters); the window partitions by
-    p_partkey over the already-filtered eligible set; ORDER BY+LIMIT
-    fuses to TakeOrderedAndProject.
+    Scale (r11 restructure, measured 7.2 s sf10 / 43.5 s sf30 before —
+    the registry's strongest superlinear signal at 6.1x on 3x data):
+    the part filter (3.7% of parts) and the EUROPE supplier filter (20%
+    of suppliers) act on the GROUP KEYS of the supply aggregate, so
+    they commute with the per-(partkey, suppkey) MIN and are applied as
+    broadcast SEMI joins map-side BEFORE the shuffle — the supply
+    exchange carries ~0.7% of lineitem instead of all of it. The
+    pre-agg plan used to aggregate the full fact table and then throw
+    99.3% of the groups away. part/supplier/nation/region remain
+    dimension broadcasts (region+nation fixed-size; the part-key and
+    supplier sides are pruned by their filters first — at cluster scale
+    these same semi-filters are what a runtime bloom filter would
+    inject); the window partitions by p_partkey over the eligible set;
+    ORDER BY+LIMIT fuses to TakeOrderedAndProject. Per-pair MIN is
+    unaffected: the filters remove whole groups, never rows within a
+    surviving group, so each surviving pair's cost is bit-identical.
     """
-    li = table(spark, sf_dir, "lineitem")
-    supply = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(
-            F.col("l_extendedprice") / F.col("l_quantity") * (1 - F.col("l_discount"))
-        ).alias("cost")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity", "l_discount"
     )
-    part = table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    part_keys = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20))
+        .select("p_partkey")
     )
-    supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    enat = nation.join(
+        broadcast(region), F.col("r_regionkey") == F.col("n_regionkey")
+    ).select("n_nationkey", "n_name")
+    esupp = (
+        table(spark, sf_dir, "supplier")
+        .join(broadcast(enat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    supply = (
+        li.join(
+            broadcast(part_keys),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            broadcast(esupp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice")
+                / F.col("l_quantity")
+                * (1 - F.col("l_discount"))
+            ).alias("cost")
+        )
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("p_partkey")
     return (
-        supply.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "cost")
+        supply.join(broadcast(esupp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "cost",
+        )
         .withColumn("mincost", F.min("cost").over(w))
         .filter(F.col("cost") == F.col("mincost"))
         .select(
