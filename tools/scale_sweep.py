@@ -142,6 +142,16 @@ def main() -> None:
         finally:
             timer.cancel()
             sc.setJobGroup("", "")
+            # Release this key's py4j DataFrame refs deterministically so
+            # ContextCleaner can unpersist its (local)checkpoint blocks
+            # before the NEXT key asks for execution memory. Without it,
+            # Python GC timing decides when blocks free, and a long
+            # session can starve a later key (r11: q4 hit
+            # UNABLE_TO_ACQUIRE_MEMORY at stage ~2900 of the sf30 sweep
+            # while passing standalone and in the prior full sweep).
+            import gc
+
+            gc.collect()
     total_bad = sum(1 for v in results.values() if "status" in v)
     print(f"\n{len(results) - total_bad}/{len(results)} within budget "
           f"({budget:.0f}s each)", flush=True)
