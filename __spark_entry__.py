@@ -41,8 +41,10 @@ def _family(key: str) -> str:
 # attests the current output, so they rotate to the FRONT of the sample
 # window until a CORRECTNESS file from >= that round shows them green
 # again. r11: dedup_minhash AND dedup_simhash moved to the
-# banded-summary schema; events_funnel_windowed tightened to strict
-# lower bounds; scan_parquet_bloom's staging path was rekeyed.
+# banded-summary schema; sim_maxsim's maxsim_score switched from a
+# rounded float sum to exact DECIMAL multiplicity expansion cast back
+# to double; events_funnel_windowed tightened to strict lower bounds;
+# scan_parquet_bloom's staging path was rekeyed.
 _REVERIFY_FROM_ROUND = {
     "dedup_minhash": 11,
     "dedup_simhash": 11,

@@ -68,22 +68,37 @@ def test_simhash_agrees_with_jaccard(spark, sf001):
 
 def test_simhash_summary_matches_full_expansion(spark, sf001):
     """The registered banded summary (r11 contract) must agree with the
-    materialized doc-pair expansion band by band: pair counts and the
+    materialized doc-pair expansion band by band: pair counts, the
     lexicographic min exemplar per Hamming band (the dedup_minhash
-    cross-check, applied to simhash)."""
-    from kwery_spark.operators.dedup import _simhash_doc_pairs
+    cross-check, applied to simhash), AND n_units — the distinct
+    content-pair count, re-derived here by joining the expansion's doc
+    ids back to their content keys (r11 ADVICE: n_units is the one
+    column whose Spark formulation — row count of the union'd unit
+    frames — differs structurally from the oracle's
+    count(DISTINCT ck_lo||ck_hi), so it needs its own cross-check)."""
+    from kwery_spark.operators.dedup import (
+        _simhash_content_graph,
+        _simhash_doc_pairs,
+    )
 
     pairs = _simhash_doc_pairs(spark, sf001).collect()
+    ck = {
+        r.doc_id: r.ckey
+        for r in _simhash_content_graph(spark, sf001)[0].collect()
+    }
     want: dict[int, list] = {}
     for p in pairs:
-        ent = want.setdefault(p.hamming, [0, (1 << 62, 1 << 62)])
+        ent = want.setdefault(p.hamming, [0, (1 << 62, 1 << 62), set()])
         ent[0] += 1
         ent[1] = min(ent[1], (p.doc_a, p.doc_b))
+        ca, cb = ck[p.doc_a], ck[p.doc_b]
+        ent[2].add((min(ca, cb), max(ca, cb)))
     got = QUERIES["dedup_simhash"](spark, sf001).collect()
     assert {r.hamming for r in got} == set(want)
     for r in got:
         assert r.n_pairs == want[r.hamming][0], (r.hamming, r.n_pairs)
         assert (r.ex_doc_a, r.ex_doc_b) == want[r.hamming][1], r
+        assert r.n_units == len(want[r.hamming][2]), (r.hamming, r.n_units)
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark, sf001):
