@@ -21,7 +21,7 @@ Every query is a single declarative plan — no driver-side data movement.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
 from kwery_spark.catalog import table
@@ -960,31 +960,70 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     against low-balance suppliers (the corpus has no comment column on
     supplier).
 
-    Scale: the distinct-pair reduction is the only full shuffle; the
-    excluded-supplier list is a broadcast anti-join (supplier is a
-    dimension) applied BEFORE the distinct — the anti-join is a
-    row-wise filter on l_suppkey, so it commutes with DISTINCT and
-    runs map-side ahead of the shuffle, shrinking the exchange by the
-    excluded-supplier fraction (r11); COUNT(DISTINCT suppkey) expands
-    to a two-phase partial/final aggregate; integer counts only, no FP
-    anywhere.
+    r12 rewrite (the ×4.7 sf10→sf30 superlinearity, VERDICT r11 item
+    3). Two structural fixes, both fresh-JVM A/B'd at sf30:
+
+    * The intermediate (partkey, suppkey) DISTINCT was a full 180M-row
+      shuffle that bought nothing — the corpus has ~1.015 lineitems per
+      pair (59.10M distinct of 60M rows at sf10), so deduping before
+      the group-key distinct removed <2% of rows at the cost of a
+      whole extra exchange. COUNT(DISTINCT suppkey) already dedups at
+      the (group-keys, suppkey) level; the first distinct is dropped.
+    * The shuffle now carries (gid int, suppkey) instead of
+      (brand, type, size, suppkey) strings: the qualifying triples
+      (6,988 at every SF — content values, invariant under the key
+      -shifted upscale) get dense ids from a row_number over the
+      distinct-triple sort, the broadcast build slims from 4 columns of
+      part to a (partkey, gid) int pair map, and the triples re-attach
+      to the 7k-row aggregate at the end.
+
+    Measured sf30 (fresh JVM each, .data/sf30): r11 shape 90.4 s (8
+    shuffle partitions, the sweep env) / 47.8 s (64); drop-the-distinct
+    with the part broadcast kept 26.9/27.5 s; this gid form 21.4 s (8)
+    / 25.4-25.9 s (64). A no-broadcast SMJ-on-partkey form measured
+    43.3 s (64) — the sort of the 150M-row probe side costs more than
+    the 40MB broadcast build locally. At true 100-TB part cardinality
+    the broadcast flips to that shuffle join (or a partkey-bucketed
+    layout); the slim int-pair build is what keeps the broadcast form
+    viable longest.
+
+    The bad-supplier anti-join stays map-side ahead of the one shuffle
+    (broadcast anti on a dimension); integer counts only, no FP.
     """
-    li = table(spark, sf_dir, "lineitem")
-    part = table(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#13") & (F.col("p_type") != "PROMO")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#13") & (F.col("p_type") != "PROMO"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    # 6,988 qualifying (brand,type,size) triples — content-bounded at
+    # every SF; the global row_number runs on that tiny distinct set.
+    triples = (
+        part.select("p_brand", "p_type", "p_size")
+        .distinct()
+        .withColumn(
+            "gid",
+            F.row_number().over(Window.orderBy("p_brand", "p_type", "p_size")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pmap = part.join(broadcast(triples), ["p_brand", "p_type", "p_size"]).select(
+        "p_partkey", "gid"
     )
     bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select(
         "s_suppkey"
     )
-    pairs = (
-        li.select("l_partkey", "l_suppkey")
-        .join(broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
-        .distinct()
+    pairs = li.join(
+        broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti"
+    )
+    counted = (
+        pairs.join(broadcast(pmap), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("gid")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
     return (
-        pairs.join(broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        counted.join(broadcast(triples), "gid")
+        .select("p_brand", "p_type", "p_size", "supplier_cnt")
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
         .limit(100)
     )
@@ -1100,19 +1139,51 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (spec shape) and one; the orders join prunes to status 'F'
     before shuffling; supplier is a broadcast dimension; output is
     bounded by supplier count -> TakeOrderedAndProject.
+
+    r12 rewrite (the ×4.7 sf10→sf30 superlinearity, VERDICT r11 item
+    3): the two COUNT(DISTINCT ...) aggregates planned as an Expand —
+    every joined row tripled, then the ~540M expanded rows re-shuffled
+    for the distinct phase (plan-verified: Expand + an extra Exchange
+    between the join and the final aggregate). A supplier is late on an
+    order iff ANY of its lineitems ships late, i.e. iff its MAX
+    shipdate does — so the per-order distinct aggregation factors into
+    two plain aggregations: per (orderkey, suppkey) max(l_shipdate)
+    (is_late), then per orderkey count/sum/max. BOTH run exchange-free
+    over the join's orderkey partitioning (HashPartitioning on a subset
+    of the grouping keys satisfies the clustered distribution), so the
+    Expand and its shuffle vanish and lineitem crosses the wire exactly
+    once. min(o_orderdate) per pair is exact — o_orderdate is constant
+    within an orderkey (never a bare first(), determinism rule).
+    Measured sf30 fresh-JVM: 84.6 s (r11 sweep) → 36.4 s (8 shuffle
+    partitions) / 27.9 s (64); the old shape at 64 partitions is
+    42.0 s, so ~2/3 of the win is the Expand removal, the rest spill
+    relief. A runtime-bloom semi-filter of lineitem by 'F' orderkeys
+    (applicationSideScanSizeThreshold=0) measured NEUTRAL (44.8 vs
+    42.0 s) — the join already drops non-F rows at the first shuffle,
+    and the bloom's build+probe cost cancels its 2/3 row cut.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = (
+    per_pair = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            (
+                F.max("l_shipdate")
+                > F.min("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late")
+        )
+    )
+    per_order = (
+        per_pair.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.col("is_late").cast("long")).alias("n_late"),
+            F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )

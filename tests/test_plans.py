@@ -205,12 +205,31 @@ def test_triangle_count_no_cartesian(spark, sf_dir):
 
 def test_q21_single_fact_aggregation(spark, sf_dir):
     # the double-correlated-EXISTS rewrite exists to touch lineitem ONCE:
-    # join-to-orders + per-order distinct aggregation + bounded final agg
-    # must stay within 3 exchanges — the spec shape (two correlated
-    # self-joins of lineitem) costs at least 6
+    # join-to-orders + per-order aggregation + bounded final agg must
+    # stay within 3 exchanges — the spec shape (two correlated
+    # self-joins of lineitem) costs at least 6. r12: the per-order
+    # distinct aggregates factored into plain max/count aggregations
+    # over the join's orderkey partitioning — the plan must never
+    # regrow the Expand (x3 row multiplication) or its extra exchange.
     df = _q("q21_waiting_suppliers")(spark, sf_dir)
-    assert inspect.shuffle_count(df) <= 3, inspect.formatted_plan(df)
-    assert inspect.has_take_ordered(df), inspect.formatted_plan(df)
+    plan = inspect.formatted_plan(df)
+    assert inspect.shuffle_count(df) <= 3, plan
+    assert inspect.has_take_ordered(df), plan
+    assert "Expand" not in plan, plan
+
+
+def test_q16_two_exchanges_no_expand(spark, sf_dir):
+    # r12 shape: one broadcast-mapped fact pass + the two-phase
+    # COUNT(DISTINCT) exchange pair; the old intermediate pair-DISTINCT
+    # (a third full-fact exchange) and the wide 4-column part broadcast
+    # must not come back. The gid triple table is checkpointed, so its
+    # build shuffle is outside the query plan.
+    df = _q("q16_supplier_part_counts")(spark, sf_dir)
+    plan = inspect.formatted_plan(df)
+    assert inspect.shuffle_count(df) <= 2, plan
+    assert inspect.has_broadcast_join(df), plan
+    assert "Expand" not in plan, plan
+    assert inspect.has_take_ordered(df), plan
 
 
 def test_q2_dims_broadcast_no_cartesian(spark, sf_dir):

@@ -96,6 +96,21 @@ def main() -> None:
     spark = get_spark("scale-sweep")
     sc = spark.sparkContext
     sc.setLogLevel("ERROR")
+    # Size shuffle parallelism to the corpus exactly as a cluster
+    # deployment (and bench.py _prep) does — the CLAUDE.md sizing rule:
+    # partitions must fit in executor memory at the target SF. The
+    # session default of 8 is right at sf<=1 but forces ~22M-row
+    # reducers at sf30, and the resulting sort/agg spill is superlinear:
+    # q16 measured 90.4 s at 8 partitions vs 47.8 s at 64 (identical
+    # plan, fresh JVM each, r12). Recorded in the sweep JSON _meta so
+    # cross-round totals are compared under known conditions.
+    import pyarrow.parquet as _pq
+
+    li_rows = _pq.ParquetFile(
+        os.path.join(sf_dir, "lineitem.parquet")
+    ).metadata.num_rows
+    n_shuffle = int(min(64, max(8, li_rows // 500_000)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
     import kwery_spark.all_ops  # noqa: F401
     from kwery_spark.registry import QUERIES
 
@@ -156,6 +171,14 @@ def main() -> None:
     print(f"\n{len(results) - total_bad}/{len(results)} within budget "
           f"({budget:.0f}s each)", flush=True)
     if out_json:
+        meta = {
+            "sf_dir": sf_dir,
+            "shuffle_partitions": n_shuffle,
+            "n_keys": len(results),
+            "n_bad": total_bad,
+            "total_sec": round(sum(v["sec"] for v in results.values()), 1),
+        }
+        results["_meta"] = meta
         with open(out_json, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
         print(f"wrote {out_json}")
