@@ -148,14 +148,23 @@ def _pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint costs the FIRST builder ~+40 s but repays it twice over
     # in LPA/common-neighbors/degree reuse — family total is the graded
     # quantity, so the shared artifact is imposed, not opportunistic.
+    # r12 fuse: repartition(c) BEFORE the groupBy — HashPartitioning(c)
+    # satisfies the (c,s) aggregation's clustered distribution, so the
+    # agg runs exchange-free on the c-partitioned stream and the old
+    # shape's SECOND 176M-row exchange (post-agg repartition) vanishes.
+    # The map-side partial agg it gives up was worthless here: the
+    # corpus averages ~1.015 lineitems per distinct pair, so partial
+    # aggregation shrank the shuffle <2%. Measured sf30 fresh-JVM: LPA
+    # cold total 128.2 s (old) → 123.0 s (fused), identical values.
     w = _ckpt(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
+        .select(
             (F.col("o_custkey") * 2).alias("c"),
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
-        .agg(F.count(F.lit(1)).alias("wt"))
         .repartition("c")
+        .groupBy("c", "s")
+        .agg(F.count(F.lit(1)).alias("wt"))
         .sortWithinPartitions("c")
     )
     _shared_put(spark, sf_dir, "pair_weights", w)
@@ -738,10 +747,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical numeric algebra and both engines render 'c{k}'/'s{k}'
     # only at the end
     w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("label"))
+    # r12: repartition(node) BEFORE the vote count (the q16/q21 fuse) —
+    # the agg AND the plurality-argmax window then both run exchange-
+    # free on that one partitioning, where groupBy(node, label) used to
+    # hash on the pair and the window re-exchanged its output. Warm-
+    # edges same-session A/B at sf30: rounds 29.2 s → 26.9 s. The
+    # map-side partial vote count it forgoes bought little (vote rows
+    # ≈ edge rows until labels converge).
     for _ in range(3):
         labels = (
             edges.join(labels.hint("shuffle_hash"), edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"), "label")
+            .select(F.col("dst").alias("node"), "label")
+            .repartition("node")
+            .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)

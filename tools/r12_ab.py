@@ -232,19 +232,26 @@ def main() -> None:
         else:
             names.append(a)
 
-    from kwery_spark.session import get_spark
+    from kwery_spark.session import builder
 
-    spark = get_spark("r12-ab")
+    b = builder("r12-ab")
+    for k, v in confs:
+        if k.startswith("spark.") and not k.startswith("spark.sql."):
+            b = b.config(k, v)
+    spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if partitions:
         spark.conf.set("spark.sql.shuffle.partitions", partitions)
     for k, v in confs:
-        spark.conf.set(k, v)
+        if k.startswith("spark.sql."):
+            spark.conf.set(k, v)
     import kwery_spark.all_ops  # noqa: F401
 
     for name in names:
-        df = VARIANTS[name](spark, sf_dir)
+        # time from BUILD start: eager checkpoints inside operator
+        # construction are real work (the sweep times the same span)
         t0 = time.perf_counter()
+        df = VARIANTS[name](spark, sf_dir)
         n = df.count()
         dt = time.perf_counter() - t0
         print(
@@ -260,6 +267,156 @@ def main() -> None:
             flush=True,
         )
 
+
+
+
+def _lpa_build_v2(spark, sf_dir):
+    """Prototype r12 build: (a) repartition(c) BEFORE the groupBy so the
+    pair aggregation reuses that exchange (HashPartitioning(c) satisfies
+    groupBy(c,s)) instead of shuffling the 177M-pair table twice; (b) the
+    degree caps via per-group sorted-slice aggregation (sort avg-degree
+    lists per node) instead of full-partition window sorts."""
+    from kwery_spark.catalog import table
+    from kwery_spark.operators.graph import _ckpt
+
+    k = 16
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w = _ckpt(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .repartition("c")
+        .groupBy("c", "s")
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .sortWithinPartitions("c")
+    )
+    fwd = (
+        w.groupBy("c")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("wt")).alias("nw"), F.col("s")))
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select(F.col("c").alias("src"), F.explode("top").alias("t"))
+        .select("src", F.col("t.s").alias("dst"))
+    )
+    rev = (
+        w.groupBy("s")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("wt")).alias("nw"), F.col("c")))
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select(F.col("s").alias("src"), F.explode("top").alias("t"))
+        .select("src", F.col("t.c").alias("dst"))
+    )
+    capped = _ckpt(fwd.union(rev).repartition("src").sortWithinPartitions("src"))
+    return w, capped
+
+
+def lpa_v2(spark, sf_dir):
+    """Full LPA on the v2 build (same 3 vote rounds)."""
+    from pyspark.sql import Window
+
+    from kwery_spark.operators.graph import _node_str
+
+    _, edges = _lpa_build_v2(spark, sf_dir)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("label"))
+    for _ in range(3):
+        labels = (
+            edges.join(labels.hint("shuffle_hash"), edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .select(_node_str(F.col("lbl")).alias("community"), "n_members")
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )
+
+
+VARIANTS["lpa_v2"] = lpa_v2
+
+
+def lpa_v3(spark, sf_dir):
+    """Fuse-only: repartition(c) before the pair groupBy (one fewer 177M
+    exchange); caps stay as the original row_number windows."""
+    from pyspark.sql import Window
+
+    from kwery_spark.catalog import table
+    from kwery_spark.operators.graph import _ckpt, _node_str
+
+    k = 16
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w = _ckpt(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .repartition("c")
+        .groupBy("c", "s")
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .sortWithinPartitions("c")
+    )
+    wc = Window.partitionBy("c").orderBy(F.col("wt").desc(), F.col("s"))
+    ws = Window.partitionBy("s").orderBy(F.col("wt").desc(), F.col("c"))
+    fwd = (
+        w.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= k)
+        .select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    rev = (
+        w.withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= k)
+        .select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    edges = _ckpt(fwd.union(rev).repartition("src").sortWithinPartitions("src"))
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    win = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("label"))
+    for _ in range(3):
+        labels = (
+            edges.join(labels.hint("shuffle_hash"), edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .select(_node_str(F.col("lbl")).alias("community"), "n_members")
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )
+
+
+VARIANTS["lpa_v3"] = lpa_v3
 
 if __name__ == "__main__":
     main()
