@@ -324,7 +324,15 @@ def slim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out:
         p = os.path.join(out, "customer_slim.parquet")
         if os.path.exists(p):
-            return spark.read.parquet(p)
+            # routed through the scan-plan cache like every other table:
+            # the uncached read cost a footer/schema-inference driver job
+            # on EVERY query build (q5 job census, r12)
+            key = (spark.sparkContext.applicationId, out, "customer_slim")
+            df = _SCAN_CACHE.get(key)
+            if df is None:
+                df = spark.read.parquet(p)
+                _SCAN_CACHE[key] = df
+            return df
     return table(spark, sf_dir, "customer").select(*_SLIM_COLS)
 
 
