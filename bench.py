@@ -301,6 +301,10 @@ def _prep(spark, sf_dir: str) -> None:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
         )
+        # AQE earns its per-stage jobs once shuffles carry real volume
+        # (runtime coalescing/skew handling): sf3 measured 4.27 on vs
+        # 4.35 off (r12 fresh-JVM pairs), sf10 q5 1.009 on vs 1.111 off.
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     else:
         # restore the small-SF guard so _prep is order-independent — the
         # 32 MB setting measurably regresses sf1 and must not leak into a
@@ -308,6 +312,13 @@ def _prep(spark, sf_dir: str) -> None:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024)
         )
+        # Below ~15M rows the job floor dominates and AQE's one-job-per-
+        # stage materialization is pure overhead: headline totals measured
+        # fresh-JVM in r12 — sf1 2.76/2.77 off vs 3.07/3.14 on (−0.3 to
+        # −0.4 s of the 2x-gate deficit), sf0.1 1.97 off vs 2.16 on. The
+        # plans at these SFs don't need runtime re-planning (no skew, 12
+        # partitions); at 100 TB every section is the >=15M branch.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     # Split size matched to the v4 layout's 16 MB row groups: each split
     # holds exactly one row group, so no empty splits (the session-wide
     # 2 MB default generated ~650 no-op tasks per sf10 lineitem scan) and

@@ -50,6 +50,10 @@ _SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 # reads the raw testdata files.
 _OPTIMIZED: dict[str, str] = {}
 
+# Positive results of the stats_db / bucketed_db catalog probes, keyed on
+# (applicationId, db name) — see stats_db for the invalidation argument.
+_DB_PROBE_CACHE: set[tuple[str, str]] = set()
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -498,7 +502,17 @@ def stats_db(spark: SparkSession, sf_dir: str) -> str | None:
         # renamed corpus file must mean "no stats db", not an OSError
         # escaping a probe that is documented to be safe (ADVICE r3)
         db = _db_name(sf_dir, optimized=sf_dir in _OPTIMIZED)
+        key = (spark.sparkContext.applicationId, db)
+        if key in _DB_PROBE_CACHE:
+            return db
         if spark.catalog.tableExists(f"{db}.lineitem"):
+            # memoize POSITIVE probes only (r12): tableExists is a py4j
+            # metastore round trip paid on every query BUILD (~10-40 ms,
+            # two probes per CBO-path query); a db that exists stays
+            # valid for the session (fingerprint-named, stale siblings
+            # are dropped before builds, never mid-session). A negative
+            # must keep probing so the prep step can flip it.
+            _DB_PROBE_CACHE.add(key)
             return db
     except Exception:
         pass
@@ -631,11 +645,30 @@ def bucketed_db(spark: SparkSession, sf_dir: str) -> str | None:
     never raises on a missing corpus."""
     try:
         db = _bucketed_db_name(sf_dir)
+        key = (spark.sparkContext.applicationId, db)
+        if key in _DB_PROBE_CACHE:
+            return db
         if spark.catalog.tableExists(f"{db}.lineitem"):
+            # positive-only probe memo — see stats_db (r12)
+            _DB_PROBE_CACHE.add(key)
             return db
     except Exception:
         pass
     return None
+
+
+def bucketed_table(spark: SparkSession, db: str, name: str) -> DataFrame:
+    """``spark.table(f"{db}.{name}")`` through the scan-plan cache: the
+    raw call resolves through the metastore on EVERY query build
+    (~20-40 ms of py4j+HMS per table, two tables per bucketed fact
+    query). A catalog-table DataFrame is an immutable scan plan like
+    the parquet reads table() caches — no shuffle to stage-skip."""
+    key = (spark.sparkContext.applicationId, db, name)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = spark.table(f"{db}.{name}")
+        _SCAN_CACHE[key] = df
+    return df
 
 
 def cache_tables(spark: SparkSession, sf_dir: str) -> None:

@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
-from kwery_spark.catalog import bucketed_db, cbo_active, stats_db, table
+from kwery_spark.catalog import bucketed_db, bucketed_table, cbo_active, stats_db, table
 from kwery_spark.registry import register
 
 
@@ -203,13 +203,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     bdb = _bucketed(spark, sf_dir)
     if bdb is not None:
         cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
-        li = spark.table(f"{bdb}.lineitem").filter(F.col("l_shipdate") > cutoff)
+        li = bucketed_table(spark, bdb, "lineitem").filter(F.col("l_shipdate") > cutoff)
         lagg = li.groupBy("l_orderkey").agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
-        orders = spark.table(f"{bdb}.orders").filter(F.col("o_orderdate") < cutoff)
+        orders = bucketed_table(spark, bdb, "orders").filter(F.col("o_orderdate") < cutoff)
         # r9: the semi-join build side reads the persisted 3-column
         # customer projection when the optimized layout is active
         # (catalog.slim_customer) — same values, far less decode
@@ -316,13 +316,12 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # collect itself is memoized per session+corpus, _nation_rows).
         nrows, _asia_regions = _nation_rows(spark, sf_dir)
         asia_keys = _asia_nation_keys(spark, sf_dir)
-        name_map = F.create_map(
-            *[
-                F.lit(v)
-                for k, n, _rk in nrows
-                if k in set(asia_keys)
-                for v in (k, n)
-            ]
+        # single-expr literal map: one py4j call instead of 10 F.lit
+        # round trips (plan BUILD time is part of every timed run)
+        map_sql = ", ".join(
+            "{}, '{}'".format(k, n.replace("'", "''"))
+            for k, n, _rk in nrows
+            if k in set(asia_keys)
         )
         dims = (
             table(spark, sf_dir, "supplier")
@@ -330,13 +329,15 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "s_suppkey",
                 "s_nationkey",
-                F.element_at(name_map, F.col("s_nationkey")).alias("n_name"),
+                F.expr(f"element_at(map({map_sql}), s_nationkey)").alias(
+                    "n_name"
+                ),
             )
         )
-        li = spark.table(f"{bdb}.lineitem").join(
+        li = bucketed_table(spark, bdb, "lineitem").join(
             broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey")
         )
-        orders = spark.table(f"{bdb}.orders").filter(
+        orders = bucketed_table(spark, bdb, "orders").filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         ).select("o_orderkey", "o_custkey")

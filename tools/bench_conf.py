@@ -100,6 +100,13 @@ def main() -> None:
             spark.conf.set(
                 "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
             )
+        if not any(a.startswith("spark.sql.adaptive.enabled=") for a in confs):
+            # mirror bench.py _prep (r12): AQE off below 15M rows — the
+            # per-stage job materialization is pure floor at small SFs
+            spark.conf.set(
+                "spark.sql.adaptive.enabled",
+                "true" if rows >= 15_000_000 else "false",
+            )
     out = {}
     for key in keys:
         times = []
