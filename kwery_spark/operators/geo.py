@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
 
 from kwery_spark.catalog import table
 from kwery_spark.registry import register
@@ -275,5 +276,260 @@ def geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hood").cast("double") / 9.0, 6).alias("smoothed"),
         )
         .orderBy(F.desc("n_hood"), "cell_lat", "cell_lon")
+        .limit(20)
+    )
+
+
+@register(
+    "geo_knn_join",
+    oracle=f"""
+    WITH cc AS (
+        SELECT c_custkey,
+               {_coord_sql('clat', 'c_custkey', 1200000, 60.0)} AS lat,
+               {_coord_sql('clon', 'c_custkey', 3600000, 180.0)} AS lon
+        FROM customer
+    ),
+    cg AS (
+        SELECT c_custkey, lat, lon,
+               CAST(floor(lat / 5.0) AS BIGINT) AS cell_lat,
+               CAST(floor(lon / 5.0) AS BIGINT) AS cell_lon
+        FROM cc
+    ),
+    ss AS (
+        SELECT s_suppkey,
+               {_coord_sql('slat', 's_suppkey', 1200000, 60.0)} AS lat,
+               {_coord_sql('slon', 's_suppkey', 3600000, 180.0)} AS lon
+        FROM supplier
+    ),
+    sg AS (
+        SELECT s_suppkey, lat, lon,
+               CAST(floor(lat / 5.0) AS BIGINT) AS cell_lat,
+               CAST(floor(lon / 5.0) AS BIGINT) AS cell_lon
+        FROM ss
+    ),
+    cand AS (
+        SELECT s.s_suppkey, c.c_custkey,
+               (s.lat - c.lat) * (s.lat - c.lat)
+             + (s.lon - c.lon) * (s.lon - c.lon) AS d2
+        FROM sg s JOIN cg c
+          ON c.cell_lat BETWEEN s.cell_lat - 1 AND s.cell_lat + 1
+         AND c.cell_lon BETWEEN s.cell_lon - 1 AND s.cell_lon + 1
+    ),
+    nn AS (
+        SELECT s_suppkey, c_custkey, d2
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY s_suppkey ORDER BY d2, c_custkey) AS rn
+              FROM cand)
+        WHERE rn = 1
+    )
+    SELECT s_suppkey, c_custkey, round(sqrt(d2), 6) AS dist
+    FROM nn
+    ORDER BY d2, s_suppkey
+    LIMIT 20
+    """,
+)
+def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded nearest-neighbor join (k=1): each supplier's closest
+    customer within its 3x3 grid neighborhood (i.e. guaranteed-complete
+    out to one cell width — the standard bounded-radius kNN contract of
+    grid spatial indexes; a production system widens the ring only for
+    probes whose neighborhood came back empty). Emits the 20 closest
+    (supplier, customer) matches globally.
+
+    Exactness: squared planar distance on md5-derived exact doubles —
+    products/sums are IEEE-exact, so the per-supplier argmin and the
+    global ordering both compare exact d2 values (ties broken on keys);
+    sqrt+round(6) happen only in the final projection ("round stays
+    fine for irrational-ish quotients", CLAUDE.md).
+
+    Scale: identical blocking to geo_radius_join — the supplier side
+    replicates 9x via static explode and equi-joins the customer grid
+    on cell keys (hash join, work = |S| x local density). The argmin
+    runs in two phases, both hash-aggregable: (1) min(d2) per supplier
+    PARTIAL-aggregates map-side inside the join's codegen stage, so the
+    |S| x density candidate stream never shuffles (the fixed 1728-cell
+    grid makes density grow with SF; a row_number window here shuffled
+    all candidates and TIMED OUT at sf10, and min(struct(d2, custkey))
+    plans as a SortAggregate — Spark can't hash-aggregate struct MIN —
+    which map-side-SORTS the same stream, same timeout); (2) the
+    nearest custkey is resolved only for the 20 winning suppliers by
+    re-probing their 9-cell neighborhoods (≤ 20 x 9 x density rows)
+    against the checkpointed 20-row winner list, with the exact-d2
+    equality as the keep (IEEE-exact doubles, min custkey on ties —
+    the oracle's (d2, c_custkey) tiebreak)."""
+    cust = _points_spark(
+        table(spark, sf_dir, "customer").select("c_custkey"), "c_custkey", "c"
+    )
+    supp = _points_spark(
+        table(spark, sf_dir, "supplier").select("s_suppkey"), "s_suppkey", "s"
+    )
+    d = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    probes = (
+        supp.withColumn("dlat", F.explode(d))
+        .withColumn("dlon", F.explode(d))
+        .select(
+            "s_suppkey",
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+            (F.col("cell_lat") + F.col("dlat")).alias("jlat"),
+            (F.col("cell_lon") + F.col("dlon")).alias("jlon"),
+        )
+    )
+    d2 = (F.col("s_lat") - F.col("lat")) * (F.col("s_lat") - F.col("lat")) + (
+        F.col("s_lon") - F.col("lon")
+    ) * (F.col("s_lon") - F.col("lon"))
+    cand = probes.join(
+        cust,
+        (F.col("jlat") == cust.cell_lat) & (F.col("jlon") == cust.cell_lon),
+    ).select("s_suppkey", "c_custkey", d2.alias("d2"))
+    top = (
+        cand.groupBy("s_suppkey")
+        .agg(F.min("d2").alias("md2"))
+        .orderBy("md2", "s_suppkey")
+        .limit(20)
+        .localCheckpoint(eager=True)  # 20 rows — bounded
+    )
+    cand20 = probes.join(
+        broadcast(top.select("s_suppkey")), "s_suppkey", "left_semi"
+    ).join(
+        cust,
+        (F.col("jlat") == cust.cell_lat) & (F.col("jlon") == cust.cell_lon),
+    ).select("s_suppkey", "c_custkey", d2.alias("d2"))
+    nn = (
+        cand20.join(broadcast(top), "s_suppkey")
+        .filter(F.col("d2") == F.col("md2"))
+        .groupBy("s_suppkey", "md2")
+        .agg(F.min("c_custkey").alias("c_custkey"))
+    )
+    return (
+        nn.orderBy("md2", "s_suppkey")
+        .select("s_suppkey", "c_custkey", F.round(F.sqrt("md2"), 6).alias("dist"))
+    )
+
+
+@register(
+    "geo_trajectory_stats",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, ts, event_id,
+               {_coord_sql('elat', 'event_id', 1200000, 60.0)} AS lat,
+               {_coord_sql('elon', 'event_id', 3600000, 180.0)} AS lon
+        FROM events
+    ),
+    steps AS (
+        SELECT user_id, lat, lon,
+               lag(lat) OVER w AS plat,
+               lag(lon) OVER w AS plon,
+               row_number() OVER w AS seq,
+               count(*) OVER (PARTITION BY user_id) AS n_points
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    lens AS (
+        SELECT user_id, n_points,
+               CAST(round(sqrt((lat - plat) * (lat - plat)
+                            + (lon - plon) * (lon - plon)), 6)
+                    AS DECIMAL(18, 6)) AS step_len,
+               CASE WHEN seq = 1 THEN lat END AS lat0,
+               CASE WHEN seq = 1 THEN lon END AS lon0,
+               CASE WHEN seq = n_points THEN lat END AS lat1,
+               CASE WHEN seq = n_points THEN lon END AS lon1
+        FROM steps
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(max(n_points) AS BIGINT) AS n_points,
+               CAST(coalesce(sum(step_len), 0) AS DOUBLE) AS path_len,
+               round(sqrt((max(lat1) - max(lat0)) * (max(lat1) - max(lat0))
+                        + (max(lon1) - max(lon0)) * (max(lon1) - max(lon0))),
+                     6) AS net_disp
+        FROM lens
+        GROUP BY user_id
+    )
+    SELECT user_id, n_points, path_len, net_disp,
+           CASE WHEN path_len > 0 THEN round(net_disp / path_len, 6)
+                ELSE CAST(NULL AS DOUBLE) END AS straightness
+    FROM per_user
+    ORDER BY path_len DESC, user_id
+    LIMIT 20
+    """,
+)
+def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory summarization (the GPS-pipeline staple): each user's
+    events, ordered by (ts, event_id), form a path through the synthetic
+    coordinate space; emit the 20 longest paths with point count, total
+    path length, net displacement (first->last), and straightness
+    (net/path).
+
+    Exactness: step lengths are sqrt of IEEE-exact squared distances,
+    rounded to 6dp BEFORE a DECIMAL(18,6) cast so the per-user SUM is
+    exact integer-scaled arithmetic — addition-order-independent across
+    engines (the r10 float-sum rule; a raw double sum of ~1e2 sqrt
+    values would be ulp-lottery under the 6-sig-digit hash). first/last
+    points come from seq==1 / seq==n_points rows (deterministic (ts,
+    event_id) ordering), net_disp is a single sqrt+round, straightness
+    one division of the two already-exact scalars with the zero
+    denominator excluded exactly.
+
+    Scale: ONE shuffle on user_id serves the lag window, the
+    row_number, and the per-user aggregate (all partition on user_id);
+    the top-20 is a TakeOrderedAndProject. At 100 TB trajectories
+    shard naturally by user — no skew beyond the busiest user's event
+    count, the same bound every per-user window op in the repo carries."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    lat = _coord_spark("elat", "event_id", 1200000, 60.0)
+    lon = _coord_spark("elon", "event_id", 3600000, 180.0)
+    pts = ev.select("user_id", "ts", "event_id", lat.alias("lat"), lon.alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    steps = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        F.row_number().over(w).alias("seq"),
+        F.count(F.lit(1)).over(wall).alias("n_points"),
+    )
+    step_len = F.round(
+        F.sqrt(
+            (F.col("lat") - F.col("plat")) * (F.col("lat") - F.col("plat"))
+            + (F.col("lon") - F.col("plon")) * (F.col("lon") - F.col("plon"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    lens = steps.select(
+        "user_id",
+        "n_points",
+        step_len.alias("step_len"),
+        F.when(F.col("seq") == 1, F.col("lat")).alias("lat0"),
+        F.when(F.col("seq") == 1, F.col("lon")).alias("lon0"),
+        F.when(F.col("seq") == F.col("n_points"), F.col("lat")).alias("lat1"),
+        F.when(F.col("seq") == F.col("n_points"), F.col("lon")).alias("lon1"),
+    )
+    per_user = lens.groupBy("user_id").agg(
+        F.max("n_points").cast("long").alias("n_points"),
+        F.coalesce(F.sum("step_len"), F.lit(0)).cast("double").alias("path_len"),
+        F.round(
+            F.sqrt(
+                (F.max("lat1") - F.max("lat0")) * (F.max("lat1") - F.max("lat0"))
+                + (F.max("lon1") - F.max("lon0")) * (F.max("lon1") - F.max("lon0"))
+            ),
+            6,
+        ).alias("net_disp"),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_points",
+            "path_len",
+            "net_disp",
+            F.when(
+                F.col("path_len") > 0, F.round(F.col("net_disp") / F.col("path_len"), 6)
+            ).alias("straightness"),
+        )
+        .orderBy(F.desc("path_len"), "user_id")
         .limit(20)
     )

@@ -554,15 +554,23 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale (r11 restructure, was 9.4 s sf10 / 37.2 s sf30): the brand
     filter keeps ~4% of parts and acts on the GROUP KEY of the
-    threshold aggregate, so it commutes with the per-part AVG — BOTH
-    legs (the probe rows and the thresholds build) are broadcast-semi-
-    filtered map-side before any shuffle, shrinking the per-part avg
-    exchange ~25x. The pre-agg plan used to average the whole fact
-    table and then discard 96% of the thresholds. Surviving parts keep
-    bit-identical thresholds (the filter removes whole partkey groups,
-    never rows within one); the per-part avg shuffles on l_partkey
-    (same key as the join — at scale one co-partitioned exchange serves
-    both). Single-row output.
+    threshold aggregate, so it commutes with the per-part AVG — the
+    fact rows are broadcast-semi-filtered map-side before any shuffle,
+    shrinking the per-part avg exchange ~25x. The pre-agg plan used to
+    average the whole fact table and then discard 96% of the
+    thresholds. Surviving parts keep bit-identical thresholds (the
+    filter removes whole partkey groups, never rows within one).
+
+    r12 restructure: the r11 form consumed the semi-filtered frame
+    through TWO aliases (thresholds build + probe leg), and
+    differently-aliased consumers re-run the whole upstream pipeline —
+    lineitem was scanned and semi-probed twice (the r8 alias-
+    re-execution lesson, caught by the r12 sweep diff). The correlated
+    AVG is really a per-partition window: ONE scan, ONE exchange on
+    l_partkey, avg(quantity) OVER (PARTITION BY l_partkey), filter,
+    global agg — no self-join at all. Same exact threshold values
+    (integral quantities, exact FP avg). Fresh-JVM cold sf10, identical
+    protocol: 13.2 s (r11 two-leg form) → 7.8 s. Single-row output.
     """
     li = table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
@@ -575,11 +583,9 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lif = li.join(
         broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
-    thresholds = lif.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        lif.join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
+        lif.withColumn("qty_threshold", F.lit(0.2) * F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
