@@ -106,11 +106,19 @@ def main() -> None:
     # cross-round totals are compared under known conditions.
     import pyarrow.parquet as _pq
 
-    li_rows = _pq.ParquetFile(
-        os.path.join(sf_dir, "lineitem.parquet")
-    ).metadata.num_rows
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    li_rows = _pq.ParquetFile(li_path).metadata.num_rows
     n_shuffle = int(min(64, max(8, li_rows // 500_000)))
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    # Scan split size scales with the corpus too: the session default
+    # (2 MB — right for the 10 MB gate files) gives the sf30 lineitem
+    # 653 map tasks, and 653 maps x 64 reducers explodes the shuffle
+    # block count — measured at sf30 (fresh JVM each): q14 24.6 s with
+    # 2 MB splits vs 11.4 s with 16 MB, q16 28.4 vs 25.1, q21 27.9 vs
+    # 20.5. Sized so the biggest table still yields ~64 splits at small
+    # SFs (sf1: 90 MB / 64 -> clamps to the 2 MB session default).
+    split = int(min(16 << 20, max(2 << 20, os.path.getsize(li_path) // 64)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     import kwery_spark.all_ops  # noqa: F401
     from kwery_spark.registry import QUERIES
 
@@ -174,6 +182,7 @@ def main() -> None:
         meta = {
             "sf_dir": sf_dir,
             "shuffle_partitions": n_shuffle,
+            "max_partition_bytes": split,
             "n_keys": len(results),
             "n_bad": total_bad,
             "total_sec": round(sum(v["sec"] for v in results.values()), 1),
