@@ -110,15 +110,22 @@ def main() -> None:
     li_rows = _pq.ParquetFile(li_path).metadata.num_rows
     n_shuffle = int(min(64, max(8, li_rows // 500_000)))
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
-    # Scan split size scales with the corpus too: the session default
-    # (2 MB — right for the 10 MB gate files) gives the sf30 lineitem
-    # 653 map tasks, and 653 maps x 64 reducers explodes the shuffle
-    # block count — measured at sf30 (fresh JVM each): q14 24.6 s with
-    # 2 MB splits vs 11.4 s with 16 MB, q16 28.4 vs 25.1, q21 27.9 vs
-    # 20.5. Sized so the biggest table still yields ~64 splits at small
-    # SFs (sf1: 90 MB / 64 -> clamps to the 2 MB session default).
-    split = int(min(16 << 20, max(2 << 20, os.path.getsize(li_path) // 64)))
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    # Scan split sizing (r12, two measured failure modes with one knob):
+    # a flat 2 MB maxPartitionBytes gives the sf30 lineitem 653 map
+    # tasks whose 64-reducer shuffle-block explosion doubles the
+    # join-heavy keys (q14 24.6 s vs 11.4 s at 16 MB), while a flat
+    # 16 MB collapses the 4 MB documents file to 2 splits and starves
+    # the per-byte-expensive text/HOF keys of cores (text_rake 54.9 s
+    # vs 29.4 s at 2 MB). Spark's own split formula — split =
+    # min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum))
+    # — serves both classes once minPartitionNum targets 2x cores and
+    # the openCost floor is small: big tables cap at 16 MB splits,
+    # small-but-expensive tables split to ~64 pieces. Measured sf10:
+    # documents 35 splits / lineitem 82; text_rake 18.3 s, q14 2.8 s —
+    # better than EITHER flat setting.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 << 20))
+    spark.conf.set("spark.sql.files.minPartitionNum", "64")
+    spark.conf.set("spark.sql.files.openCostInBytes", str(128 << 10))
     import kwery_spark.all_ops  # noqa: F401
     from kwery_spark.registry import QUERIES
 
@@ -182,7 +189,9 @@ def main() -> None:
         meta = {
             "sf_dir": sf_dir,
             "shuffle_partitions": n_shuffle,
-            "max_partition_bytes": split,
+            "max_partition_bytes": 16 << 20,
+            "min_partition_num": 64,
+            "open_cost_bytes": 128 << 10,
             "n_keys": len(results),
             "n_bad": total_bad,
             "total_sec": round(sum(v["sec"] for v in results.values()), 1),
