@@ -648,7 +648,12 @@ def bucketed_db(spark: SparkSession, sf_dir: str) -> str | None:
         key = (spark.sparkContext.applicationId, db)
         if key in _DB_PROBE_CACHE:
             return db
-        if spark.catalog.tableExists(f"{db}.lineitem"):
+        if spark.catalog.tableExists(f"{db}.lineitem") and _has_row_stats(
+            spark, f"{db}.lineitem"
+        ):
+            # tableExists AND row stats — the same completeness probe
+            # build_bucketed uses (stats are written last, so a build
+            # that died mid-way never memoizes as usable; ADVICE r12)
             # positive-only probe memo — see stats_db (r12)
             _DB_PROBE_CACHE.add(key)
             return db

@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
-from kwery_spark.catalog import table
+from kwery_spark.catalog import round6, table
 from kwery_spark.registry import register
 
 _CELL = 5.0
@@ -447,7 +447,8 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id
     )
     SELECT user_id, n_points, path_len, net_disp,
-           CASE WHEN path_len > 0 THEN round(net_disp / path_len, 6)
+           CASE WHEN path_len > 0
+                THEN floor((net_disp / path_len) * 1000000.0 + 0.5) / 1000000.0
                 ELSE CAST(NULL AS DOUBLE) END AS straightness
     FROM per_user
     ORDER BY path_len DESC, user_id
@@ -527,7 +528,11 @@ def geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "path_len",
             "net_disp",
             F.when(
-                F.col("path_len") > 0, F.round(F.col("net_disp") / F.col("path_len"), 6)
+                # round6, not round(,6): net_disp/path_len is a quotient of
+                # two exact 6dp-scaled scalars — the exact-ratio tie class
+                # (ADVICE r12; stream_asof_join flaked on plain round in r9)
+                F.col("path_len") > 0,
+                round6(F.col("net_disp") / F.col("path_len")),
             ).alias("straightness"),
         )
         .orderBy(F.desc("path_len"), "user_id")

@@ -38,8 +38,8 @@ def _bucketed(spark: SparkSession, sf_dir: str) -> str | None:
 # ~0.2 s of the ~1.0 s sf10 q5 run was asia_keys + the nation/region
 # footer reads (job census: 9 jobs/run, 3 of them this). Same memo
 # discipline as graph._SHARED: keyed on (applicationId, resolved corpus,
-# nation-file fingerprint) so a regenerated corpus or a new session can
-# never be served a stale list; the value is a tuple of ≤25 ints, never
+# nation+region file fingerprints) so a regenerated corpus or a new
+# session can never be served a stale list; the value is ≤25 ints, never
 # a DataFrame (the stage-skipping trap does not apply to plan-time
 # literals).
 _NATION_MEMO: dict[tuple, tuple] = {}
@@ -56,7 +56,11 @@ def _nation_rows(spark: SparkSession, sf_dir: str) -> list:
     key = (
         spark.sparkContext.applicationId,
         os.path.realpath(sf_dir),
+        # BOTH source files: the memoized value includes the ASIA region
+        # keys collected from region, so a region-file change with an
+        # unchanged nation fingerprint must also miss (ADVICE r12)
         _corpus_fingerprint(sf_dir, "nation"),
+        _corpus_fingerprint(sf_dir, "region"),
     )
     hit = _NATION_MEMO.get(key)
     if hit is None:
