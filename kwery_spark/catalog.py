@@ -391,6 +391,28 @@ def scan_splits(sf_dir: str, name: str) -> int:
     return max(1, n)
 
 
+def parquet_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a corpus table from parquet FOOTERS — metadata
+    only, no job, no data read. The sanctioned plan-time-literal class
+    (build_bucketed's bucket count, the nation memo): operators use it
+    to derive bounded scale knobs (broadcast gates, grid cell widths)
+    that a cluster deployment would read from catalog stats instead.
+    Layout-invariant, so it reads the raw sf_dir files directly."""
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        [
+            os.path.join(path, e)
+            for e in os.listdir(path)
+            if e.endswith(".parquet") and not e.startswith("_")
+        ]
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _db_name(sf_dir: str, optimized: bool) -> str:
     base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     prefix = "kwery_opt_" if optimized else "kwery_"

@@ -33,14 +33,9 @@ def _ts(s: str):
 
 
 def _parquet_rows(sf_dir: str, name: str) -> int:
-    """Plan-time row count from the parquet footer — a bounded metadata
-    read, same sanctioned class as catalog.build_bucketed's bucket-count
-    probe and the nation memo (no job, no data)."""
-    import os
+    from kwery_spark.catalog import parquet_rows
 
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+    return parquet_rows(sf_dir, name)
 
 
 @register(

@@ -38,14 +38,17 @@ def test_geo_knn_matches_local_bruteforce(spark):
     supps = pq.read_table(f"{SF001}/supplier.parquet", columns=["s_suppkey"])[
         "s_suppkey"
     ].to_pylist()
+    from kwery_spark.operators.geo import knn_cell_width
+
+    w = knn_cell_width(len(custs))  # r13 density-adaptive grid (= 5.0 here)
     cpts = {c: _pt("c", c) for c in custs}
     cells: dict[tuple[int, int], list[int]] = {}
     for c, (la, lo) in cpts.items():
-        cells.setdefault((math.floor(la / 5.0), math.floor(lo / 5.0)), []).append(c)
+        cells.setdefault((math.floor(la / w), math.floor(lo / w)), []).append(c)
     best = []
     for s in supps:
         sla, slo = _pt("s", s)
-        ci, cj = math.floor(sla / 5.0), math.floor(slo / 5.0)
+        ci, cj = math.floor(sla / w), math.floor(slo / w)
         nn = None
         for di in (-1, 0, 1):
             for dj in (-1, 0, 1):
