@@ -175,8 +175,10 @@ def _purchase_edges(
     spark: SparkSession, sf_dir: str, with_degree: bool = False
 ) -> DataFrame:
     """Bidirected customer↔supplier purchase graph with LONG node ids
-    (customer k → 2k, supplier k → 2k+1), shared by pagerank / LPA /
-    BFS / degree-distribution. r8 rewrite, measured at sf10 (117.4M
+    (customer k → 2k, supplier k → 2k+1), shared by BFS and any
+    consumer that genuinely walks both directions (pagerank stopped
+    being one in r13 — its bipartite half-updates run straight off
+    _pair_weights, see graph_pagerank). r8 rewrite, measured at sf10 (117.4M
     edges): the four ops each built this graph with STRING node ids
     ('c'||key) and a redundant second distinct — the string keys alone
     made the build 116 s vs 69 s with longs (every shuffle hashes and
@@ -194,8 +196,8 @@ def _purchase_edges(
     for the first builder plus one 59M-row intermediate write that the
     family-total measurements showed is repaid twice over, see
     _pair_weights), and the finished edge frame is memoized per
-    session+corpus, so pagerank's with-degree build also serves BFS
-    (srcdeg dropped) and any later consumer in the same session."""
+    session+corpus, so a with-degree build also serves plain-edge
+    consumers (srcdeg dropped) and any later consumer in the session."""
     variant = "edges_deg" if with_degree else "edges"
     hit = _shared_get(spark, sf_dir, variant)
     if hit is not None:
@@ -217,9 +219,11 @@ def _purchase_edges(
     if with_degree:
         # out-degree rides the SAME partitioning (partitionBy-only window
         # over the already src-partitioned frame — no extra exchange), so
-        # pagerank needs neither a degree aggregate nor a second
-        # 117M-row join+checkpoint to weight its contributions. Opt-in:
-        # LPA/BFS don't consume it and shouldn't pay the window.
+        # a degree-weighted consumer needs neither a degree aggregate nor
+        # a second 117M-row join+checkpoint. Opt-in: LPA/BFS don't
+        # consume it and shouldn't pay the window. (No registered key
+        # requests it since the r13 pagerank bipartite rewrite; kept for
+        # the engine API and the edges_deg→edges reuse path above.)
         edges = edges.withColumn(
             "srcdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
         )
@@ -271,31 +275,90 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, 3 fixed iterations) on the bidirected
     customer↔supplier purchase graph. Deterministic: fixed iteration
     count, uniform init, float sums whose ulp-level order noise is
-    absorbed by the final 6dp round (same argument as ml_kmeans)."""
-    edges = _purchase_edges(spark, sf_dir, with_degree=True)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    # outdeg ships inside the edge checkpoint (srcdeg — computed by a
-    # partition-local window at build time), so no degree aggregate, no
-    # second 117M-row join+checkpoint
-    ew = edges
-    pr = nodes.crossJoin(broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    absorbed by the final 6dp round (same argument as ml_kmeans).
+
+    r13 bipartite rewrite (VERDICT r12 #5: sf30 read 192.8-220.4 s,
+    ×3.9 vs sf10, 9% of the whole sweep). The purchase graph is
+    BIPARTITE — every edge joins a customer to a supplier — so rank
+    never flows c→c or s→s, and the Pregel round decomposes into two
+    INDEPENDENT half-updates over the 59M-row undirected pair table
+    instead of one join over the 352M-row (sf30) bidirected edge set:
+
+      contrib→s = pairs ⋈_c (pr_c/deg_c), groupBy(s): the pair
+        checkpoint is c-partitioned (_pair_weights), pr_c rides the
+        same partitioning through every round (groupBy and left-join
+        on c reuse it; localCheckpoint preserves outputPartitioning),
+        so the join is a ZIP — the only exchange is the map-side
+        partially-aggregated s-message shuffle (≤ partitions × |S|
+        rows, vs the old plan's 352M-row contribution stream).
+      contrib→c = pairs ⋈_s broadcast(pr_s/deg_s), groupBy(c): the
+        supplier side is |S| rows (300k at sf30, ~5 MB) — broadcast,
+        gated on the parquet-footer supplier count like q16's pmap
+        (past the gate it degrades to a shuffle join on s, never an
+        OOM); the groupBy(c) is then EXCHANGE-FREE on the pair
+        checkpoint's partitioning.
+
+    The 352M-edge bidirected union + srcdeg window + disk checkpoint
+    the r12 form built (the whole _purchase_edges(with_degree=True)
+    artifact) vanishes from this key — pagerank now runs straight off
+    the family's shared _pair_weights checkpoint. BFS still builds the
+    plain edge frame for itself (it genuinely walks both directions).
+    Decomposition at sf30 (tools/decompose_pagerank.py, fresh JVM, 64
+    partitions): _pair_weights build+ckpt 68.7 s (the shared family
+    cost every first graph key pays) + degc/degs ckpts 6.7/5.8 s +
+    rounds 20.3/19.7/16.8 s (honest ~19 s/round linear work over 59M
+    pairs) + final materialize 4.4 s = 143.2 s. Measured cold sweep
+    A/B same box/protocol: sf30 200.3 s (r12 form) → 138.3 s; sf10
+    53.1 (r12 sweep) → 51.4 s (sf10 is build-dominated, so the round
+    win shows at scale: sf10→sf30 now ×2.7 on ×3 data, linear).
+    Values value-hash-identical vs the oracle at sf0.01 (the two
+    half-sums partition the same addend sets the old groupBy(dst)
+    summed — bipartiteness means no node receives from both sides)."""
+    from kwery_spark.catalog import parquet_rows
+
+    w = _pair_weights(spark, sf_dir)
+    pairs = w.select("c", "s")
+    # distinct-partner degrees. degc's groupBy rides the pair
+    # checkpoint's c-partitioning (no exchange); degs pays the one
+    # |pairs|→|S| shuffle. Both are localCheckpoint'd: every round (and
+    # the node-count scalar) re-reads them instead of re-scanning pairs.
+    degc = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("degc")).localCheckpoint(
+        eager=True
     )
+    degs = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("degs")).localCheckpoint(
+        eager=True
+    )
+    nn = (
+        degc.agg(F.count(F.lit(1)).alias("k"))
+        .unionAll(degs.agg(F.count(F.lit(1)).alias("k")))
+        .agg(F.sum("k").cast("double").alias("n"))
+        .localCheckpoint(eager=True)  # one row
+    )
+    prc = degc.crossJoin(broadcast(nn)).select(
+        "c", "degc", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    prs = degs.crossJoin(broadcast(nn)).select(
+        "s", "degs", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    # broadcast gate: the supplier rank side is provably |supplier| rows
+    # (same bounded-side rule as q16's pmap gate)
+    small_s = parquet_rows(sf_dir, "supplier") <= 20_000_000
     for _ in range(3):
-        contrib = (
-            # shuffle-hash hint: SMJ would re-sort the 117M-edge side
-            # every round; hashing the small node-keyed side instead
-            # measured -12% per round set at sf10, bit-identical (r8)
-            ew.join(pr.hint("shuffle_hash"), ew.src == pr.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("srcdeg")).alias("contrib"))
+        c_msgs = pairs.join(prc, "c").select(
+            "s", (F.col("pr") / F.col("degc")).alias("m")
         )
-        pr = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+        contrib_s = c_msgs.groupBy("s").agg(F.sum("m").alias("contrib"))
+        s_side = prs.select("s", (F.col("pr") / F.col("degs")).alias("m"))
+        s_msgs = pairs.join(
+            broadcast(s_side) if small_s else s_side, "s"
+        ).select("c", "m")
+        contrib_c = s_msgs.groupBy("c").agg(F.sum("m").alias("contrib"))
+        prc = (
+            degc.join(contrib_c, "c", "left")
             .crossJoin(broadcast(nn))
             .select(
-                "node",
+                "c",
+                "degc",
                 (
                     F.lit(1 - _D) / F.col("n")
                     + F.lit(_D) * F.coalesce(F.col("contrib"), F.lit(0.0))
@@ -303,8 +366,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return pr.select(
-        _node_str(F.col("node")).alias("node"), F.round("pr", 6).alias("pagerank")
+        prs = (
+            degs.join(contrib_s, "s", "left")
+            .crossJoin(broadcast(nn))
+            .select(
+                "s",
+                "degs",
+                (
+                    F.lit(1 - _D) / F.col("n")
+                    + F.lit(_D) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return prc.select(
+        _node_str(F.col("c")).alias("node"), F.round("pr", 6).alias("pagerank")
+    ).unionAll(
+        prs.select(
+            _node_str(F.col("s")).alias("node"), F.round("pr", 6).alias("pagerank")
+        )
     )
 
 
