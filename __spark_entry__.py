@@ -51,6 +51,17 @@ _REVERIFY_FROM_ROUND = {
     "sim_maxsim": 11,
     "events_funnel_windowed": 11,
     "scan_parquet_bloom": 11,
+    # r13 rewrites: adaptive-grid kNN + round6 straightness (geo),
+    # bipartite pagerank/BFS, shared-shuffle dq_expectations, gated
+    # q16 broadcast — values claimed identical (oracle-green at
+    # sf0.001/sf0.01), but the historical driver rows attest the OLD
+    # plans, so each re-earns its row on the driver's own session.
+    "geo_knn_join": 13,
+    "geo_trajectory_stats": 13,
+    "graph_pagerank": 13,
+    "graph_shortest_path": 13,
+    "dq_expectations": 13,
+    "q16_supplier_part_counts": 13,
 }
 
 
