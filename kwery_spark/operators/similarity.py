@@ -423,48 +423,82 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py asserts cluster quality and
     determinism-stable invariants.
 
-    Each iteration is two shuffles, both executor-side: assignment =
-    crossJoin(broadcast(centroids)) + per-vector argmin (centroids are
-    k x dim — tiny at any corpus size), update = posexplode -> (cluster,
-    pos) mean -> re-assembled centroid arrays. localCheckpoint truncates
-    the per-iteration lineage (checkpoint() on a real cluster). No vector
-    data ever reaches the driver.
+    Each iteration is two shuffles, both executor-side and sized by
+    DISTINCT vector content, not corpus rows (r13 — see _kmeans_fit):
+    assignment = crossJoin(broadcast(centroids)) + per-distinct-vector
+    argmin (centroids are k x dim — tiny at any corpus size), update =
+    posexplode -> (cluster, pos) weighted mean -> re-assembled centroid
+    arrays. localCheckpoint truncates the per-iteration lineage
+    (checkpoint() on a real cluster). No vector data ever reaches the
+    driver; the per-row output re-attaches clones by vector value (AQE
+    broadcasts the content-bounded distinct side).
     """
-    vecs, cents, assign_w = _kmeans_fit(spark, sf_dir)
-    final = (
-        vecs.crossJoin(broadcast(cents))
-        .select("vec_id", "cid", dot("v", "cv").alias("d"))
+    vecs, dvecs, cents, assign_w = _kmeans_fit(spark, sf_dir)
+    final_d = (
+        dvecs.crossJoin(broadcast(cents))
+        .select("v", "cid", dot("v", "cv").alias("d"))
         .withColumn("rn", F.row_number().over(assign_w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cluster"), F.round("d", 6).alias("sim"))
+        .select("v", F.col("cid").alias("cluster"), F.round("d", 6).alias("sim"))
     )
-    return final
+    return vecs.join(final_d, "v").select("vec_id", "cluster", "sim")
 
 
 def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 5):
     """Shared spherical-k-means fit (the ml_kmeans loop, lifted so the
     silhouette evaluation replays the identical fit): returns the
-    checkpointed unit vectors, the converged (iters-round) re-normalized
-    centroids, and the deterministic assignment window."""
+    checkpointed DISTINCT weighted vectors, the full per-row vectors,
+    the converged (iters-round) re-normalized centroids, and the
+    deterministic assignment window.
+
+    r13 distinct-vector contraction (the sim_maxsim/r5 doctrine — the
+    corpus upscale clones embedding vectors VERBATIM: sf30 has 600k
+    rows but 2,000 distinct vectors): every iteration runs over the
+    distinct vectors with multiplicity weights. Assignment per clone is
+    EXACTLY equal (same dot, same argmin), and the centroid mean
+    becomes sum(val·w)/sum(w) — the same addend multiset as the
+    row-expanded avg up to IEEE add-vs-multiply ulp order, the identical
+    absorption class the key has always carried cross-engine (DuckDB
+    sums in its own order; final values round to 6dp before hashing).
+    Verified value-hash-green against the unchanged row-expanded oracle
+    at sf0.001/sf0.01 (contraction is a no-op there: 500/500 distinct)
+    AND at sf1 + sf3 where the clone factor is 10x/30x. The final
+    per-row projection re-attaches clones by joining the 2,000-row
+    distinct assignment back on the vector value (AQE broadcasts the
+    content-bounded side under threshold; no explicit broadcast — the
+    side is content-bounded, not fixed). Measured warm best-of-3,
+    sweep confs at sf30: ml_kmeans 41.7 → 5.6 s, silhouette
+    48.6 → 4.5 s (the iteration cost now scales with distinct
+    content, not corpus rows). A fold-argmax variant that only removed
+    the assignment window (no contraction) measured a NULL result
+    (46.3 vs 41.7 s warm — the window shuffle was never the
+    bottleneck; the row-count × dot work was)."""
     vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)
     cents = (
         vecs.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
         .localCheckpoint(eager=True)
     )
-    assign_w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cid"))
+    dvecs = (
+        vecs.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    assign_w = Window.partitionBy("v").orderBy(F.col("d").desc(), F.col("cid"))
     for _ in range(iters):
         assigned = (
-            vecs.crossJoin(broadcast(cents))
-            .select("vec_id", "v", "cid", dot("v", "cv").alias("d"))
+            dvecs.crossJoin(broadcast(cents))
+            .select("v", "w", "cid", dot("v", "cv").alias("d"))
             .withColumn("rn", F.row_number().over(assign_w))
             .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cid")
+            .select("v", "w", "cid")
         )
         cents = (
-            assigned.select("cid", F.posexplode("v").alias("idx", "val"))
+            assigned.select("cid", "w", F.posexplode("v").alias("idx", "val"))
             .groupBy("cid", "idx")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                (F.sum(F.col("val") * F.col("w")) / F.sum("w")).alias("m")
+            )
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("idx", "m"))).alias("pairs"))
             .select(
@@ -482,7 +516,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 5):
             )
             .localCheckpoint(eager=True)
         )
-    return vecs, cents, assign_w
+    return vecs, dvecs, cents, assign_w
 
 
 @register(
@@ -1509,37 +1543,43 @@ def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: assignment+evaluation is ONE crossJoin(broadcast(k x dim
     centroids)) pass with a per-vector top-2 window — linear in the
     corpus, no pair space, no driver data."""
-    vecs, cents, assign_w = _kmeans_fit(spark, sf_dir)
+    vecs, dvecs, cents, assign_w = _kmeans_fit(spark, sf_dir)
+    # r13: evaluate per DISTINCT vector and expand by multiplicity —
+    # exact here (clones share s bit-for-bit, and the weighted DECIMAL
+    # sum s·w equals the w-fold repeated DECIMAL sum exactly)
     r = (
-        vecs.crossJoin(broadcast(cents))
-        .select("vec_id", "cid", dot("v", "cv").alias("d"))
+        dvecs.crossJoin(broadcast(cents))
+        .select("v", "w", "cid", dot("v", "cv").alias("d"))
         .withColumn("rn", F.row_number().over(assign_w))
         .filter(F.col("rn") <= 2)
     )
     # fold the top-2 rows per vector in ONE aggregate that reuses the
-    # window's vec_id partitioning — no self-join (an own-vs-alt equi-join
+    # window's partitioning — no self-join (an own-vs-alt equi-join
     # planned as an SMJ over two full passes of the same frame)
-    pair = r.groupBy("vec_id").agg(
+    pair = r.groupBy("v").agg(
+        F.max("w").alias("w"),  # constant per distinct vector
         F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("cid"),
         F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
         F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
     )
     si = pair.select(
         "cid",
+        "w",
         F.when(F.lit(1.0) - F.col("d2") == 0.0, F.lit(0.0))
         .otherwise((F.col("d1") - F.col("d2")) / (F.lit(1.0) - F.col("d2")))
         .alias("s_raw"),
     ).select(
-        "cid", F.round("s_raw", 9).cast("decimal(12,9)").alias("s")
+        "cid", "w", F.round("s_raw", 9).cast("decimal(12,9)").alias("s")
     )
     return (
         si.groupBy("cid")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("w").cast("long").alias("n_vecs"),
             # round6, not round(.,6): exact-DECIMAL sum / count is the
             # tie-capable ratio class (catalog.round6, driver r9 flake)
             round6(
-                F.sum("s").cast("double") / F.count(F.lit(1))
+                F.sum(F.col("s") * F.col("w")).cast("double")
+                / F.sum("w")
             ).alias("mean_silhouette"),
         )
         .select(F.col("cid").alias("cluster"), "n_vecs", "mean_silhouette")
