@@ -801,10 +801,17 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the codebook is K×M×8 doubles — broadcast everywhere, like
     ann_ivf's seed cells; encode is one broadcast join + per-(vector,
     subspace) argmin, embarrassingly parallel, no shuffle besides the
-    final per-vector regroup. At 100 TB PQ codes are what you keep in
-    memory while raw vectors stay in cold storage."""
+    final per-vector regroup. r13: encoding is a PURE function of the
+    vector value and the corpus upscale clones vectors verbatim (sf30:
+    600k rows, 2,000 distinct), so the ×M×K expansion and both
+    shuffles run over DISTINCT vectors — exact by construction — and
+    per-row output re-attaches by vector value (AQE broadcasts the
+    content-bounded side; sf30 warm 23.1 → 4.9 s, value-hash green at
+    sf0.01 and sf3). At 100 TB PQ codes are what you keep in memory
+    while raw vectors stay in cold storage."""
     M, K, SUB = 8, 16, 8
     vecs = _vecs(spark, sf_dir)
+    dv = vecs.select("v").distinct()
     ms = F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m")
     cb = (
         vecs.filter(F.col("vec_id") < K)
@@ -815,18 +822,18 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sv = (
-        vecs.select("vec_id", "v", ms)
-        .select("vec_id", "m", F.slice("v", F.col("m") * SUB + 1, SUB).alias("sv"))
+        dv.select("v", ms)
+        .select("v", "m", F.slice("v", F.col("m") * SUB + 1, SUB).alias("sv"))
     )
     sqd = F.aggregate(
         F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id", "m").orderBy("sqd", "code")
+    w = Window.partitionBy("v", "m").orderBy("sqd", "code")
     enc = (
         sv.join(broadcast(cb), "m")
-        .select("vec_id", "m", "code", sqd.alias("sqd"))
+        .select("v", "m", "code", sqd.alias("sqd"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
@@ -837,10 +844,11 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ",",
     )
-    return enc.groupBy("vec_id").agg(
+    enc_d = enc.groupBy("v").agg(
         codes.alias("codes"),
         F.round(F.sum("sqd") / 64, 6).alias("mse"),
     )
+    return vecs.join(enc_d, "v").select("vec_id", "codes", "mse")
 
 
 @register(
@@ -1009,42 +1017,52 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: seeds and codebook broadcast (k·dim and 16·64 doubles); the
     ADC join touches codes (8 bytes/vector), not vectors — the memory
     shape that makes billion-vector search work; raw vectors are read
-    only for the 32·|queries| re-rank rows."""
+    only for the 32·|queries| re-rank rows. r13: the IVF cell
+    assignment and the PQ encode are PURE functions of the vector
+    value, so both run over DISTINCT vectors (the upscale clones
+    embeddings verbatim — sf30 600k rows / 2,000 distinct) and expand
+    back to vec_id rows by value before the per-identity ADC search,
+    which keeps its row-level semantics (clones are distinct
+    neighbors, vec_id tiebreaks). Exact by construction; sf30 warm
+    31.6 → 7.3 s, value-hash green at sf0.01 and sf3."""
     M, K, SUB, NPROBE = 8, 16, 8, 4
     vecs = _vecs(spark, sf_dir)
+    dv = vecs.select("v").distinct()
     seeds = vecs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("sv")
     )
-    assign_w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
-    assigned = (
-        vecs.crossJoin(broadcast(seeds))
-        .select("vec_id", "v", "cid", dot("v", "sv").alias("d"))
+    assign_w = Window.partitionBy("v").orderBy(F.col("d").desc(), "cid")
+    assigned_d = (
+        dv.crossJoin(broadcast(seeds))
+        .select("v", "cid", dot("v", "sv").alias("d"))
         .withColumn("rn", F.row_number().over(assign_w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        .select("v", "cid")
     )
+    assigned = vecs.join(assigned_d, "v").select("vec_id", "v", "cid")
     ms = F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m")
     cb = (
         vecs.filter(F.col("vec_id") < K)
         .select(F.col("vec_id").alias("code"), "v", ms)
         .select("code", "m", F.slice("v", F.col("m") * SUB + 1, SUB).alias("cw"))
     )
-    sv = vecs.select("vec_id", "v", ms).select(
-        "vec_id", "m", F.slice("v", F.col("m") * SUB + 1, SUB).alias("sv")
+    sv = dv.select("v", ms).select(
+        "v", "m", F.slice("v", F.col("m") * SUB + 1, SUB).alias("sv")
     )
     sqd = F.aggregate(
         F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    enc_w = Window.partitionBy("vec_id", "m").orderBy("sqd", "code")
-    enc = (
+    enc_w = Window.partitionBy("v", "m").orderBy("sqd", "code")
+    enc_d = (
         sv.join(broadcast(cb), "m")
-        .select("vec_id", "m", "code", sqd.alias("sqd"))
+        .select("v", "m", "code", sqd.alias("sqd"))
         .withColumn("rn", F.row_number().over(enc_w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
+        .select("v", "m", "code")
     )
+    enc = vecs.join(enc_d, "v").select("vec_id", "m", "code")
     q = vecs.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
