@@ -62,6 +62,15 @@ _REVERIFY_FROM_ROUND = {
     "graph_shortest_path": 13,
     "dq_expectations": 13,
     "q16_supplier_part_counts": 13,
+    # r13 post-gate contraction rewrites (commits ffa53f3/f07282d landed
+    # after the rotation commit): iterations/encodes now contract to
+    # distinct weighted vectors — values oracle-green at
+    # sf0.001/sf0.01/sf1/sf3 on the new plans, but the cumulative driver
+    # rows (r2/r7-era) attest the pre-contraction plans. Re-earn.
+    "ml_kmeans": 14,
+    "ml_kmeans_silhouette": 14,
+    "ann_pq": 14,
+    "ann_ivfpq": 14,
 }
 
 
