@@ -42,7 +42,6 @@ DECLARED = {
     "join_theta": {"BNLJ"},          # non-equi join, broadcast small side
     "udf_python": {"PY_ROW"},        # row-at-a-time UDF demo by definition
     "udtf_python": {"PY_ROW"},       # Python UDTF evaluates per-row by definition
-    "sim_knn_bruteforce": {"BNLJ"},  # crossJoin(broadcast(1-row query vector))
     "ann_ivf": {"BNLJ"},             # crossJoin(broadcast(8 seed cells / probes))
     "ann_lsh": {"BNLJ"},             # crossJoin(broadcast(6 hyperplanes))
     "ml_kmeans": {"BNLJ"},           # crossJoin(broadcast(k centroids))
