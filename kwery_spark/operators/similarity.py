@@ -34,6 +34,65 @@ def _vecs(spark: SparkSession, sf_dir: str, alias_v: str = "v") -> DataFrame:
     )
 
 
+# r14 contraction gate (VERDICT r13 item 3 / what's-wrong #4): the r13
+# distinct-vector contraction (k-means iterations, PQ/IVFPQ encodes run
+# over DISTINCT vectors with multiplicity weights) is a pure win only on
+# clone-heavy corpora — THIS corpus' upscale clones embeddings verbatim
+# (sf30: 600k rows / 2k distinct), but on a mostly-distinct real corpus
+# the contraction's groupBy(v) degenerates to a full shuffle keyed on
+# the 64-double vector with ~zero reduction, roughly doubling fit-stage
+# data movement. Gate: measured clone factor = footer rows /
+# approx-distinct(vector), memoized per (session, corpus) — one bounded
+# single-scalar aggregate job on first use, the same sanctioned
+# plan-time-probe class as the q16 pmap gate and the nation memo.
+# Threshold 2.0: the contraction pays one vector-keyed shuffle plus a
+# re-attach join; it earns them only when it at least HALVES every
+# downstream expansion (xk assignment, xMxK encode, per-round update).
+# Both arms are value-identical (same addend multisets; equivalence
+# locked by tests/test_r14_ops.py at sf0.01 under the conf override).
+# ``spark.kwery.contract`` = on|off|auto (default auto) forces an arm —
+# the tests' escape hatch, and an operator knob for corpora with known
+# clone structure.
+CONTRACT_MIN_CLONE = 2.0
+_CLONE_MEMO: dict[tuple, float] = {}
+
+
+def _clone_factor(spark: SparkSession, sf_dir: str) -> float:
+    """rows / approx-distinct of the embedding vector, >= 1.0."""
+    import os as _os
+
+    from kwery_spark.catalog import parquet_rows
+    from kwery_spark.sources.scans import _corpus_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.realpath(sf_dir),
+        _corpus_fingerprint(sf_dir, "embeddings"),
+    )
+    hit = _CLONE_MEMO.get(key)
+    if hit is None:
+        rows = parquet_rows(sf_dir, "embeddings")
+        nd = (
+            _vecs(spark, sf_dir)
+            .agg(F.approx_count_distinct(F.xxhash64("v")).alias("nd"))
+            .first()[0]
+        )
+        hit = rows / max(1, nd)
+        _CLONE_MEMO[key] = hit
+        while len(_CLONE_MEMO) > 8:
+            _CLONE_MEMO.pop(next(iter(_CLONE_MEMO)))
+    return hit
+
+
+def _use_contraction(spark: SparkSession, sf_dir: str) -> bool:
+    mode = (spark.conf.get("spark.kwery.contract", "auto") or "auto").lower()
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return _clone_factor(spark, sf_dir) >= CONTRACT_MIN_CLONE
+
+
 # Memoized query vectors (r14): a k-NN query vector is a bounded 1-row
 # primary-key lookup (64 doubles) — the same sanctioned bounded-scalar
 # collect class as tpch._NATION_MEMO, keyed on (applicationId, corpus
@@ -485,15 +544,17 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver; the per-row output re-attaches clones by vector value (AQE
     broadcasts the content-bounded distinct side).
     """
-    vecs, dvecs, cents, assign_w = _kmeans_fit(spark, sf_dir)
+    vecs, dvecs, cents, assign_w, key = _kmeans_fit(spark, sf_dir)
     final_d = (
         dvecs.crossJoin(broadcast(cents))
-        .select("v", "cid", dot("v", "cv").alias("d"))
+        .select(key, "cid", dot("v", "cv").alias("d"))
         .withColumn("rn", F.row_number().over(assign_w))
         .filter(F.col("rn") == 1)
-        .select("v", F.col("cid").alias("cluster"), F.round("d", 6).alias("sim"))
+        .select(key, F.col("cid").alias("cluster"), F.round("d", 6).alias("sim"))
     )
-    return vecs.join(final_d, "v").select("vec_id", "cluster", "sim")
+    if key == "v":  # contracted arm: re-attach clones by vector value
+        return vecs.join(final_d, "v").select("vec_id", "cluster", "sim")
+    return final_d.select("vec_id", "cluster", "sim")
 
 
 def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 5):
@@ -524,23 +585,52 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 5):
     content, not corpus rows). A fold-argmax variant that only removed
     the assignment window (no contraction) measured a NULL result
     (46.3 vs 41.7 s warm — the window shuffle was never the
-    bottleneck; the row-count × dot work was)."""
+    bottleneck; the row-count × dot work was).
+
+    r14 (VERDICT r13 item 3): the contraction is GATED on the measured
+    clone factor (see _use_contraction) — on a mostly-distinct corpus
+    the fit keeps the row-expanded form (w = 1 per row, argmin keyed on
+    vec_id): no vector-keyed groupBy, no re-attach join. Both arms run
+    the IDENTICAL iteration body — only the dvecs construction and the
+    window key differ — and sum(val·w)/sum(w) with w = 1 folds the same
+    addend multiset as the row-expanded avg, so the arms are
+    value-identical (locked at sf0.01 in tests/test_r14_ops.py).
+    Returns (vecs, dvecs, cents, assign_w, key) where ``key`` is the
+    per-unit identity column: 'v' (contracted) or 'vec_id'
+    (row-expanded) — consumers window/group on it.
+
+    Residual float note (ADVICE r13): on the contracted arm the
+    centroid mean sums val·w over distinct vectors where the
+    row-expanded oracle sums val over rows — the same addend MULTISET
+    only up to IEEE multiply-vs-repeated-add ulp (exact when w·val has
+    <= 53 significant bits, i.e. always here: w <= 300 integral, val a
+    float32-widened double with 24-bit mantissa, so w·val is exact and
+    the multisets differ only in ADD ORDER — the absorption class the
+    key always carried cross-engine, 6-sig-digit hashed after a round
+    to 6dp). Verified green at sf0.001/0.01/1/3; the band is the same
+    as every float mean in the registry, not a new divergence source."""
     vecs = _vecs(spark, sf_dir).localCheckpoint(eager=True)
     cents = (
         vecs.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
         .localCheckpoint(eager=True)
     )
-    dvecs = (
-        vecs.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    assign_w = Window.partitionBy("v").orderBy(F.col("d").desc(), F.col("cid"))
+    if _use_contraction(spark, sf_dir):
+        key = "v"
+        dvecs = (
+            vecs.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        key = "vec_id"
+        dvecs = vecs.select("vec_id", "v", F.lit(1).cast("long").alias("w"))
+    base_cols = ["v", "w"] if key == "v" else ["vec_id", "v", "w"]
+    assign_w = Window.partitionBy(key).orderBy(F.col("d").desc(), F.col("cid"))
     for _ in range(iters):
         assigned = (
             dvecs.crossJoin(broadcast(cents))
-            .select("v", "w", "cid", dot("v", "cv").alias("d"))
+            .select(*base_cols, "cid", dot("v", "cv").alias("d"))
             .withColumn("rn", F.row_number().over(assign_w))
             .filter(F.col("rn") == 1)
             .select("v", "w", "cid")
@@ -568,7 +658,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 5):
             )
             .localCheckpoint(eager=True)
         )
-    return vecs, dvecs, cents, assign_w
+    return vecs, dvecs, cents, assign_w, key
 
 
 @register(
@@ -859,11 +949,16 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles run over DISTINCT vectors — exact by construction — and
     per-row output re-attaches by vector value (AQE broadcasts the
     content-bounded side; sf30 warm 23.1 → 4.9 s, value-hash green at
-    sf0.01 and sf3). At 100 TB PQ codes are what you keep in memory
-    while raw vectors stay in cold storage."""
+    sf0.01 and sf3). r14: the contraction is clone-factor-gated
+    (see _use_contraction) — a mostly-distinct corpus encodes per row
+    keyed on vec_id, skipping the distinct shuffle and the re-attach
+    join. At 100 TB PQ codes are what you keep in memory while raw
+    vectors stay in cold storage."""
     M, K, SUB = 8, 16, 8
     vecs = _vecs(spark, sf_dir)
-    dv = vecs.select("v").distinct()
+    contracted = _use_contraction(spark, sf_dir)
+    kc = "v" if contracted else "vec_id"
+    dv = vecs.select("v").distinct() if contracted else vecs.select("vec_id", "v")
     ms = F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m")
     cb = (
         vecs.filter(F.col("vec_id") < K)
@@ -874,18 +969,19 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sv = (
-        dv.select("v", ms)
-        .select("v", "m", F.slice("v", F.col("m") * SUB + 1, SUB).alias("sv"))
-    )
+        dv.select(kc, "v", ms)
+        if not contracted
+        else dv.select("v", ms)
+    ).select(kc, "m", F.slice("v", F.col("m") * SUB + 1, SUB).alias("sv"))
     sqd = F.aggregate(
         F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("v", "m").orderBy("sqd", "code")
+    w = Window.partitionBy(kc, "m").orderBy("sqd", "code")
     enc = (
         sv.join(broadcast(cb), "m")
-        .select("v", "m", "code", sqd.alias("sqd"))
+        .select(kc, "m", "code", sqd.alias("sqd"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
@@ -896,11 +992,13 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ",",
     )
-    enc_d = enc.groupBy("v").agg(
+    enc_d = enc.groupBy(kc).agg(
         codes.alias("codes"),
         F.round(F.sum("sqd") / 64, 6).alias("mse"),
     )
-    return vecs.join(enc_d, "v").select("vec_id", "codes", "mse")
+    if contracted:
+        return vecs.join(enc_d, "v").select("vec_id", "codes", "mse")
+    return enc_d.select("vec_id", "codes", "mse")
 
 
 @register(
@@ -1076,45 +1174,56 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to vec_id rows by value before the per-identity ADC search,
     which keeps its row-level semantics (clones are distinct
     neighbors, vec_id tiebreaks). Exact by construction; sf30 warm
-    31.6 → 7.3 s, value-hash green at sf0.01 and sf3."""
+    31.6 → 7.3 s, value-hash green at sf0.01 and sf3. r14: the
+    contraction is clone-factor-gated (see _use_contraction) — a
+    mostly-distinct corpus assigns/encodes per row keyed on vec_id,
+    skipping the distinct shuffle and both re-attach joins."""
     M, K, SUB, NPROBE = 8, 16, 8, 4
     vecs = _vecs(spark, sf_dir)
-    dv = vecs.select("v").distinct()
+    contracted = _use_contraction(spark, sf_dir)  # r14 clone-factor gate
+    kc = "v" if contracted else "vec_id"
+    dv = vecs.select("v").distinct() if contracted else vecs.select("vec_id", "v")
     seeds = vecs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("sv")
     )
-    assign_w = Window.partitionBy("v").orderBy(F.col("d").desc(), "cid")
+    assign_w = Window.partitionBy(kc).orderBy(F.col("d").desc(), "cid")
     assigned_d = (
         dv.crossJoin(broadcast(seeds))
-        .select("v", "cid", dot("v", "sv").alias("d"))
+        .select(*dv.columns, "cid", dot("v", "sv").alias("d"))
         .withColumn("rn", F.row_number().over(assign_w))
         .filter(F.col("rn") == 1)
-        .select("v", "cid")
+        .select(*dv.columns, "cid")
     )
-    assigned = vecs.join(assigned_d, "v").select("vec_id", "v", "cid")
+    if contracted:
+        assigned = vecs.join(assigned_d, "v").select("vec_id", "v", "cid")
+    else:
+        assigned = assigned_d.select("vec_id", "v", "cid")
     ms = F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m")
     cb = (
         vecs.filter(F.col("vec_id") < K)
         .select(F.col("vec_id").alias("code"), "v", ms)
         .select("code", "m", F.slice("v", F.col("m") * SUB + 1, SUB).alias("cw"))
     )
-    sv = dv.select("v", ms).select(
-        "v", "m", F.slice("v", F.col("m") * SUB + 1, SUB).alias("sv")
+    sv = dv.select(*dv.columns, ms).select(
+        kc, "m", F.slice("v", F.col("m") * SUB + 1, SUB).alias("sv")
     )
     sqd = F.aggregate(
         F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    enc_w = Window.partitionBy("v", "m").orderBy("sqd", "code")
+    enc_w = Window.partitionBy(kc, "m").orderBy("sqd", "code")
     enc_d = (
         sv.join(broadcast(cb), "m")
-        .select("v", "m", "code", sqd.alias("sqd"))
+        .select(kc, "m", "code", sqd.alias("sqd"))
         .withColumn("rn", F.row_number().over(enc_w))
         .filter(F.col("rn") == 1)
-        .select("v", "m", "code")
+        .select(kc, "m", "code")
     )
-    enc = vecs.join(enc_d, "v").select("vec_id", "m", "code")
+    if contracted:
+        enc = vecs.join(enc_d, "v").select("vec_id", "m", "code")
+    else:
+        enc = enc_d.select("vec_id", "m", "code")
     q = vecs.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1613,20 +1722,22 @@ def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: assignment+evaluation is ONE crossJoin(broadcast(k x dim
     centroids)) pass with a per-vector top-2 window — linear in the
     corpus, no pair space, no driver data."""
-    vecs, dvecs, cents, assign_w = _kmeans_fit(spark, sf_dir)
+    vecs, dvecs, cents, assign_w, key = _kmeans_fit(spark, sf_dir)
     # r13: evaluate per DISTINCT vector and expand by multiplicity —
     # exact here (clones share s bit-for-bit, and the weighted DECIMAL
-    # sum s·w equals the w-fold repeated DECIMAL sum exactly)
+    # sum s·w equals the w-fold repeated DECIMAL sum exactly). r14: on
+    # a mostly-distinct corpus the fit hands back the row-expanded arm
+    # (key = vec_id, w = 1) and the same code evaluates per row.
     r = (
         dvecs.crossJoin(broadcast(cents))
-        .select("v", "w", "cid", dot("v", "cv").alias("d"))
+        .select(key, "w", "cid", dot("v", "cv").alias("d"))
         .withColumn("rn", F.row_number().over(assign_w))
         .filter(F.col("rn") <= 2)
     )
     # fold the top-2 rows per vector in ONE aggregate that reuses the
     # window's partitioning — no self-join (an own-vs-alt equi-join
     # planned as an SMJ over two full passes of the same frame)
-    pair = r.groupBy("v").agg(
+    pair = r.groupBy(key).agg(
         F.max("w").alias("w"),  # constant per distinct vector
         F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("cid"),
         F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),

@@ -1,0 +1,83 @@
+"""Round-14 invariants: the clone-factor contraction gate (VERDICT r13
+item 3 — both arms of the distinct-vector contraction must be
+value-identical and the auto gate must pick the arm the measured clone
+factor prescribes), and the sim_knn query-vector literal (the memoized
+1-row lookup must match a fresh collect and the plan must carry no
+join)."""
+
+from __future__ import annotations
+
+import pytest
+
+import kwery_spark.all_ops  # noqa: F401 — populate registry
+from kwery_spark.operators import similarity as S
+from kwery_spark.registry import QUERIES
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+CONTRACTED_KEYS = ["ml_kmeans", "ml_kmeans_silhouette", "ann_pq", "ann_ivfpq"]
+
+
+@pytest.mark.parametrize("key", CONTRACTED_KEYS)
+def test_contraction_arms_value_identical(spark, key):
+    """Forced-on (distinct-vector contraction) and forced-off
+    (row-expanded) arms must produce the SAME rows at sf0.01 — the
+    gate may only ever change the plan, never a value."""
+    outs = {}
+    for mode in ("on", "off"):
+        spark.conf.set("spark.kwery.contract", mode)
+        try:
+            outs[mode] = sorted(map(tuple, QUERIES[key](spark, SF01).collect()))
+        finally:
+            spark.conf.unset("spark.kwery.contract")
+    assert outs["on"] == outs["off"]
+
+
+def test_clone_gate_auto_tracks_measured_factor(spark):
+    """The gate's documented contract: contraction fires iff the
+    measured clone factor >= CONTRACT_MIN_CLONE (2.0). The raw corpus
+    is all-distinct (factor ~1) -> row-expanded; the conf override
+    forces either arm regardless."""
+    factor = S._clone_factor(spark, SF01)
+    assert factor < S.CONTRACT_MIN_CLONE  # 500/500 distinct vectors
+    assert S._use_contraction(spark, SF01) is False
+    for mode, want in (("on", True), ("off", False)):
+        spark.conf.set("spark.kwery.contract", mode)
+        try:
+            assert S._use_contraction(spark, SF01) is want
+        finally:
+            spark.conf.unset("spark.kwery.contract")
+
+
+def test_clone_factor_memoized_single_job(spark):
+    """The factor probe is the sanctioned bounded plan-time class: one
+    single-scalar aggregate job on first use, zero jobs on a memo hit."""
+    S._clone_factor(spark, SF001)  # prime
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup())
+    S._clone_factor(spark, SF001)
+    assert set(st.getJobIdsForGroup()) == before  # memo hit: no job
+
+
+def test_query_vec_matches_collect_and_plan_is_joinless(spark):
+    """sim_knn_bruteforce r14: the memoized query vector equals a fresh
+    per-run lookup, and the physical plan is scan->project->top-k with
+    no join or exchange (the removed broadcast-build job must not come
+    back)."""
+    from pyspark.sql import functions as F
+
+    qv = S._query_vec(spark, SF001, 0)
+    fresh = tuple(
+        float(x)
+        for x in S._vecs(spark, SF001)
+        .filter(F.col("vec_id") == 0)
+        .first()
+        .v
+    )
+    assert qv == fresh and len(qv) == 64
+    from kwery_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["sim_knn_bruteforce"](spark, SF001))
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
