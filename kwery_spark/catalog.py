@@ -397,20 +397,58 @@ def parquet_rows(sf_dir: str, name: str) -> int:
     (build_bucketed's bucket count, the nation memo): operators use it
     to derive bounded scale knobs (broadcast gates, grid cell widths)
     that a cluster deployment would read from catalog stats instead.
-    Layout-invariant, so it reads the raw sf_dir files directly."""
+    Layout-invariant, so it reads the raw sf_dir files directly.
+
+    r14 hardening (ADVICE r13): operators call this at PLAN time and
+    its value becomes a plan literal (kNN grid width, broadcast gates),
+    so a silently-undercounted layout variant would change plans and
+    break oracle parity on the derived literal. Dataset directories are
+    walked RECURSIVELY (a partitioned write nests files under
+    key=value/ subdirectories), and zero matching data files is a loud
+    ValueError, never a zero count."""
     import pyarrow.parquet as _pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    files = (
-        [
-            os.path.join(path, e)
-            for e in os.listdir(path)
-            if e.endswith(".parquet") and not e.startswith("_")
+    if os.path.isdir(path):
+        files = [
+            os.path.join(root, e)
+            for root, _dirs, names in os.walk(path)
+            for e in sorted(names)
+            if e.endswith(".parquet") and not e.startswith(("_", "."))
         ]
-        if os.path.isdir(path)
-        else [path]
-    )
+        if not files:
+            raise ValueError(
+                f"parquet_rows: no .parquet data files under {path!r} — "
+                "layout drift would silently change plan-time literals"
+            )
+    else:
+        files = [path]  # os.stat via ParquetFile raises on a missing file
     return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+# r14 (ADVICE r13): the explicit-broadcast gates were row-count based
+# (<= 20M rows) with the largest measured green point at ~6M rows — the
+# 6M-20M zone was unmeasured extrapolation where a build can approach
+# Spark's broadcast/driver memory limits before the gate disengages.
+# The bound now derives from BYTES: footer rows x data row width x the
+# hashed-relation overhead factor (~3x for a LongToUnsafeRowMap:
+# UnsafeRow headers + key array + page padding) against a 512 MB
+# budget — a deliberate fraction of a small executor's (4 GB) headroom
+# and far below Spark's 8 GB broadcast-table hard cap. For the 16-byte
+# rows these gates guard, disengagement moves 20M -> ~11M rows: every
+# measured green point stays on the broadcast arm and the unmeasured
+# zone now takes the shuffle fallback.
+BROADCAST_BUDGET_BYTES = 512 * 1024 * 1024
+_HASHED_RELATION_OVERHEAD = 3
+
+
+def broadcast_fits(sf_dir: str, name: str, row_bytes: int) -> bool:
+    """True when a build side of one row per ``name`` row provably fits
+    the broadcast budget (plan-time footer metadata, no job)."""
+    return (
+        parquet_rows(sf_dir, name) * row_bytes * _HASHED_RELATION_OVERHEAD
+        <= BROADCAST_BUDGET_BYTES
+    )
 
 
 def _db_name(sf_dir: str, optimized: bool) -> str:

@@ -314,7 +314,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values value-hash-identical vs the oracle at sf0.01 (the two
     half-sums partition the same addend sets the old groupBy(dst)
     summed — bipartiteness means no node receives from both sides)."""
-    from kwery_spark.catalog import parquet_rows
+    from kwery_spark.catalog import broadcast_fits
 
     w = _pair_weights(spark, sf_dir)
     pairs = w.select("c", "s")
@@ -341,8 +341,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s", "degs", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     # broadcast gate: the supplier rank side is provably |supplier| rows
-    # (same bounded-side rule as q16's pmap gate)
-    small_s = parquet_rows(sf_dir, "supplier") <= 20_000_000
+    # of (long, double) — byte-derived bound (ADVICE r13), same rule as
+    # q16's pmap gate
+    small_s = broadcast_fits(sf_dir, "supplier", 16)
     for _ in range(3):
         c_msgs = pairs.join(prc, "c").select(
             "s", (F.col("pr") / F.col("degc")).alias("m")
@@ -704,10 +705,11 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable set — each node's in-neighbors live entirely on the
     other side).
     """
-    from kwery_spark.catalog import parquet_rows
+    from kwery_spark.catalog import broadcast_fits
 
     pairs = _pair_weights(spark, sf_dir).select("c", "s")
-    small_s = parquet_rows(sf_dir, "supplier") <= 20_000_000
+    # |supplier| rows of (long, int) — byte-derived bound (ADVICE r13)
+    small_s = broadcast_fits(sf_dir, "supplier", 16)
     # source 'c0' = customer 0 = long id 0; supplier side starts empty
     dc = spark.range(1).select(
         F.lit(0).cast("long").alias("c"), F.lit(0).alias("dist")

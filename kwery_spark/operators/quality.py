@@ -199,12 +199,16 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (r13 rewrite — the triage A/B read ×5.5 warm sf10→sf30 on ×3
     data): the scalar range/null rules per table fuse into ONE
     conditional-sum scan each; PK uniqueness and the lineitem→orders FK
-    check now share ONE orders groupBy(o_orderkey) aggregation —
+    check now share ONE orders groupBy(o_orderkey) aggregate SHAPE —
     uniqueness is sum(cnt)-count over it (the old COUNT(DISTINCT)
     pushed 45M keys through its own separate distinct shuffle), and
-    the FK anti join's build side IS that same aggregate, so its
-    exchange is built once and reused (ReusedExchange) across both
-    legs. The orders→customer FK stays a plain anti join (the custkey
+    the FK anti join's build side is the same definition. The physical
+    exchanges do NOT dedupe (r14, ADVICE r13 verified: column pruning
+    drops cnt_o from the FK leg, and even with identical canonical
+    subtrees ReusedExchange never fired under AQE on or off on this
+    corpus), so both legs pay a hash-partition of orders keys; the
+    measured r13 win came from ELIMINATING the COUNT(DISTINCT) leg's
+    third shuffle + its spill, not from exchange reuse. The orders→customer FK stays a plain anti join (the custkey
     pre-aggregate only reduces ~10× against a 4.5M-row dimension side
     — measured marginal), and the lineitem probe side stays RAW (a
     groupBy(l_orderkey) pre-aggregate measured 8.2 vs 4.9 s at sf10:
@@ -237,9 +241,9 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice_positive"
         ),
     )
-    # ONE orderkey aggregation serves PK uniqueness AND the FK probe
-    # side (identical exchange subtree -> ReusedExchange in the final
-    # unioned plan)
+    # ONE orderkey aggregation DEFINITION serves PK uniqueness AND the
+    # FK probe side (shared shape; the exchanges do not physically
+    # dedupe — see the docstring)
     oagg = o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("cnt_o"))
     uniq = oagg.agg(
         (F.sum("cnt_o") - F.count(F.lit(1))).alias("o_orderkey_unique")
@@ -254,8 +258,8 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey") == F.col("o_custkey"),
         "left_anti",
     ).agg(F.count(F.lit(1)).alias("fk_orders_customer"))
-    # raw lineitem probes the SAME oagg the uniqueness leg aggregates
-    # (ReusedExchange) — a lineitem-side pre-aggregate measured SLOWER
+    # raw lineitem probes the SAME oagg definition the uniqueness leg
+    # aggregates — a lineitem-side pre-aggregate measured SLOWER
     # at sf10 (8.2 vs 4.9 s: the 60M-row hash agg costs more than the
     # ~4x shuffle reduction saves until the anti shuffle spills)
     fk_lo = li.select("l_orderkey").join(

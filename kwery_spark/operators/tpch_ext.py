@@ -24,18 +24,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast
 
-from kwery_spark.catalog import table
+from kwery_spark.catalog import broadcast_fits, table
 from kwery_spark.registry import register
 
 
 def _ts(s: str):
     return F.lit(s).cast("timestamp")
 
-
-def _parquet_rows(sf_dir: str, name: str) -> int:
-    from kwery_spark.catalog import parquet_rows
-
-    return parquet_rows(sf_dir, name)
 
 
 @register(
@@ -1030,13 +1025,15 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pmap (p_partkey, gid) grows LINEARLY with part cardinality (~40 MB
     # at sf30) — broadcast only while the build provably fits, gated on
-    # the parquet-footer row count (ADVICE r12: explicit broadcast()
-    # requires a bounded side). Past the gate the measured fallback is
+    # estimated build BYTES from the parquet-footer row count (ADVICE
+    # r12/r13: explicit broadcast() requires a bounded side, and the
+    # bound must be derived from memory, not a bare row count — see
+    # catalog.broadcast_fits). Past the gate the measured fallback is
     # the plain partkey join (SMJ, 43.3 s vs 25.9 s at sf30 — slower
     # locally but degrades instead of OOMing at 100-TB part cardinality;
     # there a partkey-bucketed layout recovers the difference).
     pmap_side = (
-        broadcast(pmap) if _parquet_rows(sf_dir, "part") <= 20_000_000 else pmap
+        broadcast(pmap) if broadcast_fits(sf_dir, "part", 16) else pmap
     )
     counted = (
         pairs.join(pmap_side, F.col("p_partkey") == F.col("l_partkey"))

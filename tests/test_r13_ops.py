@@ -80,12 +80,13 @@ def test_bfs_matches_local_bruteforce(spark):
 
 def test_dq_expectations_shared_orderkey_agg_plan_lock(spark):
     """Plan lock (r13): PK-uniqueness must come from the shared
-    groupBy(o_orderkey) aggregate, NOT a COUNT(DISTINCT) paying its own
-    45M-key distinct shuffle (the r12 ×5.5 sf30 spill); the two legs'
-    identical exchanges dedupe at runtime (AQE exchange reuse — the
-    static plan prints both, so the lock is on shape and count). The
-    shuffle-exchange budget is the measured r13 plan's 7; growth means
-    a leg split off its own shuffle again."""
+    groupBy(o_orderkey) aggregate DEFINITION, NOT a COUNT(DISTINCT)
+    paying its own 45M-key distinct shuffle (the r12 ×5.5 sf30 spill).
+    r14 correction (ADVICE r13): the two legs' exchanges do NOT dedupe
+    at runtime — ReusedExchange was verified never to fire here under
+    AQE on or off — so the lock is purely on shape and shuffle count.
+    The shuffle-exchange budget is the measured r13 plan's 7; growth
+    means a leg split off its own shuffle again."""
     plan = inspect.formatted_plan(QUERIES["dq_expectations"](spark, SF001))
     assert "count(distinct" not in plan.lower(), plan
     assert "CartesianProduct" not in plan, plan

@@ -60,6 +60,72 @@ def test_clone_factor_memoized_single_job(spark):
     assert set(st.getJobIdsForGroup()) == before  # memo hit: no job
 
 
+def test_parquet_rows_recurses_and_fails_loudly(tmp_path):
+    """ADVICE r13 (catalog.py): parquet_rows is a plan-time literal
+    source — a partitioned (nested) layout must count fully, and an
+    empty dataset dir must raise, never return a silent 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kwery_spark.catalog import parquet_rows
+
+    ds = tmp_path / "t.parquet" / "k=1"
+    ds.mkdir(parents=True)
+    pq.write_table(pa.table({"a": [1, 2, 3]}), ds / "part-0.parquet")
+    (tmp_path / "t.parquet" / "_SUCCESS").write_text("")
+    assert parquet_rows(str(tmp_path), "t") == 3
+    (tmp_path / "empty.parquet").mkdir()
+    with pytest.raises(ValueError, match="no .parquet data files"):
+        parquet_rows(str(tmp_path), "empty")
+
+
+def test_broadcast_fits_bound():
+    """The byte-derived gate: 16-byte rows disengage at ~11M rows
+    (512 MB / 48 B), keeping every measured green point (<=6M rows)
+    on the broadcast arm."""
+    from kwery_spark import catalog
+
+    bound = catalog.BROADCAST_BUDGET_BYTES // (16 * catalog._HASHED_RELATION_OVERHEAD)
+    assert 6_000_000 < bound < 20_000_000
+
+
+def test_purchase_edges_degree_variant_correct(spark):
+    """ADVICE r13 (graph.py): _purchase_edges(with_degree=True) lost its
+    last registry consumer in the r13 pagerank rewrite — keep the
+    engine-API path honest with a direct check: srcdeg must equal the
+    brute-force out-degree of the bidirected graph derived from
+    _pair_weights, and the edges_deg->edges reuse path must drop the
+    column without changing the edge set."""
+    from pyspark.sql import functions as F
+
+    from kwery_spark.operators import graph
+
+    graph._SHARED.clear()
+    try:
+        deg = graph._purchase_edges(spark, SF001, with_degree=True)
+        w = graph._pair_weights(spark, SF001).select("c", "s")
+        base = w.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        bidir = base.union(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        expect = {
+            (r.src, r.dst, r.n)
+            for r in bidir.withColumn(
+                "n", F.count(F.lit(1)).over(__import__("pyspark").sql.Window.partitionBy("src"))
+            ).collect()
+        }
+        got = {(r.src, r.dst, r.srcdeg) for r in deg.collect()}
+        assert got == expect
+        # reuse path: a plain-edges request served from the deg build
+        plain = graph._purchase_edges(spark, SF001)
+        assert "srcdeg" not in plain.columns
+        assert {(r.src, r.dst) for r in plain.collect()} == {
+            (s, d) for (s, d, _n) in expect
+        }
+    finally:
+        graph._SHARED.clear()
+
+
 def test_query_vec_matches_collect_and_plan_is_joinless(spark):
     """sim_knn_bruteforce r14: the memoized query vector equals a fresh
     per-run lookup, and the physical plan is scan->project->top-k with
