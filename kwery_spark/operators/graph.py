@@ -139,8 +139,36 @@ def _pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _shared_get(spark, sf_dir, "pair_weights")
     if hit is not None:
         return hit
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r14 (VERDICT r13 item 4): when the orderkey-bucketed warehouse
+    # layout exists (bench _prep builds it; the offline-maintenance
+    # class), the orders⋈lineitem feed zips bucket-to-bucket with ZERO
+    # exchange on either input — measured sf30 fresh-JVM A/B: build+ckpt
+    # 58.7 s (raw scans, both sides shuffled) → 42.1 s (zipper), rows
+    # identical (176,061,300). At 100 TB this is the co-located fact
+    # layout every warehouse keeps anyway. Raw fallback otherwise (the
+    # sweep protocol reads raw corpora); same kill switch as
+    # tpch._maybe_bucketed. Measured non-levers for the raw arm, so the
+    # next reader doesn't re-chase them: spark.checkpoint.compress
+    # shrinks the 8.3 GB checkpoint 7.5x but costs ~+5 s write for
+    # ~-1.1 s/read (two interleaved A/B pairs — null for a single-key
+    # build, marginal family-wide); map-side partial agg <2% (r12,
+    # multiplicity ~1.015); the repartition(c) is load-bearing (every
+    # zip consumer) and the sort feeds LPA's window.
+    from kwery_spark.catalog import bucketed_db, bucketed_table
+
+    bdb = None
+    if (spark.conf.get("spark.kwery.bucketed", "true") or "").lower() != "false":
+        bdb = bucketed_db(spark, sf_dir)
+    if bdb is not None:
+        li = bucketed_table(spark, bdb, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        orders = bucketed_table(spark, bdb, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+    else:
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     # c-partitioned + sorted before the checkpoint (LPA's customer-side
     # cap window runs exchange-free off it, the r9 LPA layout). Design
     # A/B/C measured at sf10 (family totals 215.7 / 230.9 / 251.0 s vs

@@ -89,6 +89,31 @@ def test_broadcast_fits_bound():
     assert 6_000_000 < bound < 20_000_000
 
 
+def test_pair_weights_bucketed_zipper_value_identical(spark):
+    """r14: _pair_weights zips off the orderkey-bucketed layout when it
+    exists (exchange-free join feed, sf30 build 58.7 -> 42.1 s) — the
+    rows must be IDENTICAL to the raw-scan arm, and the kill switch
+    must force the raw arm."""
+    from kwery_spark.catalog import build_bucketed
+    from kwery_spark.operators import graph
+
+    build_bucketed(spark, SF001)  # idempotent; seconds at sf0.001
+    graph._SHARED.clear()
+    try:
+        bucketed = sorted(
+            map(tuple, graph._pair_weights(spark, SF001).collect())
+        )
+        graph._SHARED.clear()
+        spark.conf.set("spark.kwery.bucketed", "false")
+        try:
+            raw = sorted(map(tuple, graph._pair_weights(spark, SF001).collect()))
+        finally:
+            spark.conf.unset("spark.kwery.bucketed")
+        assert bucketed == raw and len(raw) > 0
+    finally:
+        graph._SHARED.clear()
+
+
 def test_purchase_edges_degree_variant_correct(spark):
     """ADVICE r13 (graph.py): _purchase_edges(with_degree=True) lost its
     last registry consumer in the r13 pagerank rewrite — keep the

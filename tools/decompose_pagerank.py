@@ -37,7 +37,6 @@ def main() -> None:
     import pyspark.sql.functions as F
     from pyspark.sql.functions import broadcast
 
-    from kwery_spark.catalog import parquet_rows
     from kwery_spark.operators import graph as G
 
     t0 = time.perf_counter()
@@ -69,7 +68,9 @@ def main() -> None:
     prs = degs.crossJoin(broadcast(nn)).select(
         "s", "degs", (F.lit(1.0) / F.col("n")).alias("pr")
     )
-    small_s = parquet_rows(sf_dir, "supplier") <= 20_000_000
+    from kwery_spark.catalog import broadcast_fits
+
+    small_s = broadcast_fits(sf_dir, "supplier", 16)
     t4 = time.perf_counter()
     for i in range(3):
         c_msgs = pairs.join(prc, "c").select(
