@@ -76,12 +76,21 @@ def rec_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r14 fuse (the _pair_weights r12 pattern, VERDICT r13 item 5): one
+    # explicit repartition(u) serves BOTH aggregations — hash(u)
+    # satisfies groupBy(u, b)'s clustered distribution (same u -> same
+    # partition) AND groupBy(u)'s, so the old shape's second shuffle
+    # (the 15M-row (u,b) table re-exchanged on u for the collect_list)
+    # vanishes. The map-side partial agg the direct groupBy(u,b) had is
+    # worth less than the shuffle it leaves behind: measured alternating
+    # same-session A/B, sweep confs — sf10 12.2-13.3 -> 10.4-11.4 s,
+    # sf30 49.9-51.0 -> 31.0-40.4 s for the vecs build, values equal.
     ub = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("u"), F.col("p_brand").alias("b")
-        )
+        .select(F.col("o_custkey").alias("u"), F.col("p_brand").alias("b"))
+        .repartition("u")
+        .groupBy("u", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("v"))
     )
     # r8 contraction (exact algebra, oracle unchanged): the pair
