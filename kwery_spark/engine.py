@@ -5,7 +5,7 @@ Three ways in (SURVEY.md §3):
                         pre-registered corpus views
   2. DataFrame builder — ``engine.table("lineitem").filter(...).agg(...)``
   3. Named operators   — ``engine.run("dedup_minhash")`` executes any
-                        registered key (323 as of round 12 — the live count
+                        registered key (323 as of round 14 — the live count
                         is ``len(engine.operators())``; this docstring
                         number is CI-asserted against the registry in
                         tests/test_doc_counts.py, so it cannot rot)
