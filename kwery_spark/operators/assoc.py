@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from kwery_spark.catalog import round6, table
+from kwery_spark.catalog import broadcast_fits, round6, table
 from kwery_spark.registry import register
 
 
@@ -70,22 +70,37 @@ def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute bit-identical doubles before the shared round6
     (floor-based — plain round diverges per-ulp at exact integer-ratio ties).
 
-    Scale: lineitem joins part on the key (shuffle or AQE-broadcast —
-    Catalyst's choice), baskets aggregate per order with map-side
-    combine, and pairs are generated from each order's <=25-element
+    Scale: lineitem joins the partkey->brand map broadcast under a
+    plan-time footer byte gate (r14 — plain join past the gate), baskets
+    aggregate per order with map-side combine, and pairs are generated
+    from each order's <=25-element
     brand set via a double explode — per-row bounded work, no self-join
     on a content key. The rule aggregation lands on <=600 keys; the
     item totals (<=25 rows) and the 1-row basket count are broadcast.
     At 100 TB every stage stays linear in lineitem."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # r14 (the q16 pmap pattern): the partkey->brand map grows linearly
+    # with part cardinality (~150 MB estimated at sf30) — under the
+    # session's 1MB planner threshold the join otherwise SMJs, shuffling
+    # ALL of lineitem on partkey before the orderkey shuffle the basket
+    # agg needs anyway. Broadcast the map while the build provably fits
+    # the byte budget (plan-time footer gate, catalog.broadcast_fits —
+    # same sanctioned class as q16/pagerank/BFS); past the gate the
+    # plain join degrades instead of OOMing, and a partkey-bucketed
+    # layout recovers the difference at 100-TB part cardinality.
+    # Measured fresh-JVM alternating A/B, sweep confs, sf30: basket
+    # build 28.9-30.8 -> 21.3-22.2 s, values equal (/tmp/pmap_ab.py r14).
+    part_side = (
+        F.broadcast(part) if broadcast_fits(sf_dir, "part", 24) else part
+    )
     # r8: basket counts sum identically over DISTINCT basket contents
     # weighted by multiplicity (exact algebra, oracle unchanged) — the
     # upscale clones orders, so the double explode paid 10x at sf10;
     # the checkpoint also stops the 60M join+collect_set from re-running
     # once per consumer leg (it fed n, item_n AND pair_n before)
     sets = (
-        li.join(part, li.l_partkey == part.p_partkey)
+        li.join(part_side, li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
         .groupBy("items")

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from kwery_spark.catalog import table
+from kwery_spark.catalog import broadcast_fits, table
 from kwery_spark.registry import register
 
 
@@ -76,6 +76,18 @@ def rec_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r14 (the q16 pmap pattern, same gate as assoc_basket_rules): the
+    # partkey->brand map is linear in part cardinality — broadcast it
+    # while the estimated build fits the byte budget (plan-time footer
+    # gate), removing the first of lineitem's three exchanges (partkey
+    # SMJ -> orderkey SMJ -> repartition(u)). Measured fresh-JVM
+    # alternating A/B, sweep confs, sf30: vecs build 34.8/40.9 ->
+    # 30.6/39.3 s (both alternating reps favor the broadcast arm;
+    # later-rep drift is the documented session GC effect), values
+    # equal. Past the gate the plain join degrades instead of OOMing.
+    part_side = (
+        F.broadcast(part) if broadcast_fits(sf_dir, "part", 24) else part
+    )
     # r14 fuse (the _pair_weights r12 pattern, VERDICT r13 item 5): one
     # explicit repartition(u) serves BOTH aggregations — hash(u)
     # satisfies groupBy(u, b)'s clustered distribution (same u -> same
@@ -86,7 +98,7 @@ def rec_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same-session A/B, sweep confs — sf10 12.2-13.3 -> 10.4-11.4 s,
     # sf30 49.9-51.0 -> 31.0-40.4 s for the vecs build, values equal.
     ub = (
-        li.join(part, li.l_partkey == part.p_partkey)
+        li.join(part_side, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("u"), F.col("p_brand").alias("b"))
         .repartition("u")

@@ -172,3 +172,21 @@ def test_query_vec_matches_collect_and_plan_is_joinless(spark):
     plan = formatted_plan(QUERIES["sim_knn_bruteforce"](spark, SF001))
     assert "Join" not in plan and "Exchange" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("key", ["assoc_basket_rules", "rec_item_item_cf"])
+def test_partkey_map_broadcast_gate_fires(spark, key):
+    """r14: assoc/rec broadcast the partkey->brand map under the footer
+    byte gate (the q16 pmap pattern — sf30 A/B: assoc basket build
+    28.9-30.8 -> 21.3-22.2 s, rec vecs build 34.8/40.9 -> 30.6/39.3 s,
+    values equal). On the tiny test corpus the gate is engaged, so the
+    physical plan must carry a BroadcastHashJoin on the part side — the
+    lineitem partkey exchange must not exist."""
+    from kwery_spark.catalog import broadcast_fits
+
+    assert broadcast_fits(SF001, "part", 24)
+    plan = (
+        QUERIES[key](spark, SF001)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
