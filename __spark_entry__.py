@@ -75,6 +75,16 @@ _REVERIFY_FROM_ROUND = {
     # literal (broadcast-build job removed); scores bit-identical by
     # construction, but the plan changed, so it re-earns its row.
     "sim_knn_bruteforce": 14,
+    # r14: rec_item_item_cf gained the repartition(u) shuffle fuse AND
+    # (with assoc_basket_rules) the footer-gated partkey->brand map
+    # broadcast; values oracle-green at sf0.01 on the new plans, but the
+    # historical driver rows attest the old plans. Re-earn.
+    "rec_item_item_cf": 14,
+    "assoc_basket_rules": 14,
+    # _pair_weights gained the orderkey-bucketed zipper arm (raw arm
+    # unchanged and the driver session has no bucketed layout, so the
+    # graph keys' plans are identical there) — no re-front needed beyond
+    # graph_pagerank/graph_shortest_path already rotating at 13.
 }
 
 
