@@ -81,6 +81,12 @@ _REVERIFY_FROM_ROUND = {
     # historical driver rows attest the old plans. Re-earn.
     "rec_item_item_cf": 14,
     "assoc_basket_rules": 14,
+    # r15: text_bm25 rewritten to the single-scan per-doc-profile shape
+    # (one exploded aggregation + checkpointed profile + 1-row stats
+    # broadcast — VERDICT r14 #1); values probe-asserted identical and
+    # oracle-green at sf0.001/sf0.01/sf1, but the plan changed, so it
+    # re-earns its driver row.
+    "text_bm25": 15,
     # _pair_weights gained the orderkey-bucketed zipper arm (raw arm
     # unchanged and the driver session has no bucketed layout, so the
     # graph keys' plans are identical there) — no re-front needed beyond

@@ -444,7 +444,19 @@ _HASHED_RELATION_OVERHEAD = 3
 
 def broadcast_fits(sf_dir: str, name: str, row_bytes: int) -> bool:
     """True when a build side of one row per ``name`` row provably fits
-    the broadcast budget (plan-time footer metadata, no job)."""
+    the broadcast budget (plan-time footer metadata, no job).
+
+    ``row_bytes`` is a PAYLOAD-ONLY estimate by convention (ADVICE r14):
+    callers pass the raw key+value bytes (e.g. 24 for a long partkey +
+    8-char brand), not the full UnsafeRow layout (~32 B here with null
+    bits + offset/len + padding). The UnsafeRow header is absorbed by
+    the x3 hashed-relation factor and the conservative 512 MB budget
+    (a real 32-core executor hosts several GB of broadcast). This is
+    deliberate: sizing to the full UnsafeRow would disengage the
+    partkey-map class at ~5.6M part rows — below the 6M-part sf30 point
+    where the broadcast arm is MEASURED green (assoc build -26%,
+    BASELINE.md r14) — trading a verified win for margin the budget
+    already provides."""
     return (
         parquet_rows(sf_dir, name) * row_bytes * _HASHED_RELATION_OVERHEAD
         <= BROADCAST_BUDGET_BYTES

@@ -136,7 +136,19 @@ def _pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. One 60M-row (sf10) join feeds the whole family instead of
     each key re-paying it — at sf30 the build dominated all three
     iterative keys (r9 decomposition)."""
-    hit = _shared_get(spark, sf_dir, "pair_weights")
+    # ADVICE r14: the effective arm (bucketed zipper vs raw scans) is
+    # resolved BEFORE the memo probe and folded into the artifact name,
+    # so flipping the spark.kwery.bucketed kill switch mid-session can
+    # never silently serve the other arm's checkpoint (rows are
+    # identical either way — this is for honest A/B tooling, which
+    # previously had to remember to clear _SHARED).
+    from kwery_spark.catalog import bucketed_db, bucketed_table
+
+    bdb = None
+    if (spark.conf.get("spark.kwery.bucketed", "true") or "").lower() != "false":
+        bdb = bucketed_db(spark, sf_dir)
+    artifact = "pair_weights_bkt" if bdb is not None else "pair_weights"
+    hit = _shared_get(spark, sf_dir, artifact)
     if hit is not None:
         return hit
     # r14 (VERDICT r13 item 4): when the orderkey-bucketed warehouse
@@ -154,11 +166,6 @@ def _pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build, marginal family-wide); map-side partial agg <2% (r12,
     # multiplicity ~1.015); the repartition(c) is load-bearing (every
     # zip consumer) and the sort feeds LPA's window.
-    from kwery_spark.catalog import bucketed_db, bucketed_table
-
-    bdb = None
-    if (spark.conf.get("spark.kwery.bucketed", "true") or "").lower() != "false":
-        bdb = bucketed_db(spark, sf_dir)
     if bdb is not None:
         li = bucketed_table(spark, bdb, "lineitem").select(
             "l_orderkey", "l_suppkey"
@@ -195,7 +202,7 @@ def _pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("wt"))
         .sortWithinPartitions("c")
     )
-    _shared_put(spark, sf_dir, "pair_weights", w)
+    _shared_put(spark, sf_dir, artifact, w)
     return w
 
 
@@ -990,7 +997,9 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 60M-row join; standalone runs keep the original single-pass plan
     (this key reads the weight table once, so it must not pay a
     checkpoint write of its own — the degree_distribution rule)."""
-    w_shared = _shared_get(spark, sf_dir, "pair_weights")
+    w_shared = _shared_get(spark, sf_dir, "pair_weights") or _shared_get(
+        spark, sf_dir, "pair_weights_bkt"
+    )
     if w_shared is not None:
         w = w_shared.select(
             F.shiftright("c", 1).alias("custkey"),
@@ -1096,7 +1105,9 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge checkpoint, read the pair set / degrees from it instead
     # (exact same rows — the bidirected set counts each pair from both
     # ends, so a plain per-src count over it IS the degree).
-    w_shared = _shared_get(spark, sf_dir, "pair_weights")
+    w_shared = _shared_get(spark, sf_dir, "pair_weights") or _shared_get(
+        spark, sf_dir, "pair_weights_bkt"
+    )
     edges_shared = _shared_get(spark, sf_dir, "edges_deg") or _shared_get(
         spark, sf_dir, "edges"
     )

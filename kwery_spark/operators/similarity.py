@@ -53,6 +53,14 @@ def _vecs(spark: SparkSession, sf_dir: str, alias_v: str = "v") -> DataFrame:
 # ``spark.kwery.contract`` = on|off|auto (default auto) forces an arm —
 # the tests' escape hatch, and an operator knob for corpora with known
 # clone structure.
+# ADVICE r14 (documented, behavior unchanged): the estimate side of the
+# comparison is an HLL approx_count_distinct (~2% relative error), so on
+# a corpus whose TRUE clone factor sits within ~±2% of 2.0 the chosen
+# arm depends on HLL hash behavior, not the prescription. That band is
+# performance-only (both arms are value-identical, locked below) and
+# deterministic per corpus (same bytes -> same HLL sketch -> same arm
+# across sessions); corpora with near-threshold clone structure should
+# pin ``spark.kwery.contract`` explicitly rather than rely on the gate.
 CONTRACT_MIN_CLONE = 2.0
 _CLONE_MEMO: dict[tuple, float] = {}
 
@@ -124,6 +132,11 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> tuple:
             .select("v")
             .collect()
         )
+        if not rows:  # loud plan-time failure, not a bare IndexError
+            raise ValueError(
+                f"_query_vec: no embedding with vec_id={vec_id} in "
+                f"{sf_dir}/embeddings.parquet — corpus layout drift?"
+            )
         hit = tuple(float(x) for x in rows[0].v)
         _QVEC_MEMO[key] = hit
         while len(_QVEC_MEMO) > 8:

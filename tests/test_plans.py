@@ -252,13 +252,19 @@ def test_q11_total_is_broadcast_not_collected(spark, sf_dir):
     assert inspect.shuffle_count(df) <= 3, plan
 
 
-def test_bm25_postings_filter_before_shuffle(spark, sf_dir):
-    # the explode stream is semi-filtered by a broadcast term table
-    # BEFORE the (doc_id, term) aggregation shuffle, and the top-20
-    # fuses to TakeOrderedAndProject — no global sort exchange
+def test_bm25_single_scan_stats_broadcast(spark, sf_dir):
+    # r15 single-scan shape: the final plan reads ONLY the per-doc
+    # profile checkpoint (documents parquet absent — the scan ran once,
+    # inside the checkpoint job), corpus stats arrive as a 1-row
+    # broadcast aggregate (declared BNLJ), the sole Exchange is that
+    # aggregate's SinglePartition merge, and the top-20 fuses to
+    # TakeOrderedAndProject — no global sort exchange
     df = _q("text_bm25")(spark, sf_dir)
-    assert inspect.has_broadcast_join(df), inspect.formatted_plan(df)
-    assert inspect.has_take_ordered(df), inspect.formatted_plan(df)
+    plan = inspect.formatted_plan(df)
+    assert inspect.has_take_ordered(df), plan
+    assert "Scan parquet" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert inspect.shuffle_count(df) <= 1, plan
 
 
 def test_ab_test_single_user_shuffle(spark, sf_dir):
