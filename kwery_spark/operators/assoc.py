@@ -78,7 +78,27 @@ def assoc_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a content key. The rule aggregation lands on <=600 keys; the
     item totals (<=25 rows) and the 1-row basket count are broadcast.
     At 100 TB every stage stays linear in lineitem."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # r15 (VERDICT r14 #4): under the orderkey-bucketed warehouse layout
+    # (bench _prep builds it; offline-maintenance class) the basket
+    # aggregation's groupBy(l_orderkey) — the r14 decomposition's linear
+    # dominant term — rides the bucketing EXCHANGE-FREE: the bucketed
+    # scan reports hash(l_orderkey) partitioning and the broadcast part
+    # join preserves it (broadcast residuals never destroy the bucket
+    # distribution — they sit between scan and agg here, not between a
+    # zipper's legs, so the r9 q5 trap does not apply). Raw fallback for
+    # layout-less sessions (sweeps grade raw corpora on purpose); same
+    # spark.kwery.bucketed kill switch as _pair_weights/_maybe_bucketed.
+    from kwery_spark.catalog import bucketed_db, bucketed_table
+
+    bdb = None
+    if (spark.conf.get("spark.kwery.bucketed", "true") or "").lower() != "false":
+        bdb = bucketed_db(spark, sf_dir)
+    if bdb is not None:
+        li = bucketed_table(spark, bdb, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+    else:
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # r14 (the q16 pmap pattern): the partkey->brand map grows linearly
     # with part cardinality (~150 MB estimated at sf30) — under the
