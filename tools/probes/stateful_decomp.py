@@ -70,3 +70,10 @@ t('b) JVM streaming agg to memory sink', jvm_stream)
 # c) the real key
 t('c) full key (applyInPandasWithState)',
   lambda: QUERIES['stream_stateful'](spark, sf_dir).toPandas())
+
+# micro-batch census: how many batches did availableNow split into?
+stream = _events_stream(spark, sf_dir).select('user_id', 'value')
+agg = stream.groupBy('user_id').agg(F.count(F.lit(1)).alias('n'))
+res, q = _run_to_memory(agg, 'update')
+print('lastProgress batchId:', (q.lastProgress or {}).get('batchId'),
+      'numInputRows:', (q.lastProgress or {}).get('numInputRows'))
