@@ -91,6 +91,15 @@ _REVERIFY_FROM_ROUND = {
     # unchanged and the driver session has no bucketed layout, so the
     # graph keys' plans are identical there) — no re-front needed beyond
     # graph_pagerank/graph_shortest_path already rotating at 13.
+    # r15 continuation: the three text keys below gained gated
+    # distinct-text contraction arms (and rake's raw arm itself was
+    # rewritten to the single-scan phrase-count checkpoint) — arms
+    # value-locked in tests/test_r15_ops.py, oracle-green at
+    # sf0.001/sf0.01 (raw) and sf1 (contracted), but the plans changed,
+    # so each re-earns its driver row.
+    "text_tfidf": 15,
+    "text_rake_keywords": 15,
+    "text_pmi_cooccurrence": 15,
 }
 
 

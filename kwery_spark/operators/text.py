@@ -20,6 +20,75 @@ def _tokens(df: DataFrame):
     return F.split(F.lower(F.col("text")), " ")
 
 
+# r15 distinct-text contraction gate — the similarity.py clone-factor
+# doctrine (CONTRACT_MIN_CLONE) applied to ``documents.text``: the
+# gen_sf1 upscale clones text verbatim (sf10: 500k rows / 4,992 distinct
+# texts, clone factor ~100), so any text-derived aggregate is
+# content-bounded at ~1/clone of the row count. The contraction pays one
+# text-keyed shuffle (map-side partial agg collapses clones before the
+# exchange) and earns it only when it at least HALVES every downstream
+# explode/aggregate — same 2.0 threshold, same ``spark.kwery.contract``
+# on|off|auto knob (the tests' escape hatch), same memoized
+# single-scalar HLL probe class as similarity._clone_factor. On the
+# original corpus (sf0.001-0.1, clone ~1.0) the gate keeps the raw arm,
+# so driver oracle samples grade the raw plans and .data/sfN checks
+# grade the contracted ones.
+_TEXT_CLONE_MEMO: dict[tuple, float] = {}
+
+
+def _text_clone_factor(spark: SparkSession, sf_dir: str) -> float:
+    """documents rows / approx-distinct(text), >= 1.0."""
+    import os as _os
+
+    from kwery_spark.catalog import parquet_rows
+    from kwery_spark.sources.scans import _corpus_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.realpath(sf_dir),
+        _corpus_fingerprint(sf_dir, "documents"),
+    )
+    hit = _TEXT_CLONE_MEMO.get(key)
+    if hit is None:
+        rows = parquet_rows(sf_dir, "documents")
+        nd = (
+            table(spark, sf_dir, "documents")
+            .agg(F.approx_count_distinct(F.xxhash64("text")).alias("nd"))
+            .first()[0]
+        )
+        hit = rows / max(1, nd)
+        _TEXT_CLONE_MEMO[key] = hit
+        while len(_TEXT_CLONE_MEMO) > 8:
+            _TEXT_CLONE_MEMO.pop(next(iter(_TEXT_CLONE_MEMO)))
+    return hit
+
+
+def _use_text_contraction(spark: SparkSession, sf_dir: str) -> bool:
+    mode = (spark.conf.get("spark.kwery.contract", "auto") or "auto").lower()
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    from kwery_spark.operators.similarity import CONTRACT_MIN_CLONE
+
+    return _text_clone_factor(spark, sf_dir) >= CONTRACT_MIN_CLONE
+
+
+def _contracted_docs(
+    spark: SparkSession, sf_dir: str, with_ids: bool = False
+) -> DataFrame:
+    """Distinct-text frame with multiplicity ``m`` (and optionally the
+    sorted ``doc_id`` list for exact re-expansion), eagerly checkpointed:
+    |distinct texts| rows, partitioned by text — downstream
+    groupBy(text, ...) consumers ride this partitioning exchange-free
+    (HashPartitioning(text) satisfies any clustering it prefixes)."""
+    docs = table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("m")]
+    if with_ids:
+        aggs.append(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+    return docs.groupBy("text").agg(*aggs).localCheckpoint(eager=True)
+
+
 @register(
     "text_tokenize",
     oracle="""
@@ -67,9 +136,51 @@ def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF: top-scoring term per document. Pure relational pipeline —
-    term counts ⋈ document frequencies; idf = ln(N/df)."""
+    """TF-IDF: top-scoring term per document. idf = ln(N/df).
+
+    r15: gated distinct-text contraction (``_use_text_contraction``). A
+    document's top term depends only on its text (given global N and the
+    df table), and df/N decompose exactly over distinct texts weighted
+    by multiplicity (df = Σ m over distinct texts containing the token —
+    doc_ids are distinct rows, so this IS count(DISTINCT doc_id)). The
+    contracted arm shuffles the corpus ONCE (groupBy(text) with the
+    sorted doc_id lists for re-expansion); tf/df/score/window all run on
+    the |distinct texts|-sized checkpoint, and the final explode
+    re-attaches clones without touching the parquet again. Fresh-session
+    A/B at sf10 (tools/probes/text_contract_decomp.py): 20.06 ->
+    3.41 s (-83%), all 500k output rows identical. Raw arm unchanged —
+    on a mostly-distinct corpus the text-keyed shuffle + re-expansion
+    buys nothing (similarity.py gate doctrine, threshold 2.0)."""
     docs = table(spark, sf_dir, "documents")
+    if _use_text_contraction(spark, sf_dir):
+        contr = _contracted_docs(spark, sf_dir, with_ids=True)
+        tf = (
+            contr.select("text", "m", F.explode(_tokens(contr)).alias("token"))
+            .groupBy("text", "token")
+            .agg(F.count(F.lit(1)).alias("tf"), F.min("m").alias("m"))
+        )
+        df = tf.groupBy("token").agg(F.sum("m").alias("df"))
+        n_docs = contr.agg(F.sum("m").cast("double").alias("n_docs"))
+        w = Window.partitionBy("text").orderBy(F.col("tfidf").desc(), F.col("token"))
+        top = (
+            tf.join(df, "token")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "text",
+                "token",
+                F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                    "tfidf"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        return top.join(contr.select("text", "ids"), "text").select(
+            F.explode("ids").alias("doc_id"),
+            F.col("token").alias("top_term"),
+            "tfidf",
+        )
+    # raw arm: term counts ⋈ document frequencies, window per doc_id.
     # corpus size as a 1-row aggregate broadcast into the plan (not an
     # eager count() at build time — keeps the operator one lazy plan)
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -893,31 +1004,65 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     is rounded to 4 BEFORE ranking so partial-sum order can't flip the
     top-15 (ties then break on the phrase string).
 
-    Scale: two explode→agg passes over the token stream (linear, one
-    shuffle each) plus a join of phrases against the word-score table —
-    the word table is vocabulary-sized, so AQE broadcasts it at any
-    corpus scale; nothing quadratic, no Python on the data path."""
-    docs = table(spark, sf_dir, "documents")
-    frags = docs.select(
-        F.explode(F.split(F.lower(F.col("text")), r" ?\b(?:the|a)\b ?")).alias("raw")
-    )
-    phrases = frags.select(F.trim(F.col("raw")).alias("phrase")).filter(
+    Scale (r15 rewrite): the old shape scanned + regex-split the corpus
+    TWICE (wscore leg per-instance word explode, dp leg phrase count)
+    — the text_bm25 redundant-pass class. Everything downstream of the
+    phrase counts is derivable from them alone: wscore =
+    Σ plen over instances / #instances = Σ(n_occ·plen) / Σ n_occ over
+    DISTINCT phrases — the same exact integers, so round6 is
+    bit-identical. So: ONE scan → phrase-level groupBy (map-side
+    partial agg collapses repeats before the exchange) → checkpoint at
+    |distinct phrases| (17,811 at every SF) → word explode + wscore +
+    pscore all on the checkpoint. The phrase-level contraction is
+    UNCONDITIONAL (never worse: the word explode shrinks from
+    all-instances to distinct-phrases and a full scan+regex pass
+    disappears on any corpus). Under the r15 text clone gate
+    (``_use_text_contraction``), the scan side additionally contracts
+    to distinct texts first — the regex split runs once per distinct
+    text, weighted by multiplicity. Fresh-session A/B at sf10
+    (tools/probes/text_contract_decomp.py): 38.8 s (old two-pass) →
+    6.09 s (phrase contraction) → 1.48 s (with text contraction), top-15
+    identical on all three arms. The word table stays vocabulary-sized
+    (AQE broadcasts it); nothing quadratic, no Python on the data path."""
+    if _use_text_contraction(spark, sf_dir):
+        base = _contracted_docs(spark, sf_dir).select(
+            "m",
+            F.explode(
+                F.split(F.lower(F.col("text")), r" ?\b(?:the|a)\b ?")
+            ).alias("raw"),
+        )
+    else:
+        docs = table(spark, sf_dir, "documents")
+        base = docs.select(
+            F.lit(1).alias("m"),
+            F.explode(
+                F.split(F.lower(F.col("text")), r" ?\b(?:the|a)\b ?")
+            ).alias("raw"),
+        )
+    phrases = base.select(F.trim(F.col("raw")).alias("phrase"), "m").filter(
         F.col("phrase") != ""
     )
-    pw = phrases.select(
+    dp = (
+        phrases.groupBy("phrase")
+        .agg(F.sum("m").cast("long").alias("n_occ"))
+        .localCheckpoint(eager=True)
+    )
+    dpw = dp.select(
         "phrase",
+        "n_occ",
         F.size(F.split(F.col("phrase"), " ")).alias("plen"),
         F.explode(F.split(F.col("phrase"), " ")).alias("w"),
     )
-    wscore = pw.groupBy("w").agg(
+    wscore = dpw.groupBy("w").agg(
         # round6, not round(.,6): integer sum / count is the tie-capable
         # ratio class (catalog.round6, driver r9 flake)
-        round6(F.sum("plen").cast("double") / F.count(F.lit(1))).alias("wscore")
+        round6(
+            F.sum(F.col("n_occ") * F.col("plen")).cast("double") / F.sum("n_occ")
+        ).alias("wscore")
     )
-    dp = phrases.groupBy("phrase").agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
-    dpw = dp.select("phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w"))
     pscore = (
-        dpw.join(wscore, "w")
+        dpw.select("phrase", "w")
+        .join(wscore, "w")
         .groupBy("phrase")
         .agg(F.round(F.sum("wscore"), 4).alias("score"))
     )
@@ -980,8 +1125,67 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by 1225 keys regardless of corpus size. Shuffles: doc-word
     distinct, df aggregate, the doc-blocked pair count. Determinism:
     integer counts, one ln of a single ratio, round 6, full ordering
-    tiebreak."""
+    tiebreak.
+
+    r15: gated distinct-text contraction (``_use_text_contraction``).
+    Document-level presence depends only on text: df = Σ m over
+    distinct texts containing the word, dab = Σ m over distinct texts
+    containing both, N = Σ m — doc_ids are distinct rows, so the
+    weighted sums ARE the distinct-doc counts. The contracted arm
+    shuffles the corpus once (groupBy(text)); the (text, word) distinct
+    rides the checkpoint partitioning exchange-free, and the pair
+    self-join blocks on text over |distinct texts| rows. Fresh-session
+    A/B at sf10 (tools/probes/text_contract_decomp.py): 19.75 →
+    2.92 s (-85%), top-30 identical. Raw arm unchanged below the gate."""
     docs = table(spark, sf_dir, "documents")
+    if _use_text_contraction(spark, sf_dir):
+        contr = _contracted_docs(spark, sf_dir)
+        ctw = (
+            contr.select("text", "m", F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.length("word") >= 3)
+            .groupBy("text", "word")
+            .agg(F.min("m").alias("m"))
+        )
+        df_counts = ctw.groupBy("word").agg(F.sum("m").alias("d"))
+        top = df_counts.orderBy(F.col("d").desc(), "word").limit(50)
+        present = ctw.join(F.broadcast(top), "word")
+        a = present.alias("a")
+        b = present.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.text") == F.col("b.text"))
+                & (F.col("a.word") < F.col("b.word")),
+            )
+            .groupBy(
+                F.col("a.word").alias("word_a"),
+                F.col("b.word").alias("word_b"),
+                F.col("a.d").alias("da"),
+                F.col("b.d").alias("db"),
+            )
+            .agg(F.sum(F.col("a.m")).alias("dab"))
+            .filter(F.col("dab") >= 5)
+        )
+        nd = contr.agg(F.sum("m").alias("nd"))
+        return (
+            pairs.join(F.broadcast(nd))
+            .select(
+                "word_a",
+                "word_b",
+                F.col("dab").cast("long").alias("n_cooccur"),
+                F.round(
+                    F.log(
+                        F.col("dab")
+                        * 1.0
+                        * F.col("nd")
+                        / (F.col("da") * 1.0 * F.col("db"))
+                    ),
+                    6,
+                ).alias("pmi"),
+            )
+            .orderBy(F.col("pmi").desc(), "word_a", "word_b")
+            .limit(30)
+        )
     dw = (
         docs.select(
             "doc_id", F.explode(F.split("text", " ")).alias("word")

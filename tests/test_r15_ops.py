@@ -41,3 +41,56 @@ def test_bm25_schema_and_rowcount(spark):
     assert all(1 <= r.n_terms_hit <= 3 for r in rows)
     scores = [r.bm25 for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def _arm_rows(spark, key, mode):
+    spark.conf.set("spark.kwery.contract", mode)
+    try:
+        return sorted(map(tuple, QUERIES[key](spark, SF001).collect()))
+    finally:
+        spark.conf.set("spark.kwery.contract", "auto")
+
+
+def test_text_contraction_arms_value_identical(spark):
+    """r15 continuation: the gated distinct-text contraction arms of
+    text_tfidf / text_rake_keywords / text_pmi_cooccurrence must be
+    value-identical to the raw arms under the spark.kwery.contract kill
+    switch. Scores are exact-integer ratios pushed through the same
+    round chain in both arms (df/N/tf/n_occ/dab decompose exactly over
+    distinct texts x multiplicity), so exact tuple equality is the
+    right assert."""
+    for key in ("text_tfidf", "text_rake_keywords", "text_pmi_cooccurrence"):
+        raw = _arm_rows(spark, key, "off")
+        contracted = _arm_rows(spark, key, "on")
+        assert raw == contracted and len(raw) > 0, key
+
+
+def test_text_contraction_plan_no_parquet_rescan(spark):
+    """Contracted arms collapse all corpus-sized work into the single
+    checkpoint build: the FINAL plan must contain no documents parquet
+    scan (the before-plans re-scanned documents 6-10x through aliased
+    consumers — plans/r15/*_before.txt)."""
+    from kwery_spark.plans.inspect import formatted_plan
+
+    spark.conf.set("spark.kwery.contract", "on")
+    try:
+        for key in ("text_tfidf", "text_rake_keywords", "text_pmi_cooccurrence"):
+            plan = formatted_plan(QUERIES[key](spark, SF001))
+            assert "Scan parquet" not in plan, key
+    finally:
+        spark.conf.set("spark.kwery.contract", "auto")
+
+
+def test_rake_phrase_contraction_single_scan(spark):
+    """The raw rake arm (below the clone gate) still contracts at
+    phrase level: exactly ONE documents scan feeds the phrase-count
+    checkpoint (the old shape scanned twice), and the word-score leg
+    reads the checkpoint."""
+    from kwery_spark.plans.inspect import formatted_plan
+
+    spark.conf.set("spark.kwery.contract", "off")
+    try:
+        plan = formatted_plan(QUERIES["text_rake_keywords"](spark, SF001))
+        assert "Scan parquet" not in plan  # final plan is checkpoint-fed
+    finally:
+        spark.conf.set("spark.kwery.contract", "auto")
