@@ -100,6 +100,16 @@ _REVERIFY_FROM_ROUND = {
     "text_tfidf": 15,
     "text_rake_keywords": 15,
     "text_pmi_cooccurrence": 15,
+    # r15 continuation batch 2: q18 now computes sum_qty from the same
+    # per-orderkey aggregate as the HAVING (one lineitem pass,
+    # bit-identical integral-double sums); q9 and dq_referential_
+    # integrity gained footer-gated key broadcasts (q9: 'red' part key
+    # set + supplier map; dq_ri: per-FK parent keys under byte AND
+    # child:parent ratio >= 6 gates). Oracle green at sf0.001/sf0.01/
+    # sf1; plans changed, so each re-earns its driver row.
+    "q18_large_volume": 15,
+    "q9_product_profit": 15,
+    "dq_referential_integrity": 15,
 }
 
 

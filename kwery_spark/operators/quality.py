@@ -625,15 +625,36 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: pure integer counts; one division.
 
-    Scale: each candidate is a left-anti equi-join on the key — the
-    parent side ships as a broadcast when bounded (nation) and a
-    shuffle join otherwise, exactly Catalyst's call; counts
+    Scale: each candidate is a left-anti equi-join on the key. r15
+    continuation (the r14 partkey-map class): under the session's 1MB
+    planner threshold every non-nation parent SMJ'd, shuffling the full
+    child key column per leg. The parent side is a key-only projection
+    (8B payload), so it broadcasts under TWO plan-time footer gates:
+    the catalog.broadcast_fits byte gate AND a child:parent row-ratio
+    >= 6 — the per-leg fresh-JVM A/B at sf10
+    (tools/probes/heavy_keys_decomp.py, fresh DataFrame per rep) read
+    part (ratio 30) 2.97 -> 1.16 s, customer legs (ratios 10 / 6.7)
+    1.16 -> 0.82 / 1.51 -> 0.75 s, but orders (ratio 4, 15M keys)
+    4.28 -> 7.61 s — the single-threaded hashed-relation build
+    overtakes the shuffle saving, so the ratio gate keeps that leg on
+    the SMJ. Both gates are footer metadata (no job); ratios are fixed
+    properties of this schema, so the same decisions hold at any SF,
+    and the byte gate still bounds absolute size (a 100-TB customer
+    falls back to the shuffle — degrades, never OOMs). nation is the
+    spec-constant 25-row dim and broadcasts unconditionally. Counts
     partial-aggregate map-side. Five independent pairs union into the
     5-row report."""
+    from kwery_spark.catalog import broadcast_fits, parquet_rows
+
     rows = None
     for fk, child, ck, parent, pk in _RI_CANDIDATES:
         c = table(spark, sf_dir, child).select(F.col(ck).alias("k"))
         p = table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        if parent == "nation" or (
+            broadcast_fits(sf_dir, parent, 8)
+            and parquet_rows(sf_dir, child) >= 6 * parquet_rows(sf_dir, parent)
+        ):
+            p = F.broadcast(p)
         orphans = c.join(p, "k", "left_anti").agg(
             F.count(F.lit(1)).cast("long").alias("n_orphans")
         )

@@ -283,16 +283,39 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the %red% LIKE prunes part before its fact join (a contains
     filter can't push to parquet min/max but does run in the scan stage);
-    nation broadcasts; part/supplier joins AQE-decide. Output is
+    nation broadcasts; the orders join AQE-decides. Output is
     |nation| x |year| — final single-task sort is bounded.
+
+    r15 continuation (the r14 partkey-map class, "check any new
+    part-joining key"): under the session's 1MB planner threshold the
+    part semi-join and the supplier join both SMJ'd — lineitem shuffled
+    ONCE ON PARTKEY and AGAIN ON SUPPKEY before the orderkey SMJ it
+    needs anyway. The 'red'-filtered part KEY set (8B payload/row) and
+    the (s_suppkey, s_nationkey) map (16B) broadcast under the
+    catalog.broadcast_fits footer gate (plain joins past it — degrades,
+    never OOMs), leaving the orderkey SMJ as the only lineitem
+    exchange. Fresh-JVM A/B at sf10, sweep confs
+    (tools/probes/heavy_keys_decomp.py): 7.68 -> 3.51 s (-54%);
+    sum_profit max relative diff 4.6e-16 (pure addend-reorder ulp of a
+    double sum, equal at the driver hash's 6 significant digits — the
+    same lottery both engines already draw from under free aggregation
+    order).
     """
-    part = table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey")
+    )
     li = table(spark, sf_dir, "lineitem")
-    supp = table(spark, sf_dir, "supplier")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = table(spark, sf_dir, "orders")
     nation = table(spark, sf_dir, "nation").select(
         "n_nationkey", F.col("n_name").alias("nation")
     )
+    if broadcast_fits(sf_dir, "part", 8):
+        part = broadcast(part)
+    if broadcast_fits(sf_dir, "supplier", 16):
+        supp = broadcast(supp)
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
         .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -616,27 +639,39 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold determinism: sum(l_quantity) is a sum of integral-valued
     doubles — exact in FP, so the >250 cut is engine-portable.
 
-    Scale: the qualifying-orderkey set (HAVING) aggregates on l_orderkey
-    and semi-joins back on the same key — co-partitioned, one logical
-    exchange; the customer join only sees qualifying orders (~1% of
-    rows). ORDER BY+LIMIT 100 fuses to TakeOrderedAndProject; the
-    orderkey tie-break pins the cutoff.
+    Scale (r15 continuation rewrite): o_orderkey is IN the output group
+    keys, so the final group's sum(l_quantity) IS the per-order total
+    the HAVING already computed — the old shape scanned lineitem twice
+    (HAVING leg + re-join) and re-aggregated the 60M joined rows at the
+    end. Now ONE lineitem pass: the per-orderkey aggregate serves both
+    the >250 filter and the output sum_qty, and only the ~1% qualifying
+    orders flow further (inner join — the filtered aggregate's keys are
+    unique, so inner == the old semi). Quantities are integral-valued
+    doubles, so both sums are exact in FP and the values are
+    bit-identical (probe-asserted). Fresh-JVM A/B at sf10, sweep confs
+    (tools/probes/heavy_keys_decomp.py): 8.84 -> 5.50 s (-38%), 100
+    rows identical. ORDER BY+LIMIT 100 still fuses to
+    TakeOrderedAndProject; the orderkey tie-break pins the cutoff.
     """
     li = table(spark, sf_dir, "lineitem")
-    big = (
+    oq = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 250)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
     )
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     return (
-        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        orders.join(oq, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
         .orderBy(
             F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey")
         )

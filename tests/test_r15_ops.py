@@ -94,3 +94,42 @@ def test_rake_phrase_contraction_single_scan(spark):
         assert "Scan parquet" not in plan  # final plan is checkpoint-fed
     finally:
         spark.conf.set("spark.kwery.contract", "auto")
+
+
+def test_q18_single_lineitem_pass(spark):
+    """r15 continuation: one per-orderkey aggregate serves both the
+    HAVING filter and the output sum_qty — the final plan scans
+    lineitem ONCE (the old shape scanned and shuffled it twice)."""
+    from kwery_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["q18_large_volume"](spark, SF001))
+    assert plan.count("lineitem.parquet") == 1, plan[:2000]
+
+
+def test_q9_gated_broadcasts_fire(spark):
+    """r15 continuation: under the footer byte gate the 'red' part key
+    set and the supplier (s_suppkey, s_nationkey) map broadcast — the
+    semi and supplier joins are BHJs, leaving the orderkey SMJ as the
+    only lineitem exchange."""
+    from kwery_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["q9_product_profit"](spark, SF001))
+    assert "BroadcastHashJoin LeftSemi" in plan, plan[:3000]
+    assert plan.count("SortMergeJoin") <= 1, plan[:3000]
+
+
+def test_dq_ri_ratio_gated_broadcasts(spark):
+    """r15 continuation: parent key sets broadcast only under BOTH the
+    byte gate and the child:parent row-ratio >= 6 gate — part/customer
+    legs are broadcast anti-joins, the orders leg (ratio 4, measured
+    slower broadcast) stays a shuffle anti-join."""
+    from kwery_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["dq_referential_integrity"](spark, SF001))
+    assert plan.count("BroadcastHashJoin LeftAnti") >= 3, plan[:3000]
+    # The orders leg carries no explicit hint (ratio 4 < 6) — at
+    # sf0.001 Catalyst still broadcasts it on its own size estimate, so
+    # the shuffle fallback is only visible at scale: the sf10 probe
+    # (tools/probes/heavy_keys_decomp.py) and the captured
+    # plans/r15/dq_referential_integrity_after.txt show that leg as the
+    # single remaining SortMergeJoin LeftAnti.
