@@ -191,7 +191,13 @@ def _pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus averages ~1.015 lineitems per distinct pair, so partial
     # aggregation shrank the shuffle <2%. Measured sf30 fresh-JVM: LPA
     # cold total 128.2 s (old) → 123.0 s (fused), identical values.
-    w = _ckpt(
+    # r16 probe knob (tools/probes/pair_weights_arms.py): "nosort" drops
+    # the stored sort, "shj" adds a SHUFFLE_HASH hint on the orders side
+    # of the orderkey join. Default "" keeps the committed design.
+    arm = spark.conf.get("spark.kwery.pairweights.arm", "") or ""
+    if arm == "shj":
+        orders = orders.hint("shuffle_hash")
+    pre = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("c"),
@@ -200,8 +206,10 @@ def _pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("c")
         .groupBy("c", "s")
         .agg(F.count(F.lit(1)).alias("wt"))
-        .sortWithinPartitions("c")
     )
+    if arm != "nosort":
+        pre = pre.sortWithinPartitions("c")
+    w = _ckpt(pre)
     _shared_put(spark, sf_dir, artifact, w)
     return w
 

@@ -614,6 +614,22 @@ def _ri_oracle() -> str:
     )
 
 
+def _ri_parent_broadcastable(sf_dir: str, child: str, parent: str) -> bool:
+    """The r15 plan-time broadcast gate for one RI leg, extracted so the
+    decision logic is unit-testable without a scale run (ADVICE r15):
+    nation (spec-constant 25 rows) always broadcasts; any other parent
+    broadcasts only under BOTH the catalog.broadcast_fits byte gate AND
+    a child:parent footer-row ratio >= 6 (the orders leg, ratio 4,
+    measured a 4.28 -> 7.61 s LOSS broadcasting at sf10 — the
+    hashed-relation build overtakes the shuffle saving)."""
+    from kwery_spark.catalog import broadcast_fits, parquet_rows
+
+    return parent == "nation" or (
+        broadcast_fits(sf_dir, parent, 8)
+        and parquet_rows(sf_dir, child) >= 6 * parquet_rows(sf_dir, parent)
+    )
+
+
 @register("dq_referential_integrity", oracle=_ri_oracle())
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table referential-integrity validation — the DQ check run
@@ -644,16 +660,11 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec-constant 25-row dim and broadcasts unconditionally. Counts
     partial-aggregate map-side. Five independent pairs union into the
     5-row report."""
-    from kwery_spark.catalog import broadcast_fits, parquet_rows
-
     rows = None
     for fk, child, ck, parent, pk in _RI_CANDIDATES:
         c = table(spark, sf_dir, child).select(F.col(ck).alias("k"))
         p = table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
-        if parent == "nation" or (
-            broadcast_fits(sf_dir, parent, 8)
-            and parquet_rows(sf_dir, child) >= 6 * parquet_rows(sf_dir, parent)
-        ):
+        if _ri_parent_broadcastable(sf_dir, child, parent):
             p = F.broadcast(p)
         orphans = c.join(p, "k", "left_anti").agg(
             F.count(F.lit(1)).cast("long").alias("n_orphans")

@@ -83,9 +83,11 @@ def test_text_contraction_plan_no_parquet_rescan(spark):
 
 def test_rake_phrase_contraction_single_scan(spark):
     """The raw rake arm (below the clone gate) still contracts at
-    phrase level: exactly ONE documents scan feeds the phrase-count
-    checkpoint (the old shape scanned twice), and the word-score leg
-    reads the checkpoint."""
+    phrase level: the FINAL plan is checkpoint-fed (zero parquet scans
+    — the one real documents scan lives inside the eager phrase-count
+    checkpoint build, outside the inspected plan). The single-vs-two
+    scan claim for the build itself is evidenced by the r15 probe
+    numbers, not by this assert (ADVICE r15 docstring fix)."""
     from kwery_spark.plans.inspect import formatted_plan
 
     spark.conf.set("spark.kwery.contract", "off")

@@ -1,0 +1,75 @@
+"""Round-16 invariants (optimization round 2): the dq RI broadcast-gate
+decision logic as pure footer arithmetic, the memoized text contraction
+checkpoint (hit == cold), and the tfidf bounded join-back re-expansion."""
+
+from __future__ import annotations
+
+import kwery_spark.all_ops  # noqa: F401 — populate registry
+from kwery_spark.registry import QUERIES
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_ri_gate_predicate_per_leg():
+    """ADVICE r15: the ratio-gate NEGATIVE (orders parent, child:parent
+    ratio 4, must stay on the shuffle anti-join) was previously only
+    evidenced by a probe + plan file — at sf0.001 Catalyst broadcasts
+    that leg on its own estimate, so no plan assert can lock it. The
+    predicate is pure footer metadata, so lock the decision itself.
+    TPC-H row ratios are SF-invariant, so the same verdicts hold at
+    every corpus; asserted at both gate SFs."""
+    from kwery_spark.operators.quality import _ri_parent_broadcastable
+
+    for sf in (SF001, SF01):
+        # lineitem:orders is ~4 — the measured-loss leg stays shuffled.
+        assert not _ri_parent_broadcastable(sf, "lineitem", "orders"), sf
+        # lineitem:part ~30, orders:customer ~10, events:customer — all
+        # past the >= 6 ratio and byte gates.
+        assert _ri_parent_broadcastable(sf, "lineitem", "part"), sf
+        assert _ri_parent_broadcastable(sf, "orders", "customer"), sf
+        assert _ri_parent_broadcastable(sf, "events", "customer"), sf
+        # nation is the spec-constant dim: unconditional.
+        assert _ri_parent_broadcastable(sf, "customer", "nation"), sf
+
+
+def test_contracted_docs_memo_hit_equals_cold(spark):
+    """r16: _contracted_docs is memoized per (applicationId, corpus,
+    fingerprint). The memo hit must be the same frame (no rebuild) and
+    its rows must equal a forced cold build — the graph._SHARED equality
+    doctrine."""
+    from kwery_spark.operators.text import _CONTRACTED_MEMO, _contracted_docs
+
+    _CONTRACTED_MEMO.clear()
+    cold = _contracted_docs(spark, SF001)
+    assert len(_CONTRACTED_MEMO) == 1
+    hit = _contracted_docs(spark, SF001)
+    assert hit is cold  # memo returned the same checkpointed frame
+    cold_rows = sorted(map(tuple, cold.collect()))
+    _CONTRACTED_MEMO.clear()
+    rebuilt = sorted(map(tuple, _contracted_docs(spark, SF001).collect()))
+    assert cold_rows == rebuilt and len(rebuilt) > 0
+
+
+def test_tfidf_contracted_reexpansion_bounded(spark):
+    """r16: the contracted tfidf arm re-expands through a join back to a
+    (md5(text), doc_id) projection — no collect_list row linear in clone
+    multiplicity anywhere in the plan — and stays value-identical to the
+    raw arm (the hardening must not change a single row)."""
+    from kwery_spark.plans.inspect import formatted_plan
+
+    spark.conf.set("spark.kwery.contract", "on")
+    try:
+        df = QUERIES["text_tfidf"](spark, SF001)
+        plan = formatted_plan(df)
+        assert "collect_list" not in plan, plan[:2000]
+        assert "Scan parquet" not in plan  # still checkpoint-fed
+        contracted = sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.kwery.contract", "auto")
+    spark.conf.set("spark.kwery.contract", "off")
+    try:
+        raw = sorted(map(tuple, QUERIES["text_tfidf"](spark, SF001).collect()))
+    finally:
+        spark.conf.set("spark.kwery.contract", "auto")
+    assert contracted == raw and len(raw) > 0

@@ -5,7 +5,21 @@ fixed this way in round 5 — dedup_fuzzy_names and dedup_lsh_recall_eval
 ran >9 min at sf1 before their rewrites).
 
 Usage: python tools/scale_sweep.py [--sf /root/repo/.data/sf1]
-                                   [--budget 60] [--json OUT] [key ...]
+                                   [--budget 60] [--json OUT]
+                                   [--no-isolate] [key ...]
+
+r16: per-MODULE process isolation (VERDICT r15 #1). A 323-key marathon
+in one JVM accumulates session effects (GC throttle, executor-memory
+fragmentation, ContextCleaner backlog) that made ~40% of r15's sweep
+rows diverge from their fresh-JVM probe numbers and forced seven
+separate classification A/Bs. The parent process now groups keys by
+the registered function's module (families keep sharing one session so
+memoized builders — graph._SHARED, the text contraction checkpoint —
+stay amortized exactly as a family-at-a-time production run would) and
+spawns one child `scale_sweep.py --no-isolate` per group, mirroring
+bench.py's r11 subprocess-per-section design. `--no-isolate` runs the
+old single-session loop (child mode; also the escape hatch for
+explicit same-session A/Bs).
 
 Each key runs under a Spark job group; a timer cancels the group at the
 budget and the key is recorded as TIMEOUT (the session survives —
@@ -68,12 +82,13 @@ def empty_is_declared(key: str, sf_dir: str) -> bool:
     return sf_of(sf_dir) >= EXPECTED_EMPTY_AT.get(key, float("inf"))
 
 
-def main() -> None:
-    args = sys.argv[1:]
+def _parse_args(argv: list[str]) -> tuple[str, float, str | None, bool, list[str]]:
     sf_dir = "/root/repo/.data/sf1"
     budget = 60.0
     out_json = None
+    isolate = True
     keys: list[str] = []
+    args = list(argv)
     while args:
         a = args.pop(0)
         if a == "--sf":
@@ -82,15 +97,24 @@ def main() -> None:
             budget = float(args.pop(0))
         elif a == "--json":
             out_json = args.pop(0)
+        elif a == "--no-isolate":
+            isolate = False
         else:
             keys.append(a)
+    return sf_dir, budget, out_json, isolate, keys
 
-    # Validate the corpus dir name ONCE, before any key runs — inside the
-    # per-key loop sf_of's ValueError would surface as scattered ERR rows
-    # (and only for keys that return 0 rows), not the loud upfront
-    # failure the contract intends (ADVICE r9).
-    sf_of(sf_dir)
 
+def _registry_keys() -> tuple[list[str], dict[str, str]]:
+    """All registry keys in registration order + key -> module map.
+    Module import only (no Spark session) — safe in the parent process."""
+    import kwery_spark.all_ops  # noqa: F401
+    from kwery_spark.registry import QUERIES
+
+    return list(QUERIES), {k: fn.__module__ for k, fn in QUERIES.items()}
+
+
+def _run_inline(sf_dir: str, budget: float, keys: list[str]) -> dict[str, dict]:
+    """The original single-session loop (child mode)."""
     from kwery_spark.session import get_spark
 
     spark = get_spark("scale-sweep")
@@ -132,7 +156,6 @@ def main() -> None:
     if not keys:
         keys = list(QUERIES)
     results: dict[str, dict] = {}
-    n_bad = 0
     for key in keys:
         group = f"sweep-{key}"
         sc.setJobGroup(group, key, interruptOnCancel=True)
@@ -156,7 +179,6 @@ def main() -> None:
             elif n == 0:
                 results[key] = {"sec": round(dt, 2), "status": "EMPTY",
                                 "err": "0 rows, not declared in EXPECTED_EMPTY_AT"}
-                n_bad += 1
                 print(f"[EMPTY] {key}: {dt:.2f}s — undeclared 0-row result",
                       flush=True)
             else:
@@ -167,7 +189,6 @@ def main() -> None:
             status = "TIMEOUT" if cancelled.is_set() else "ERR"
             results[key] = {"sec": round(dt, 2), "status": status,
                             "err": repr(e)[:200]}
-            n_bad += 1
             print(f"[{status}] {key}: {dt:.2f}s", flush=True)
         finally:
             timer.cancel()
@@ -182,13 +203,102 @@ def main() -> None:
             import gc
 
             gc.collect()
+    return results
+
+
+def _run_isolated(sf_dir: str, budget: float, keys: list[str]) -> dict[str, dict]:
+    """Parent mode: one child process per module group, sequential (the
+    children must not contend for the box — same rule as bench.py's
+    scaled sections). A child failure marks only its group's keys."""
+    import subprocess
+    import tempfile
+
+    all_keys, key_mod = _registry_keys()
+    if not keys:
+        keys = all_keys
+    unknown = [k for k in keys if k not in key_mod]
+    if unknown:
+        raise SystemExit(f"unknown keys: {unknown}")
+    # Group by module, preserving registration order within and across
+    # groups (order of first appearance).
+    groups: dict[str, list[str]] = {}
+    for k in keys:
+        groups.setdefault(key_mod[k], []).append(k)
+
+    results: dict[str, dict] = {}
+    tool = os.path.abspath(__file__)
+    for mod, gkeys in groups.items():
+        short = mod.rsplit("kwery_spark.", 1)[-1]
+        print(f"--- group {short} ({len(gkeys)} keys) ---", flush=True)
+        with tempfile.NamedTemporaryFile(
+            mode="r", suffix=".json", prefix="sweep_grp_", delete=False
+        ) as tf:
+            tmp_json = tf.name
+        cmd = [sys.executable, tool, "--no-isolate", "--sf", sf_dir,
+               "--budget", str(budget), "--json", tmp_json] + gkeys
+        # Group wall budget: per-key budget x keys + JVM startup/teardown
+        # slack. The per-key watchdog inside the child is the real limit;
+        # this is only a hung-JVM backstop.
+        wall = budget * len(gkeys) + 300
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=wall
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("["):
+                    print(line, flush=True)
+            with open(tmp_json) as f:
+                child = json.load(f)
+            child.pop("_meta", None)
+            missing = [k for k in gkeys if k not in child]
+            if proc.returncode != 0 and missing:
+                err = proc.stderr.strip()[-200:]
+                for k in missing:
+                    child[k] = {"sec": 0.0, "status": "ERR",
+                                "err": f"group rc={proc.returncode}: {err}"}
+            results.update(child)
+        except Exception as e:  # child crash/timeout must not sink the sweep
+            for k in gkeys:
+                results[k] = {"sec": 0.0, "status": "ERR",
+                              "err": f"group {type(e).__name__}: {e}"[:200]}
+            print(f"[ERR ] group {short}: {type(e).__name__}: {e}", flush=True)
+        finally:
+            try:
+                os.unlink(tmp_json)
+            except OSError:
+                pass
+    return results
+
+
+def main() -> None:
+    sf_dir, budget, out_json, isolate, keys = _parse_args(sys.argv[1:])
+
+    # Validate the corpus dir name ONCE, before any key runs — inside the
+    # per-key loop sf_of's ValueError would surface as scattered ERR rows
+    # (and only for keys that return 0 rows), not the loud upfront
+    # failure the contract intends (ADVICE r9).
+    sf_of(sf_dir)
+
+    if isolate:
+        results = _run_isolated(sf_dir, budget, keys)
+    else:
+        results = _run_inline(sf_dir, budget, keys)
+
     total_bad = sum(1 for v in results.values() if "status" in v)
     print(f"\n{len(results) - total_bad}/{len(results)} within budget "
           f"({budget:.0f}s each)", flush=True)
     if out_json:
+        # The conf values in _meta mirror what _run_inline sets in every
+        # child session (children recompute n_shuffle from the same
+        # lineitem footer, so the value is identical across groups).
+        import pyarrow.parquet as _pq
+
+        li_rows = _pq.ParquetFile(
+            os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
         meta = {
             "sf_dir": sf_dir,
-            "shuffle_partitions": n_shuffle,
+            "isolation": "per-module" if isolate else "none",
+            "shuffle_partitions": int(min(64, max(8, li_rows // 500_000))),
             "max_partition_bytes": 16 << 20,
             "min_partition_num": 64,
             "open_cost_bytes": 128 << 10,
