@@ -652,6 +652,26 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tools/probes/heavy_keys_decomp.py): 8.84 -> 5.50 s (-38%), 100
     rows identical. ORDER BY+LIMIT 100 still fuses to
     TakeOrderedAndProject; the orderkey tie-break pins the cutoff.
+
+    r16 (VERDICT r15 #6): the LIMIT 100 moves BELOW the customer join.
+    Every ordering key (o_totalprice, o_orderdate, o_orderkey) is an
+    orders-side column and the customer join is key-preserving 1:1 on
+    the order stream (o_custkey is the generator-enforced FK —
+    dq_referential_integrity reports 0 orphans at every SF, and the
+    oracle gate re-proves row equality per corpus), so
+    top-100-then-join == join-then-top-100. The qualifying-order side
+    was never plan-time sizable (footer gates can't see through the
+    HAVING aggregate), but LIMIT 100 IS a provable <=100-row bound at
+    ANY scale — the sanctioned explicit-broadcast class. The top-100
+    comes straight off the orders⋈oq join as TakeOrderedAndProject
+    (partial top-K map-side, no added exchange), then broadcast-joins
+    into a bare customer scan: both custkey exchanges (qualifying
+    orders AND the full customer table — 4.5M rows at sf30) vanish.
+    A terminal <=100-row sort restores the output order contract.
+    Fresh-JVM A/B at sf10 (tools/probes/q18_limit_first.py): 7.86 ->
+    6.14 s best-of-3, 100 rows value-identical; plan 8 -> 6 Exchange,
+    4 -> 2 SortMergeJoin (plans/r16/q18_large_volume_{before,after}.txt,
+    sweep confs at sf10).
     """
     li = table(spark, sf_dir, "lineitem")
     oq = (
@@ -660,10 +680,17 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 250)
     )
     orders = table(spark, sf_dir, "orders")
-    cust = table(spark, sf_dir, "customer")
-    return (
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    top_orders = (
         orders.join(oq, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate"), F.col("o_orderkey")
+        )
+        .limit(100)
+    )
+    return (
+        cust.join(broadcast(top_orders), F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
             "c_custkey",

@@ -33,6 +33,22 @@ def test_ri_gate_predicate_per_leg():
         assert _ri_parent_broadcastable(sf, "customer", "nation"), sf
 
 
+def test_q18_limit_below_customer_join(spark):
+    """r16 (VERDICT r15 #6): the LIMIT 100 moves below the customer
+    join — the top-100 qualifying orders come off the orders⋈oq join as
+    a TakeOrderedAndProject and then BROADCAST into a bare customer
+    scan, so no custkey exchange exists anywhere in the plan (the r15
+    shape shuffled both the qualifying orders and the full customer
+    table on custkey). The r15 single-lineitem-pass invariant holds."""
+    from kwery_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["q18_large_volume"](spark, SF001))
+    assert plan.count("lineitem.parquet") == 1, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "hashpartitioning(c_custkey" not in plan, plan[:3000]
+    assert "hashpartitioning(o_custkey" not in plan, plan[:3000]
+
+
 def test_contracted_docs_memo_hit_equals_cold(spark):
     """r16: _contracted_docs is memoized per (applicationId, corpus,
     fingerprint). The memo hit must be the same frame (no rebuild) and
