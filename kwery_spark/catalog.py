@@ -163,6 +163,42 @@ def round6_sql(expr: str) -> str:
     return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
 
 
+def snap_captured(df: DataFrame, snap):
+    """Materialize a checkpoint with AQE disabled for THAT one query so
+    the resulting LogicalRDD captures the physical outputPartitioning
+    and outputOrdering (r16). Under AQE, ``Dataset.checkpoint`` AND
+    ``localCheckpoint`` both record ``UnknownPartitioning(0)`` and no
+    ordering in Spark 4.1.2 — the capture reads AdaptiveSparkPlanExec's
+    pre-execution partitioning (probe tools/probes/ckpt_partitioning.py)
+    — so every "exchange-free consumer of the checkpoint" design in the
+    graph and text families was silently paying a full re-exchange
+    wherever sessions run AQE-on (sf10+ bench sections, all sweeps).
+    The snapped query is typically one shuffle+agg with a partition
+    count already scale-set by session/sweep confs, so losing AQE for
+    just that query is noise; everything downstream keeps AQE. Kill
+    switch ``spark.kwery.ckpt.capture=false`` restores the old behavior
+    for A/B probes.
+
+    ``snap`` is the materializer, e.g.
+    ``lambda d: d.localCheckpoint(eager=True)``.
+    """
+    spark = df.sparkSession
+    if (spark.conf.get("spark.kwery.ckpt.capture", "true") or "").lower() == "false":
+        return snap(df)
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return snap(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def lckpt(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` with partitioning/ordering
+    capture (see :func:`snap_captured`)."""
+    return snap_captured(df, lambda d: d.localCheckpoint(eager=True))
+
+
 def _normalize_ts(df: DataFrame) -> DataFrame:
     """ts → µs TimestampType from any of the corpus encodings (shared by
     the batch catalog and the streaming source)."""

@@ -76,6 +76,17 @@ def _shared_put(spark, sf_dir, artifact, value, table_name="lineitem"):
         _SHARED.popitem(last=False)
 
 
+from kwery_spark.catalog import lckpt as _lckpt
+from kwery_spark.catalog import snap_captured as _snap_captured
+
+# _lckpt: localCheckpoint with partitioning/ordering capture
+# (catalog.snap_captured — the r16 UnknownPartitioning fix) for the
+# small per-round rank/label/degree frames whose c/s-partitioning the
+# next round's zip join relies on. Until r16, every such claim was
+# fiction under AQE: each pagerank round re-exchanged the 59M/176M-row
+# pair table it was documented to zip on.
+
+
 def _ckpt(df: DataFrame) -> DataFrame:
     """Disk-backed lineage truncation for iterative state. localCheckpoint
     pins partitions in executor memory — fine for the per-round rank/label
@@ -84,7 +95,9 @@ def _ckpt(df: DataFrame) -> DataFrame:
     sf10). checkpoint() writes to the scratch checkpoint dir instead —
     the same durable-storage checkpoint a cluster deployment uses — at
     the cost of a re-read per iteration. Applied to the LARGE immutable
-    frames (edge sets); small per-round frames keep localCheckpoint."""
+    frames (edge sets); small per-round frames keep localCheckpoint.
+    r16: materialized via _snap_captured, so consumers actually see the
+    stored partitioning/ordering."""
     import os
     import shutil
 
@@ -122,7 +135,7 @@ def _ckpt(df: DataFrame) -> DataFrame:
         base = os.path.join(root, f"pid{os.getpid()}")
         os.makedirs(base, exist_ok=True)
         sc.setCheckpointDir(base)
-    return df.checkpoint(eager=True)
+    return _snap_captured(df, lambda d: d.checkpoint(eager=True))
 
 
 
@@ -194,8 +207,16 @@ def _pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16 probe knob (tools/probes/pair_weights_arms.py): "nosort" drops
     # the stored sort, "shj" adds a SHUFFLE_HASH hint on the orders side
     # of the orderkey join. Default "" keeps the committed design.
+    # Both arms MEASURED AND REJECTED in r16: shj won ~11% at sf10 but
+    # regressed the family 284->349 s at sf30 (pagerank 184 s — the
+    # per-partition hash build loses to sorted merge once |orders|/64
+    # outgrows cache); nosort "won" only while checkpoint capture was
+    # broken (UnknownPartitioning — see _snap_captured). With capture
+    # fixed, the stored sort elides the per-round SMJ sorts and the
+    # sorted arm wins sf10 99.95 vs 137.02 s family total (pagerank
+    # 47.9 vs 78.5). Keep the sort.
     arm = spark.conf.get("spark.kwery.pairweights.arm", "") or ""
-    if arm == "shj":
+    if "shj" in arm:
         orders = orders.hint("shuffle_hash")
     pre = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -207,7 +228,7 @@ def _pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c", "s")
         .agg(F.count(F.lit(1)).alias("wt"))
     )
-    if arm != "nosort":
+    if "nosort" not in arm:
         pre = pre.sortWithinPartitions("c")
     w = _ckpt(pre)
     _shared_put(spark, sf_dir, artifact, w)
@@ -330,7 +351,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       contrib→s = pairs ⋈_c (pr_c/deg_c), groupBy(s): the pair
         checkpoint is c-partitioned (_pair_weights), pr_c rides the
         same partitioning through every round (groupBy and left-join
-        on c reuse it; localCheckpoint preserves outputPartitioning),
+        on c reuse it; _lckpt captures outputPartitioning — r16: plain
+        localCheckpoint under AQE records UnknownPartitioning, so
+        until the _snap_captured fix every round silently re-exchanged
+        the pair table this design claims to zip on),
         so the join is a ZIP — the only exchange is the map-side
         partially-aggregated s-message shuffle (≤ partitions × |S|
         rows, vs the old plan's 352M-row contribution stream).
@@ -365,12 +389,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint's c-partitioning (no exchange); degs pays the one
     # |pairs|→|S| shuffle. Both are localCheckpoint'd: every round (and
     # the node-count scalar) re-reads them instead of re-scanning pairs.
-    degc = pairs.groupBy("c").agg(F.count(F.lit(1)).alias("degc")).localCheckpoint(
-        eager=True
-    )
-    degs = pairs.groupBy("s").agg(F.count(F.lit(1)).alias("degs")).localCheckpoint(
-        eager=True
-    )
+    degc = _lckpt(pairs.groupBy("c").agg(F.count(F.lit(1)).alias("degc")))
+    degs = _lckpt(pairs.groupBy("s").agg(F.count(F.lit(1)).alias("degs")))
     nn = (
         degc.agg(F.count(F.lit(1)).alias("k"))
         .unionAll(degs.agg(F.count(F.lit(1)).alias("k")))
@@ -397,7 +417,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             broadcast(s_side) if small_s else s_side, "s"
         ).select("c", "m")
         contrib_c = s_msgs.groupBy("c").agg(F.sum("m").alias("contrib"))
-        prc = (
+        prc = _lckpt(
             degc.join(contrib_c, "c", "left")
             .crossJoin(broadcast(nn))
             .select(
@@ -408,9 +428,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(_D) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
-        prs = (
+        prs = _lckpt(
             degs.join(contrib_s, "s", "left")
             .crossJoin(broadcast(nn))
             .select(
@@ -421,7 +440,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(_D) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
     return prc.select(
         _node_str(F.col("c")).alias("node"), F.round("pr", 6).alias("pagerank")
@@ -477,7 +495,7 @@ def _contracted_copurchase(spark: SparkSession, sf_dir: str):
         )
     )
     # one rep-level pass serves edge gen, degree agg, and the triple join
-    groups = groups.localCheckpoint(eager=True)
+    groups = _lckpt(groups)
     gh = groups.select("ck", "m", F.explode("hs").alias("hr"))
     ga = gh.select(F.col("ck").alias("ca"), F.col("m").alias("ma"), "hr")
     gb = gh.select(F.col("ck").alias("cb"), F.col("m").alias("mb"), "hr")
@@ -489,7 +507,7 @@ def _contracted_copurchase(spark: SparkSession, sf_dir: str):
         .filter(F.col("w") >= 2)
         .select("ca", "cb", "ma", "mb")
     )
-    redges = redges.localCheckpoint(eager=True)
+    redges = _lckpt(redges)
     _shared_put(spark, sf_dir, "contracted", (groups, redges), table_name="events")
     return groups, redges
 
@@ -772,15 +790,13 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c")
             .agg((F.min("dist") + 1).alias("nd"))
         )
-        ds = (
+        ds = _lckpt(
             ds.join(step_s, "s", "full")
             .select("s", F.least("dist", "nd").alias("dist"))
-            .localCheckpoint(eager=True)
         )
-        dc = (
+        dc = _lckpt(
             dc.join(step_c, "c", "full")
             .select("c", F.least("dist", "nd").alias("dist"))
-            .localCheckpoint(eager=True)
         )
     return dc.select(
         _node_str(F.col("c")).alias("node"),
@@ -928,7 +944,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side partial vote count it forgoes bought little (vote rows
     # ≈ edge rows until labels converge).
     for _ in range(3):
-        labels = (
+        labels = _lckpt(
             edges.join(labels.hint("shuffle_hash"), edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
             .repartition("node")
@@ -937,7 +953,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=True)
         )
     return (
         labels.groupBy(F.col("label").alias("lbl"))
@@ -1028,7 +1043,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = Window.partitionBy("custkey").orderBy(
         F.col("nl").desc(), F.col("suppkey")
     )
-    capped = (
+    capped = _lckpt(
         w.withColumn("rk", F.row_number().over(win))
         .filter(F.col("rk") <= 10)
         .select("custkey", "suppkey")
@@ -1036,7 +1051,6 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 60M-row join + cap window re-ran once per alias before r8
         # (same finding as dedup_simhash); <=10 rows per customer, so
         # the materialization is small by construction
-        .localCheckpoint(eager=True)
     )
     deg = capped.groupBy("suppkey").agg(F.count(F.lit(1)).alias("d"))
     a = capped.alias("a")

@@ -103,11 +103,13 @@ def _contracted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     docs = table(spark, sf_dir, "documents")
-    out = (
-        docs.groupBy("text")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .localCheckpoint(eager=True)
-    )
+    from kwery_spark.catalog import lckpt
+
+    # r16: lckpt (capture) instead of plain localCheckpoint — under AQE
+    # the checkpoint recorded UnknownPartitioning, so the documented
+    # "consumers ride this partitioning exchange-free" was fiction and
+    # every groupBy(text, ...) consumer re-shuffled the contracted frame
+    out = lckpt(docs.groupBy("text").agg(F.count(F.lit(1)).alias("m")))
     _CONTRACTED_MEMO[key] = out
     while len(_CONTRACTED_MEMO) > 4:
         _CONTRACTED_MEMO.pop(next(iter(_CONTRACTED_MEMO)))
@@ -1089,10 +1091,10 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases = base.select(F.trim(F.col("raw")).alias("phrase"), "m").filter(
         F.col("phrase") != ""
     )
-    dp = (
-        phrases.groupBy("phrase")
-        .agg(F.sum("m").cast("long").alias("n_occ"))
-        .localCheckpoint(eager=True)
+    from kwery_spark.catalog import lckpt
+
+    dp = lckpt(
+        phrases.groupBy("phrase").agg(F.sum("m").cast("long").alias("n_occ"))
     )
     dpw = dp.select(
         "phrase",

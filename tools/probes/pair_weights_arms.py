@@ -41,7 +41,12 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 spark.conf.set("spark.kwery.bucketed", "false")  # raw arm: the sweep protocol
-if arm != "current":
+if arm == "nocapture":
+    # r16: disable the checkpoint partitioning/ordering capture (the
+    # pre-r16 behavior, where every consumer re-exchanges) — see
+    # graph._snap_captured / tools/probes/ckpt_partitioning.py
+    spark.conf.set("spark.kwery.ckpt.capture", "false")
+elif arm != "current":
     spark.conf.set("spark.kwery.pairweights.arm", arm)
 
 import kwery_spark.all_ops  # noqa: F401
