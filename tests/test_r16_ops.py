@@ -89,3 +89,53 @@ def test_tfidf_contracted_reexpansion_bounded(spark):
     finally:
         spark.conf.set("spark.kwery.contract", "auto")
     assert contracted == raw and len(raw) > 0
+
+def test_lckpt_captures_partitioning_under_aqe(spark):
+    """r16 capture fix (catalog.snap_captured): with AQE on — the graded
+    session state at sf10+/sweeps — a localCheckpoint of an AQE-flexible
+    shuffle (repartition(col)/groupBy output) records UnknownPartitioning,
+    so a same-key consumer re-exchanges; catalog.lckpt must capture
+    hashpartitioning so the consumer plans ZERO exchanges. Each arm
+    builds a FRESH frame (a DataFrame's physical plan compiles once, so
+    a shared instance would leak the first arm's conf into the second);
+    the plain arm pins coalescing off for its snap only, so the tiny
+    test frame keeps >1 partition (a 1-partition frame satisfies any
+    distribution and would hide the defect)."""
+    import pyspark.sql.functions as F
+
+    from kwery_spark.catalog import lckpt, table
+    from kwery_spark.plans.inspect import formatted_plan
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    def fresh_base():
+        return (
+            table(spark, SF001, "lineitem")
+            .select("l_suppkey")
+            .repartition("l_suppkey")
+            .groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def consumer_plan(d):
+        return formatted_plan(d.groupBy("l_suppkey").agg(F.sum("n").alias("s")))
+
+    captured = lckpt(fresh_base())
+    assert consumer_plan(captured).count("Exchange") == 0, consumer_plan(captured)
+
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        plain = fresh_base().localCheckpoint(eager=True)
+        assert plain.rdd.getNumPartitions() > 1
+        assert consumer_plan(plain).count("Exchange") >= 1, consumer_plan(plain)
+        # the kill switch restores the old (uncaptured) behavior for A/B
+        spark.conf.set("spark.kwery.ckpt.capture", "false")
+        try:
+            uncaptured = lckpt(fresh_base())
+            assert consumer_plan(uncaptured).count("Exchange") >= 1
+        finally:
+            spark.conf.set("spark.kwery.ckpt.capture", "true")
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # AQE conf is restored after every snap
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
