@@ -494,8 +494,16 @@ def _contracted_copurchase(spark: SparkSession, sf_dir: str):
             (F.size("hs") >= 2).cast("int").alias("clique"),
         )
     )
-    # one rep-level pass serves edge gen, degree agg, and the triple join
-    groups = _lckpt(groups)
+    # one rep-level pass serves edge gen, degree agg, and the triple join.
+    # PLAIN localCheckpoint on purpose (r16 scope A/B,
+    # tools/probes/capture_scope_ab.py): these frames are rep-level
+    # small, but their builds are joins where AQE's runtime re-planning
+    # (runtime SMJ->BHJ on the rep-pair join, partition coalescing)
+    # dominates — capture (AQE-off snap) regressed triangle 7.6->21.9 s
+    # and kcore 5.7->9.4 s at sf10. Capture pays only where downstream
+    # zips on a BIG checkpoint outweigh the build's lost AQE
+    # (_pair_weights family).
+    groups = groups.localCheckpoint(eager=True)
     gh = groups.select("ck", "m", F.explode("hs").alias("hr"))
     ga = gh.select(F.col("ck").alias("ca"), F.col("m").alias("ma"), "hr")
     gb = gh.select(F.col("ck").alias("cb"), F.col("m").alias("mb"), "hr")
@@ -507,7 +515,7 @@ def _contracted_copurchase(spark: SparkSession, sf_dir: str):
         .filter(F.col("w") >= 2)
         .select("ca", "cb", "ma", "mb")
     )
-    redges = _lckpt(redges)
+    redges = redges.localCheckpoint(eager=True)  # see groups note above
     _shared_put(spark, sf_dir, "contracted", (groups, redges), table_name="events")
     return groups, redges
 

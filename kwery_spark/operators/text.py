@@ -103,13 +103,18 @@ def _contracted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit
     docs = table(spark, sf_dir, "documents")
-    from kwery_spark.catalog import lckpt
-
-    # r16: lckpt (capture) instead of plain localCheckpoint — under AQE
-    # the checkpoint recorded UnknownPartitioning, so the documented
-    # "consumers ride this partitioning exchange-free" was fiction and
-    # every groupBy(text, ...) consumer re-shuffled the contracted frame
-    out = lckpt(docs.groupBy("text").agg(F.count(F.lit(1)).alias("m")))
+    # PLAIN localCheckpoint on purpose (r16): capture (catalog.lckpt,
+    # the AQE-off snap) was tried here and REGRESSED the trio — tfidf
+    # 3.29->3.68 s, rake 1.69->3.77 s, pmi 3.52->4.42 s at sf10
+    # (tools/probes/capture_scope_ab.py) — the contracted frame is
+    # |distinct texts| small, so the re-exchange it saves downstream is
+    # cheaper than what the corpus-wide groupBy(text) build loses
+    # without AQE. The "consumers ride this partitioning exchange-free"
+    # wording in older notes was fiction under AQE either way
+    # (UnknownPartitioning — see catalog.snap_captured).
+    out = docs.groupBy("text").agg(F.count(F.lit(1)).alias("m")).localCheckpoint(
+        eager=True
+    )
     _CONTRACTED_MEMO[key] = out
     while len(_CONTRACTED_MEMO) > 4:
         _CONTRACTED_MEMO.pop(next(iter(_CONTRACTED_MEMO)))
@@ -1091,10 +1096,12 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases = base.select(F.trim(F.col("raw")).alias("phrase"), "m").filter(
         F.col("phrase") != ""
     )
-    from kwery_spark.catalog import lckpt
-
-    dp = lckpt(
-        phrases.groupBy("phrase").agg(F.sum("m").cast("long").alias("n_occ"))
+    # plain localCheckpoint: capture measured a 2.2x rake regression
+    # (see _contracted_docs note — same scope A/B)
+    dp = (
+        phrases.groupBy("phrase")
+        .agg(F.sum("m").cast("long").alias("n_occ"))
+        .localCheckpoint(eager=True)
     )
     dpw = dp.select(
         "phrase",

@@ -153,6 +153,22 @@ def _run_inline(sf_dir: str, budget: float, keys: list[str]) -> dict[str, dict]:
     import kwery_spark.all_ops  # noqa: F401
     from kwery_spark.registry import QUERIES
 
+    # Warm the session BEFORE any timed key (the bench.py protocol):
+    # first-action lazy init — executor threads, codegen, filesystem +
+    # parquet reader classes — was otherwise billed to each module
+    # group's first key under r16's per-module isolation (+7-8 s rows
+    # at sf10 on trivially-cheap first keys like q1_pricing_summary /
+    # text_tokenize, first r16 sweep diff). One tiny shuffle + one tiny
+    # parquet read; no operator state is prebuilt (memoized family
+    # builders still pay their cold cost inside their first key's row,
+    # exactly like r15's single-session sweeps).
+    from pyspark.sql import functions as _F
+
+    spark.range(1_000_000).groupBy((_F.col("id") % 10).alias("k")).count().collect()
+    from kwery_spark.catalog import table as _table
+
+    _table(spark, sf_dir, "region").count()
+
     if not keys:
         keys = list(QUERIES)
     results: dict[str, dict] = {}
