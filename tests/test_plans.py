@@ -381,14 +381,21 @@ def test_bitmap_distinct_two_bounded_shuffles(spark, sf_dir):
 
 
 def test_profile_table_single_scan(spark, sf_dir):
-    # the 6-column profile must be ONE pass over orders (expand + two-phase
-    # aggregate), not a per-column rescan: exactly one parquet scan of orders
+    # r16 REVERSAL of the r5 one-pass lock: the single multi-distinct
+    # aggregate planned an Expand x7 (rows x columns through the partial
+    # agg — ~30 s of the 37 s sf30 key, tools/probes/profile_decomp.py);
+    # the profile now runs one single-distinct aggregate PER column.
+    # Lock the new shape: exactly 6 parquet scans, each pruned to ONE
+    # column, and no Expand anywhere (also locked in test_r16_ops).
     df = _q("profile_table")(spark, sf_dir)
     plan = inspect.formatted_plan(df)
     import re as _re
 
     scan_ids = set(_re.findall(r"\((\d+)\) Scan parquet", plan))
-    assert len(scan_ids) == 1, plan
+    assert len(scan_ids) == 6, plan
+    assert "Expand" not in plan, plan
+    read_cols = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert read_cols and all("," not in rc for rc in read_cols), read_cols
 
 
 def test_dq_fk_check_broadcasts_dimension(spark, sf_dir):
